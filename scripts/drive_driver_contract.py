@@ -1,0 +1,61 @@
+"""Drive the repo's public surface exactly as the driver harness does:
+import __spark_entry__ fresh, run entry(spark) (smoke), then every
+queries() entry at sf0.01 compared against its oracle_sql() via DuckDB.
+
+Usage: python scripts/drive_driver_contract.py [sf_dir]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from streams_prototyping_spark.session import get_spark
+from tests.oracle_check import _canon_rows, run_oracle
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = get_spark("drive-contract")
+
+# --- smoke: entry() ---
+t0 = time.time()
+df = entrymod.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.columns} ({time.time()-t0:.1f}s)")
+assert len(rows) > 0
+
+# --- correctness: queries() vs oracle_sql() ---
+qs = entrymod.queries()
+oracles = entrymod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+fails = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name in oracles:
+            o_cols, o_rows = run_oracle(oracles[name], sf_dir)
+            ok_schema = sorted(s_cols) == sorted(o_cols)
+            ok_count = len(s_rows) == len(o_rows)
+            ok_vals = _canon_rows(s_cols, s_rows) == _canon_rows(o_cols, o_rows)
+            status = "MATCH" if (ok_schema and ok_count and ok_vals) else (
+                f"MISMATCH schema={ok_schema} count={ok_count} vals={ok_vals}"
+            )
+        else:
+            status = f"rows-only ({len(s_rows)} rows)"
+        print(f"  {name:32s} {status:20s} {len(s_rows):>7} rows {time.time()-t0:5.1f}s")
+        if "MISMATCH" in status:
+            fails.append(name)
+    except Exception as e:  # noqa: BLE001
+        print(f"  {name:32s} ERROR {type(e).__name__}: {str(e)[:120]}")
+        fails.append(name)
+
+print("RESULT:", "FAIL " + ",".join(fails) if fails else "ALL MATCH")
+spark.stop()
+sys.exit(1 if fails else 0)

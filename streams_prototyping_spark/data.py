@@ -1,0 +1,62 @@
+"""Table loading for the driver testdata (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. Loading
+is a plain ``spark.read.parquet`` scan so Catalyst keeps predicate
+pushdown / column pruning / partition pruning — do NOT cache or
+materialize here; operators decide what (if anything) to persist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region=5 rows, nation=25 rows always; supplier/part/customer grow with
+# sf). Join code uses this set to apply explicit broadcast hints.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
+        # long. Truncate to microseconds (integer div — a double round-trip
+        # would lose precision at 2^63 nanos) and restore TimestampType so
+        # windows/watermarks apply.
+        from pyspark.sql import functions as F  # local: keep module import light
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views so ``spark.sql`` queries run
+    against the same names the DuckDB oracle uses."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,61 @@
+"""Central query registry.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions)
+registers here as a named batch query, optionally paired with an ANSI
+SQL oracle string that DuckDB runs over the same parquet tables. The
+driver's correctness harness consumes this via ``__spark_entry__.py``.
+
+Contract (see __spark_entry__.py docstring): the Spark DataFrame and
+the oracle SQL must produce identical column NAMES (driver sorts
+columns by name before value-hashing), so every computed column is
+aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query.
+
+    ``oracle`` is the DuckDB-runnable ANSI SQL twin; omit it only for
+    genuinely non-SQL-expressible operators (the driver then records a
+    weaker rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    # Imports are inside the function so `import streams_prototyping_spark`
+    # stays cheap and circular imports are impossible.
+    from streams_prototyping_spark.operators import (  # noqa: F401
+        windowed_agg,
+        ctr,
+        relational,
+        analytic,
+    )
+    from streams_prototyping_spark.functions import (  # noqa: F401
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target the driver's local[N] harness but every knob is chosen
+for cluster scale: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), Arrow on (vectorized Python interchange for the
+Pandas-UDF extension operators), UTC session timezone (deterministic
+timestamp semantics vs the DuckDB oracle and across clusters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB / 1000 executors, shuffle partitions should be sized so each
+# post-shuffle partition is ~100-200 MB; AQE coalesces down from this
+# initial value at runtime, so a high initial number is cheap. Locally
+# the driver runs local[$SPARK_GRAFT_CPUS]; we default the *initial*
+# partition count to 2x cores and let AQE coalesce.
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "streams-prototyping-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Scale notes (100 TB design):
+    - AQE enabled: coalesces shuffle partitions, converts sort-merge to
+      broadcast joins at runtime, and splits skewed partitions — the
+      three biggest win levers on real clusters.
+    - ``spark.sql.shuffle.partitions`` is only the *initial* value; on a
+      1000-executor cluster set it ~2-3x total cores and let AQE shrink.
+    - Arrow execution makes the Pandas-UDF path (extensions) batch-
+      vectorized instead of row-at-a-time pickling.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{_DEFAULT_CPUS}]")
+    parts = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * _DEFAULT_CPUS))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # pin them explicitly so a misconfigured cluster can't regress us.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's reader rejects; read it as raw long and data.py
+        # converts to a microsecond TimestampType column.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # local mode: keep the UI off and the driver light
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
