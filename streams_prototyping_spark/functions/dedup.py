@@ -1,1 +1,357 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all Spark-first and oracle-checkable (the MinHash /
+SimHash "permutations" use the portable md5-based hash so the DuckDB
+twin computes bit-identical signatures — see portable_hash.py):
+
+- exact dedup: hash-groupBy on content
+- MinHash + LSH: shingle -> k-permutation signature -> banded
+  self-join -> candidate pairs with estimated Jaccard
+- SimHash: per-token bit-vote fingerprint (Charikar 2002)
+- n-gram Jaccard: exact shingle-set similarity on LSH candidates
+
+Scale design (100 TB): every stage is a narrow projection or a keyed
+shuffle. Signatures are O(1) per doc (k=8 longs); the LSH band join
+shuffles on (band, band_key) — the whole point of banding is that only
+near-identical docs collide, so the join fan-out stays tiny even at
+billions of docs. Nothing ever computes an all-pairs product; exact
+Jaccard runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.registry import register
+
+K_PERMS = 8          # minhash signature length
+LSH_ROWS_PER_BAND = 2  # -> 4 bands; P(collide) = 1-(1-j^2)^4
+N_BANDS = K_PERMS // LSH_ROWS_PER_BAND
+SIMHASH_BITS = 16
+EST_JACCARD_MIN = 0.25   # >= 2 of 8 signature positions agree
+EXACT_JACCARD_MIN = 0.2
+
+# ---------------------------------------------------------------- exact dedup
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc_id (the smallest) per distinct
+    text, with the copy count.
+
+    Scale note: grouping by md5(text) (128-bit) rather than the full
+    text would shrink shuffle keys from document-size to 32 bytes —
+    Spark's hash partitioning already only ships each group once, and
+    we aggregate on text to stay collision-proof; the md5 in the
+    output is projection only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(F.md5("text").alias("text_md5"), "doc_id", "n_copies")
+
+
+# ------------------------------------------------------------------- minhash
+
+# Spark SQL and DuckDB SQL expression fragments kept side by side so the
+# two engines provably compute the same signature.
+_WORDS_SPARK = "split(text, ' ')"
+_WORDS_DUCK = "string_split(text, ' ')"
+
+_SHINGLES_SPARK = f"""
+CASE WHEN size({_WORDS_SPARK}) >= 3
+     THEN array_distinct(transform(sequence(0, size({_WORDS_SPARK}) - 3),
+                                   i -> concat_ws(' ', slice({_WORDS_SPARK}, i + 1, 3))))
+     ELSE array(text) END
+"""
+
+_SHINGLES_DUCK = f"""
+CASE WHEN len({_WORDS_DUCK}) >= 3
+     THEN list_distinct(list_transform(range(1, len({_WORDS_DUCK}) - 1),
+                                       i -> array_to_string(({_WORDS_DUCK})[i:i+2], ' ')))
+     ELSE [text] END
+"""
+
+
+def _sig_spark(j: int) -> str:
+    return (
+        "array_min(transform(shingles, s -> "
+        f"CAST(conv(substring(md5(concat('perm{j}:', s)), 1, 15), 16, 10) AS BIGINT)))"
+    )
+
+
+def _sig_duck(j: int) -> str:
+    return (
+        "list_min(list_transform(shingles, s -> "
+        f"CAST('0x' || substr(md5('perm{j}:' || s), 1, 15) AS BIGINT)))"
+    )
+
+
+_SIGS_CTE_DUCK = (
+    "WITH shingled AS (\n"
+    f"    SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents\n"
+    "), sigs AS (\n"
+    "    SELECT doc_id, "
+    + ", ".join(f"{_sig_duck(j)} AS sig_{j}" for j in range(K_PERMS))
+    + " FROM shingled\n)"
+)
+
+
+def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    return shingled.select(
+        "doc_id",
+        *[F.expr(_sig_spark(j)).alias(f"sig_{j}") for j in range(K_PERMS)],
+    )
+
+
+_MINHASH_SIG_ORACLE = _SIGS_CTE_DUCK + "\nSELECT * FROM sigs"
+
+
+@register("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over distinct 3-word shingles, k=8 salted
+    md5 permutations (Broder 1997 resemblance sketch).
+
+    Scale note: one narrow scan, no shuffle; cost is k md5 passes over
+    the shingle set, all inside JVM codegen. Signature is 64 bytes/doc
+    regardless of document size — the compression that makes
+    billion-doc dedup feasible.
+    """
+    return minhash_signatures_df(spark, sf_dir)
+
+
+def _lsh_bands_df(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one row per band, key = concatenated
+    signature rows of that band."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * LSH_ROWS_PER_BAND + r}" for r in range(LSH_ROWS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *cols).alias("band_key"),
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def _bands_cte_duck() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * LSH_ROWS_PER_BAND + r}" for r in range(LSH_ROWS_PER_BAND)]
+        key = " || ',' || ".join(cols)
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs")
+    return "bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+_LSH_PAIRS_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ", "
+    + _bands_cte_duck()
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(K_PERMS))})
+           / CAST({K_PERMS} AS DOUBLE) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE ({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(K_PERMS))})
+          / CAST({K_PERMS} AS DOUBLE) >= {EST_JACCARD_MIN}
+"""
+)
+
+
+def minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures_df(spark, sf_dir)
+    bands = _lsh_bands_df(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}"), 1).otherwise(0)
+        for j in range(K_PERMS)
+    )
+    est = (matches / F.lit(float(K_PERMS))).alias("est_jaccard")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
+    )
+
+
+@register("minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + signature-estimated Jaccard: band the
+    8-long signature into 4 bands of 2, self-join on identical bands,
+    keep pairs with >= 25% signature agreement.
+
+    Scale note: the self-join shuffles on (band, band_key) — uniform
+    128-bit-ish keys, so no skew unless true duplicates exist, which is
+    exactly the data we want colliding. At billions of docs the
+    candidate set is O(duplicate pairs), not O(n^2). A pathological
+    band key (e.g. empty docs all hashing alike) would skew; salting
+    the band_key with a doc_id prefix and re-joining is the standard
+    counter, not needed for this data.
+    """
+    return minhash_lsh_pairs_df(spark, sf_dir)
+
+
+# ------------------------------------------------------------------- simhash
+
+_HASHES_SPARK = (
+    "transform(array_distinct(split(text, ' ')), w -> "
+    "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
+)
+_HASHES_DUCK = (
+    "list_transform(list_distinct(string_split(text, ' ')), w -> "
+    "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT))"
+)
+
+
+def _simhash_spark() -> str:
+    bits = [
+        f"(CASE WHEN aggregate(hashes, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    ]
+    return " + ".join(bits)
+
+
+def _simhash_duck() -> str:
+    bits = [
+        f"(CASE WHEN list_sum(list_transform(hashes, h -> "
+        f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    ]
+    return " + ".join(bits)
+
+
+_SIMHASH_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id, {_HASHES_DUCK} AS hashes FROM documents
+)
+SELECT doc_id, CAST({_simhash_duck()} AS BIGINT) AS simhash
+FROM hashed
+"""
+
+
+@register("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar 2002): each distinct token votes +1/-1 per bit
+    of its hash; the sign vector packed into a {SIMHASH_BITS}-bit
+    fingerprint. Near-duplicate docs differ in few bits (Hamming).
+
+    Scale note: token hashes are computed ONCE into an array column,
+    then the 16 bit-votes fold over that array — 1 md5 per token, not
+    16. Pure codegen'd expressions, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.expr(_HASHES_SPARK).alias("hashes"))
+    return hashed.select(
+        "doc_id", F.expr(_simhash_spark()).cast("long").alias("simhash")
+    )
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+_NGRAM_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ", "
+    + _bands_cte_duck()
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN shingled x ON x.doc_id = c.doc_a
+    JOIN shingled y ON y.doc_id = c.doc_b
+)
+WHERE jaccard >= {EXACT_JACCARD_MIN}
+"""
+)
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity, computed ONLY for LSH candidate
+    pairs (never all-pairs): |A∩B| / (|A|+|B|-|A∩B|) over distinct
+    shingle sets.
+
+    Scale note: verification-on-candidates is the standard two-phase
+    dedup (candidate recall from LSH, exact precision here); the join
+    carries shingle arrays only for the candidate pairs, so the heavy
+    payload moves O(candidates) times.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    sigs = minhash_signatures_df(spark, sf_dir)
+    bands = _lsh_bands_df(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = shingled.alias("x")
+    y = shingled.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.shingles"), F.col("y.shingles")))
+    union = F.size(F.col("x.shingles")) + F.size(F.col("y.shingles")) - inter
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= EXACT_JACCARD_MIN)
+    )
