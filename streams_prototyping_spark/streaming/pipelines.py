@@ -1,0 +1,150 @@
+"""The reference's two topologies as Structured Streaming pipelines.
+
+These are the SAME expressions as the batch twins in operators/ —
+that's the design: batch twin proves values against the DuckDB oracle,
+streaming run proves the stateful plumbing converges to the twin
+(tests/test_streaming.py).
+
+Semantics mapping (SURVEY §4.3):
+- Kafka Streams' cache-disabled per-record emission (A17,
+  Aggregations.java:69)        -> outputMode("update")/( "complete")
+- its 24 h state retention, no watermark -> withWatermark bounds state
+- its eager leftJoin duplicates (Part C' #2) -> watermark-correct
+  one-shot emission (closer to the declared SQL intent)
+
+applyInPandasWithState carries the one semantic the built-ins can't:
+KTable-style continuously-updated per-key state with arbitrary update
+logic (the reference's hand-rolled CSV-state adders,
+StreamStreamJoin.java:107-131).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+WINDOW_S = 30
+JOIN_WINDOW_S = 60
+
+
+def windowed_avg_stream(events: DataFrame, watermark: str = "60 seconds") -> DataFrame:
+    """Streaming twin of operators/windowed_agg.windowed_avg
+    (reference Aggregations.java topology): project x2/v, 30 s tumbling
+    window, sums+count -> averages.
+
+    State: one row per open window; the watermark evicts windows older
+    than max(event time) - watermark, so state is O(open windows), not
+    O(stream length) — the scale guarantee Kafka Streams gets from
+    retention-based expiry.
+    """
+    projected = events.select(
+        F.col("ts"),
+        (F.col("value") * 2).alias("x2"),
+        F.col("value").alias("v"),
+    ).withWatermark("ts", watermark)
+    return (
+        projected.groupBy(F.window("ts", f"{WINDOW_S} seconds").alias("w"))
+        .agg(
+            F.sum("x2").alias("sum_x2"),
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            (F.col("sum_x2") / F.col("n")).alias("avg_x2"),
+            (F.col("sum_v") / F.col("n")).alias("avg_v"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+def ads_with_clicks_stream(
+    impressions: DataFrame, clicks: DataFrame, watermark: str = "120 seconds"
+) -> DataFrame:
+    """Streaming stream-stream LEFT OUTER join within +/-60 s
+    (reference StreamStreamJoin.java:85-95) with dual watermarks.
+
+    Spark keeps both sides in keyed state and probes symmetrically —
+    the same symmetric-hash algorithm as Kafka Streams' window stores —
+    but emits the null-extended row exactly once, after the watermark
+    proves no match can arrive (SURVEY §2 Part C' item 2: the declared
+    semantics, without the eager-emission duplicates).
+
+    State scale: watermark + time-range condition bound BOTH buffers to
+    (watermark + join window) seconds of data per key — the config that
+    keeps a 100 TB/day stream join's state finite.
+    """
+    imp = impressions.withWatermark("imp_ts", watermark)
+    clk = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (imp.user_id == clk.c_user_id)
+        & (clk.click_ts >= imp.imp_ts - F.expr(f"INTERVAL {JOIN_WINDOW_S} SECONDS"))
+        & (clk.click_ts <= imp.imp_ts + F.expr(f"INTERVAL {JOIN_WINDOW_S} SECONDS"))
+    )
+    return imp.join(clk, cond, "leftOuter").select(
+        "impression_id",
+        "user_id",
+        "ad_id",
+        "imp_ts",
+        "click_id",
+        F.col("click_id").isNotNull().alias("was_clicked"),
+    )
+
+
+_CTR_STATE_SCHEMA = "n_clicked long, n_unclicked long"
+_CTR_OUT_SCHEMA = "ad_id long, n_clicked long, n_unclicked long, ctr double"
+
+
+def _ctr_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-ad running (clicked, unclicked) counts — a faithful port of
+    the reference's adder semantics (StreamStreamJoin.java:107-131:
+    increment one of two counters per record; state was a CSV string,
+    here a typed tuple) with the declared final ctr division."""
+    if state.exists:
+        n_clicked, n_unclicked = state.get
+    else:
+        n_clicked, n_unclicked = 0, 0
+    for pdf in batches:
+        clicked = int(pdf["was_clicked"].sum())
+        n_clicked += clicked
+        n_unclicked += len(pdf) - clicked
+    state.update((n_clicked, n_unclicked))
+    total = n_clicked + n_unclicked
+    yield pd.DataFrame(
+        {
+            "ad_id": [key[0]],
+            "n_clicked": [n_clicked],
+            "n_unclicked": [n_unclicked],
+            "ctr": [float(n_clicked) / total if total else 0.0],
+        }
+    )
+
+
+def ctr_stateful_stream(ads_with_clicks: DataFrame) -> DataFrame:
+    """KTable-style continuously-updated CTR per ad via
+    applyInPandasWithState — the custom-stateful-operator surface
+    (reference's aggregate with named state store, 'click-through-rate'
+    StreamStreamJoin.java:130). Emits the refreshed row for every key
+    seen in a micro-batch: the closest Spark analog of cache-disabled
+    per-record emission (A17).
+
+    Scale note: state is two longs per ad id, partitioned by key across
+    executors with RocksDB-backed checkpointing — identical durability
+    model to the reference's RocksDB + changelog topic (SURVEY §4.2).
+    """
+    return ads_with_clicks.groupBy("ad_id").applyInPandasWithState(
+        _ctr_update,
+        outputStructType=_CTR_OUT_SCHEMA,
+        stateStructType=_CTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,110 @@
+"""Streaming source/sink layer — the engine's answer to the reference's
+Kafka surface (SURVEY §2 A1/A15/A16, B1/B2).
+
+``create_stream`` is the thin declarative API the reference models with
+KSQL DDL comments (CREATE STREAM name (cols) WITH (kafka_topic=...,
+value_format='delimited'), StreamStreamJoin.java:29-33): bind a name +
+schema + transport to a streaming DataFrame. Kafka is optional — the
+file and rate transports run without a broker, which is how tests and
+the driver harness exercise the streaming layer.
+
+Wire format: the reference's delimited CSV values
+(value_format='delimited') decode via from_csv on ingest — ONCE, into
+typed columns (the reference re-parses per operator, SURVEY §1.1); we
+re-encode with concat_ws only at a Kafka egress.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def decode_delimited(raw: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """CSV-decode a delimited value column into typed columns
+    (SURVEY §2 A2; reference X.fromDelimitedString)."""
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return raw.select(
+        F.from_csv(F.col(value_col).cast("string"), ddl).alias("r")
+    ).select("r.*")
+
+
+def encode_delimited(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Inverse codec for egress (reference X.toDelimitedString)."""
+    cols = cols or df.columns
+    return df.select(F.concat_ws(",", *[F.col(c) for c in cols]).alias("value"))
+
+
+def create_stream(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    *,
+    transport: str = "file",
+    path: str | None = None,
+    kafka_topic: str | None = None,
+    kafka_bootstrap: str = "localhost:9092",
+    value_format: str = "parquet",
+    rate_rows_per_sec: int = 1000,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CREATE STREAM name (schema) WITH (transport...) -> streaming DF.
+
+    transports:
+    - "file": replayable directory source (parquet or delimited text) —
+      the broker-free twin of a Kafka topic; exactly the replay harness
+      SURVEY §5.3 calls for.
+    - "kafka": real Kafka source; values decoded per value_format
+      ("delimited" -> from_csv with the schema).
+    - "rate": synthetic load source for throughput experiments.
+
+    Scale note: a Kafka topic's partitions map 1:1 to Spark input
+    partitions; file sources parallelize by file. Either way the
+    downstream plan is identical — transports are swappable without
+    touching queries.
+    """
+    if transport == "file":
+        if path is None:
+            raise ValueError("file transport requires path=")
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if value_format == "delimited":
+            raw = reader.format("text").load(path)
+            df = decode_delimited(raw, schema)
+        else:
+            df = reader.schema(schema).format("parquet").load(path)
+    elif transport == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic or name)
+            .load()
+        )
+        # reference serdes: key ByteArray (ignored), value String
+        # (Aggregations.java:65-68); delimited decode per B1.
+        df = decode_delimited(raw, schema) if value_format == "delimited" else raw
+    elif transport == "rate":
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate_rows_per_sec)
+            .load()
+        )
+        df = rate  # (timestamp, value) — caller maps into the schema
+    else:
+        raise ValueError(f"unknown transport {transport!r}")
+    return df
+
+
+def write_kafka(df: DataFrame, topic: str, checkpoint: str, bootstrap: str = "localhost:9092"):
+    """KStream.to(topic) twin (SURVEY §2 A15): delimited-encode and
+    produce. Returns the StreamingQuery handle."""
+    return (
+        encode_delimited(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,172 @@
+"""Streaming e2e (SURVEY §5.3): replay fixtures through a file source
+and assert the streaming pipelines CONVERGE to their batch twins —
+the standard Structured Streaming test pattern."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.streaming.pipelines import (
+    ads_with_clicks_stream,
+    ctr_stateful_stream,
+    windowed_avg_stream,
+)
+from streams_prototyping_spark.streaming.sources import create_stream
+
+SENTINEL_ID = -1  # far-future rows that push the watermark to flush state
+
+
+def _replay_dir(df, path, n_files=4):
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_end(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_windowed_avg_converges_to_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select("ts", "value").limit(300)
+    path = _replay_dir(events, str(tmp_path / "events"))
+
+    stream = create_stream(
+        spark, "events", events.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    out = windowed_avg_stream(stream)
+    spark.catalog.clearCache()
+    tbl = _run_to_end(out, "wavg_stream", "complete")
+
+    got = {
+        r.window_start: (round(r.avg_x2, 6), round(r.avg_v, 6), r.n_events)
+        for r in spark.table(tbl).collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "30 seconds").alias("w"))
+        .agg(
+            (F.sum(F.col("value") * 2) / F.count("*")).alias("avg_x2"),
+            (F.sum("value") / F.count("*")).alias("avg_v"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        r["w"].start: (round(r.avg_x2, 6), round(r.avg_v, 6), r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def _imp_clk_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    imp = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("impression_id"),
+        F.col("ts").alias("imp_ts"),
+        "user_id",
+        (F.col("user_id") % 10).cast("long").alias("ad_id"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"),
+    )
+    # sentinel rows 2 h past the max event: advance both watermarks so
+    # every outer-join null row is flushed before the stream ends
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sent_imp = spark.createDataFrame(
+        [(SENTINEL_ID, max_ts, SENTINEL_ID, SENTINEL_ID)],
+        "impression_id long, imp_ts timestamp, user_id long, ad_id long",
+    ).withColumn("imp_ts", F.col("imp_ts") + F.expr("INTERVAL 2 HOURS"))
+    sent_clk = spark.createDataFrame(
+        [(SENTINEL_ID, max_ts, SENTINEL_ID)],
+        "click_id long, click_ts timestamp, c_user_id long",
+    ).withColumn("click_ts", F.col("click_ts") + F.expr("INTERVAL 2 HOURS"))
+    return imp.unionByName(sent_imp), clk.unionByName(sent_clk)
+
+
+def test_stream_stream_join_converges_to_batch(spark, sf_dir, tmp_path):
+    imp, clk = _imp_clk_fixture(spark, sf_dir)
+    ipath = _replay_dir(imp, str(tmp_path / "imp"), n_files=3)
+    cpath = _replay_dir(clk, str(tmp_path / "clk"), n_files=3)
+
+    s_imp = create_stream(spark, "imp", imp.schema, transport="file", path=ipath)
+    s_clk = create_stream(spark, "clk", clk.schema, transport="file", path=cpath)
+    joined = ads_with_clicks_stream(s_imp, s_clk)
+    tbl = _run_to_end(joined, "ssj_stream", "append")
+
+    got = (
+        spark.table(tbl)
+        .filter(F.col("impression_id") != SENTINEL_ID)
+        .groupBy("was_clicked")
+        .count()
+        .collect()
+    )
+    got = {r.was_clicked: r["count"] for r in got}
+
+    b_imp = spark.read.parquet(ipath).filter(F.col("impression_id") != SENTINEL_ID)
+    b_clk = spark.read.parquet(cpath).filter(F.col("click_id") != SENTINEL_ID)
+    cond = (b_imp.user_id == b_clk.c_user_id) & b_clk.click_ts.between(
+        b_imp.imp_ts - F.expr("INTERVAL 60 SECONDS"),
+        b_imp.imp_ts + F.expr("INTERVAL 60 SECONDS"),
+    )
+    batch = b_imp.join(b_clk, cond, "left_outer").select(
+        F.col("click_id").isNotNull().alias("was_clicked")
+    )
+    want = {r.was_clicked: r["count"] for r in batch.groupBy("was_clicked").count().collect()}
+    assert got == want
+
+
+def test_ctr_stateful_converges_to_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: the
+    LAST emitted row per ad equals the batch conditional counts."""
+    imp, clk = _imp_clk_fixture(spark, sf_dir)
+    # materialize the batch join as the replayable ads_with_clicks fixture
+    cond = (imp.user_id == clk.c_user_id) & clk.click_ts.between(
+        imp.imp_ts - F.expr("INTERVAL 60 SECONDS"),
+        imp.imp_ts + F.expr("INTERVAL 60 SECONDS"),
+    )
+    awc = (
+        imp.filter(F.col("impression_id") != SENTINEL_ID)
+        .join(clk.filter(F.col("click_id") != SENTINEL_ID), cond, "left_outer")
+        .select(
+            "impression_id", "user_id", "ad_id",
+            F.col("click_id").isNotNull().alias("was_clicked"),
+        )
+    )
+    path = _replay_dir(awc, str(tmp_path / "awc"), n_files=4)
+
+    stream = create_stream(
+        spark, "awc", awc.schema, transport="file", path=path,
+        max_files_per_trigger=1,  # several micro-batches -> real state reuse
+    )
+    out = ctr_stateful_stream(stream)
+    tbl = _run_to_end(out, "ctr_state_stream", "update")
+
+    # final state per ad: total count only grows, so the row with the
+    # max total is the last update (sink row order is not guaranteed)
+    updates = spark.table(tbl).toPandas()
+    updates["total"] = updates["n_clicked"] + updates["n_unclicked"]
+    final = updates.sort_values("total").groupby("ad_id").last()
+
+    batch = (
+        spark.read.parquet(path)
+        .groupBy("ad_id")
+        .agg(
+            F.count(F.when(F.col("was_clicked"), 1)).alias("n_clicked"),
+            F.count(F.when(~F.col("was_clicked"), 1)).alias("n_unclicked"),
+        )
+        .collect()
+    )
+    for r in batch:
+        assert final.loc[r.ad_id, "n_clicked"] == r.n_clicked, r.ad_id
+        assert final.loc[r.ad_id, "n_unclicked"] == r.n_unclicked, r.ad_id
+        total = r.n_clicked + r.n_unclicked
+        assert final.loc[r.ad_id, "ctr"] == pytest.approx(r.n_clicked / total)
