@@ -55,6 +55,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism ahead of a CPU-heavy
+    narrow stage (hashing, regex, Python decode).
+
+    Small single-file inputs scan as ONE partition, serializing the
+    expensive stage onto one core; at 100 TB the scan is naturally
+    wide, but a pre-compute repartition is still correct whenever
+    input partitions < cores (the shuffle moves raw rows once, the
+    compute then uses every core)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all tables as temp views so ``spark.sql`` queries run
     against the same names the DuckDB oracle uses."""

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.registry import register
 
 K_PERMS = 8          # minhash signature length
@@ -69,10 +69,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS_SPARK = "split(text, ' ')"
 _WORDS_DUCK = "string_split(text, ' ')"
 
+# Trigram shingles via two zip_withs over shifted slices — O(words) per
+# row. (The index-based form `transform(sequence(...), i -> slice(words,
+# i+1, 3))` re-evaluates the split() inside the lambda per element —
+# O(words^2) — because codegen cannot hoist loop-invariant expressions
+# out of a higher-order-function body.)
 _SHINGLES_SPARK = f"""
 CASE WHEN size({_WORDS_SPARK}) >= 3
-     THEN array_distinct(transform(sequence(0, size({_WORDS_SPARK}) - 3),
-                                   i -> concat_ws(' ', slice({_WORDS_SPARK}, i + 1, 3))))
+     THEN array_distinct(
+         zip_with(
+             zip_with(slice({_WORDS_SPARK}, 1, size({_WORDS_SPARK}) - 2),
+                      slice({_WORDS_SPARK}, 2, size({_WORDS_SPARK}) - 2),
+                      (a, b) -> concat(a, ' ', b)),
+             slice({_WORDS_SPARK}, 3, size({_WORDS_SPARK}) - 2),
+             (ab, c) -> concat(ab, ' ', c)))
      ELSE array(text) END
 """
 
@@ -108,13 +118,29 @@ _SIGS_CTE_DUCK = (
 )
 
 
-def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    return shingled.select(
+def minhash_signatures_df(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """k=8 signature per doc. ``materialize=True`` persists the computed
+    signatures: Catalyst's CollapseProject would otherwise inline the
+    shingle construction into every one of the 8 signature expressions
+    AND into every downstream self-join branch, recomputing the md5
+    pipeline ~6x. At production scale signatures are checkpointed to a
+    table for exactly this reason (compute once, join many).
+
+    The shingled stage is ALWAYS persisted: each of the 8 signature
+    expressions references the shingles column, and CollapseProject
+    would otherwise inline the shingle construction 8x (measured 4x
+    slower end-to-end). The persist is the DataFrame-API barrier."""
+    d = widen(load_table(spark, sf_dir, "documents"))
+    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).persist()
+    sigs = shingled.select(
         "doc_id",
         *[F.expr(_sig_spark(j)).alias(f"sig_{j}") for j in range(K_PERMS)],
     )
+    if materialize:
+        sigs = sigs.persist()
+    return sigs
 
 
 _MINHASH_SIG_ORACLE = _SIGS_CTE_DUCK + "\nSELECT * FROM sigs"
@@ -134,22 +160,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bands_df(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) — one row per band, key = concatenated
-    signature rows of that band."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * LSH_ROWS_PER_BAND + r}" for r in range(LSH_ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+    """(doc_id, band, band_key) — one row per band via a single explode
+    (a 4-way union would re-evaluate the signature pipeline per branch).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(",", *cols).alias("band_key"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        f"sig_{b * LSH_ROWS_PER_BAND + r}"
+                        for r in range(LSH_ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionAll(df)
-    return out
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
 
 
 def _bands_cte_duck() -> str:
@@ -184,7 +215,7 @@ WHERE ({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j 
 
 
 def minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures_df(spark, sf_dir)
+    sigs = minhash_signatures_df(spark, sf_dir, materialize=True)
     bands = _lsh_bands_df(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -281,8 +312,11 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the 16 bit-votes fold over that array — 1 md5 per token, not
     16. Pure codegen'd expressions, no shuffle.
     """
-    d = load_table(spark, sf_dir, "documents")
-    hashed = d.select("doc_id", F.expr(_HASHES_SPARK).alias("hashes"))
+    d = widen(load_table(spark, sf_dir, "documents"))
+    # persist = projection barrier: the 16 bit-vote expressions all
+    # reference `hashes`; without it CollapseProject inlines the md5
+    # pass 16x (same pathology as the minhash signatures).
+    hashed = d.select("doc_id", F.expr(_HASHES_SPARK).alias("hashes")).persist()
     return hashed.select(
         "doc_id", F.expr(_simhash_spark()).cast("long").alias("simhash")
     )
@@ -325,9 +359,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries shingle arrays only for the candidate pairs, so the heavy
     payload moves O(candidates) times.
     """
-    d = load_table(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    sigs = minhash_signatures_df(spark, sf_dir)
+    d = widen(load_table(spark, sf_dir, "documents"))
+    shingled = d.select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+    ).persist()  # joined twice (x/y sides); recompute would double the shingle pass
+    sigs = minhash_signatures_df(spark, sf_dir, materialize=True)
     bands = _lsh_bands_df(sigs)
     a = bands.alias("a")
     b = bands.alias("b")

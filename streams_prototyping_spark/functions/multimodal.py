@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.registry import register
 
 # Deterministic "fake decode": dimensions derived from the payload md5.
@@ -139,7 +139,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine, and it is Arrow-vectorized (one pandas DataFrame per
     batch, not per row).
     """
-    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
