@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the scale guarantees (SURVEY §4,
+build brief: 'explain the plan and iterate until it's the plan you'd
+want'). These assert the properties that matter at 100 TB: pushdown,
+pruning, broadcast strategy, top-k short-circuits, partial aggregation,
+and no accidental cartesian products."""
+
+import pytest
+
+from streams_prototyping_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = registry.QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # timestamp predicate pushed
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in plan
+    assert "l_tax" not in plan
+    # '*' prefixes mark operators inside a WholeStageCodegen span
+    assert "* Filter" in plan and "* Project" in plan
+
+
+def test_small_dims_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_chain", mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, sf_dir, "join_broadcast_chain")
+    # aggregation is partial+final (map-side combine before the shuffle)
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full Sort operator
+
+
+def test_topn_per_group_uses_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topn_per_group")
+    # rank-filter rewritten to WindowGroupLimit: per-partition top-N
+    # before the shuffle, so shuffle volume is O(groups * N)
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter pushed to scan
+
+
+def test_semi_join_for_in_subquery(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subquery_in")
+    assert "LeftSemi" in plan
+
+
+def test_time_range_join_is_not_cartesian(spark, sf_dir):
+    """The +/-60 s stream-stream join must key on the equi-column and
+    apply the BETWEEN as a residual — a cartesian product here would be
+    the classic 100 TB killer."""
+    plan = _plan(spark, sf_dir, "stream_stream_left_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidate_join_is_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "filter_project", "scalar_functions"]
+)
+def test_no_python_in_relational_paths(spark, sf_dir, name):
+    """The relational surface must stay JVM-side — Python appears only
+    in the multimodal decode path."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
