@@ -52,6 +52,8 @@ def load_all() -> None:
         ctr,
         relational,
         analytic,
+        advanced,
+        sql_layer,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
