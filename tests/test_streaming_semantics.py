@@ -1,0 +1,171 @@
+"""Second streaming batch: the delimited wire format end-to-end,
+session windows under streaming execution, and the watermark late-data
+semantics that SURVEY §4.3 calls out as the one real divergence from
+Kafka Streams (which keeps accepting late rows until state retention)."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from streams_prototyping_spark.streaming.sources import (
+    create_stream,
+    decode_delimited,
+    encode_delimited,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_epoch", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _run(df, name, mode):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_delimited_transport_end_to_end(spark, sf_dir, tmp_path):
+    """value_format='delimited' (reference StreamStreamJoin.java:30):
+    CSV text files -> create_stream decode -> typed stream -> agg."""
+    from streams_prototyping_spark.data import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    lines = ev.select(
+        F.concat_ws(
+            ",", "event_id", F.unix_timestamp("ts"), "value"
+        ).alias("value")
+    )
+    path = str(tmp_path / "wire")
+    lines.coalesce(2).write.mode("overwrite").text(path)
+
+    stream = create_stream(
+        spark, "wire", SCHEMA, transport="file", path=path, value_format="delimited"
+    )
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    tbl = _run(agg, "wire_agg", "complete")
+    got = spark.table(tbl).first()
+
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).first()
+    assert got.n == want.n == 200
+    assert got.total == want.total
+
+
+def test_delimited_codec_roundtrip_batch(spark):
+    df = spark.createDataFrame(
+        [(1, 1000, 2.5), (2, 2000, -3.25)], "event_id long, ts_epoch long, value double"
+    )
+    back = decode_delimited(encode_delimited(df), SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_session_window_streaming_converges(spark, sf_dir, tmp_path):
+    """Append mode + sentinel: streaming session windows merge in
+    STATE and only finalize when the watermark passes (complete mode
+    does not re-merge sessions across micro-batches — a documented
+    Spark behavior we pin here by testing the append path, which is
+    also the mode a production sessionization job runs in)."""
+    from streams_prototyping_spark.data import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value").limit(400)
+    # sentinel: one far-future row pushes the watermark past every
+    # real session so append mode emits them all, finalized
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, 0.0)], "user_id long, ts timestamp, value double"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    # replay must be ROUGHLY time-ordered (like a real stream): random
+    # file order would race the watermark and legitimately drop most
+    # rows as late. FileStreamSource reads files in modification-time
+    # order, so write time-sliced chunks sequentially.
+    import time as _time
+
+    path = str(tmp_path / "sess")
+    all_rows = ev.unionByName(sentinel).orderBy("ts").collect()
+    chunk = (len(all_rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(
+            all_rows[i * chunk : (i + 1) * chunk], ev.schema
+        ).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    stream = create_stream(
+        spark, "sess", ev.schema, transport="file", path=path, max_files_per_trigger=1
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "300 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    tbl = _run(agg, "sess_stream", "append")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table(tbl).collect()
+        if r.user_id != -1
+    }
+
+    batch = (
+        spark.read.parquet(path)
+        .filter(F.col("user_id") != -1)
+        .groupBy(F.session_window("ts", "300 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """SURVEY §4.3 semantic delta, pinned as a test: with a 30 s
+    watermark in append mode, a row arriving AFTER its window's
+    watermark has passed is dropped; Kafka Streams (no watermark, 24 h
+    retention) would instead emit a revised aggregate. We document the
+    Spark behavior deliberately — append emits each window ONCE, final.
+    """
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [(i, base + dt.timedelta(seconds=s), float(v)) for i, (s, v) in enumerate(specs)]
+
+    schema = "event_id long, ts timestamp, value double"
+    path = str(tmp_path / "late")
+    # file 0: window [0,30) gets value 1; watermark pusher at +600 s
+    spark.createDataFrame(rows((5, 1), (600, 99)), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "30 seconds").alias("w"))
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "total", "n")
+    )
+    q = agg.writeStream.format("memory").queryName("late_agg").outputMode("append").start()
+    q.processAllAvailable()
+    # file 1: a LATE row for the already-closed [0,30) window
+    spark.createDataFrame(rows((10, 1000)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    q.processAllAvailable()
+    q.stop()
+
+    out = {r.ws: (r.total, r.n) for r in spark.table("late_agg").collect()}
+    first_window = base
+    assert out[first_window] == (1.0, 1), (
+        "late row must NOT revise the closed window (it was dropped by the watermark)"
+    )
