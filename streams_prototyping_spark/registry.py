@@ -54,6 +54,7 @@ def load_all() -> None:
         analytic,
         advanced,
         sql_layer,
+        functions_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
