@@ -1,0 +1,113 @@
+"""Property-based invariants (SURVEY §5.4) with hypothesis. Each
+example round-trips through a real Spark job, so example counts are
+kept small; the properties target the contracts other tests assume:
+the portable hash, the CSV codec, window-partition completeness, and
+CTR bounds."""
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from streams_prototyping_spark.functions.portable_hash import (
+    portable_hash64,
+    portable_hash64_py,
+)
+
+_slow = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+# printable, comma-free, non-empty (the delimited codec's documented domain)
+_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters=","),
+    min_size=1,
+    max_size=24,
+)
+
+
+@_slow
+@given(st.lists(_word, min_size=1, max_size=20, unique=True))
+def test_portable_hash_spark_equals_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()}
+    for t in texts:
+        assert got[t] == portable_hash64_py(t)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000_000),          # epoch seconds
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_window_partition_is_complete(spark, rows):
+    """Tumbling windows partition the stream: per-window counts/sums
+    re-aggregate to the global count/sum (no row lost or duplicated)."""
+    df = spark.createDataFrame(
+        [(e, float(v)) for e, v in rows], "epoch long, value double"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "value")
+    per_window = df.groupBy(F.window("ts", "30 seconds")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = per_window.agg(F.sum("n")).first()[0]
+    assert total == len(rows)
+
+
+@_slow
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.booleans()), min_size=1, max_size=60)
+)
+def test_ctr_bounds(spark, rows):
+    """Declared-semantics CTR is always within [0, 1]."""
+    df = spark.createDataFrame(
+        [(a, c) for a, c in rows], "ad_id int, was_clicked boolean"
+    )
+    ctr = df.groupBy("ad_id").agg(
+        (
+            F.count(F.when(F.col("was_clicked"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ctr")
+    )
+    for r in ctr.collect():
+        assert 0.0 <= r.ctr <= 1.0 and not math.isnan(r.ctr)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**40), 2**40),
+            _word,
+            st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_delimited_codec_roundtrip(spark, rows):
+    """encode -> decode is lossless for longs, comma-free strings and
+    doubles (Java shortest-repr double strings parse back exactly)."""
+    from pyspark.sql import types as T
+
+    from streams_prototyping_spark.streaming.sources import (
+        decode_delimited,
+        encode_delimited,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(k, s, float(v)) for k, s, v in rows], schema)
+    back = decode_delimited(encode_delimited(df), schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
