@@ -117,6 +117,60 @@ SELECT impression_id, user_id, ad_id, click_id, was_clicked FROM joined
 """
 )
 
+BUCKET_S = 2 * JOIN_WINDOW_S  # bucket width must be >= 2x the join range
+
+
+def _time_bucketed_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as the plain range join, but keyed on
+    (user_id, time_bucket) with the click side exploded into the <= 2
+    buckets its +/-60 s halo can touch.
+
+    Scale rationale: the plain plan keys the shuffle on user_id only —
+    a hot user (bot) makes one reducer evaluate |imps_u| x |clicks_u|
+    BETWEEN comparisons. Bucketing adds event-time to the shuffle key,
+    so a key's work is bounded by its traffic per 2-minute bucket, at
+    the cost of duplicating the click stream <= 2x. Correctness: with
+    bucket width >= 2x the range, an impression's bucket is always in
+    the click's halo set, and the halo buckets are distinct, so every
+    qualifying pair joins exactly once; unmatched impressions survive
+    once via the left join.
+    """
+    imp = _impressions(spark, sf_dir).withColumn(
+        "bucket", F.floor(F.unix_timestamp("imp_ts") / BUCKET_S)
+    )
+    clk = _clicks(spark, sf_dir)
+    halo = F.array_distinct(
+        F.array(
+            F.floor((F.unix_timestamp("click_ts") - JOIN_WINDOW_S) / BUCKET_S),
+            F.floor((F.unix_timestamp("click_ts") + JOIN_WINDOW_S) / BUCKET_S),
+        )
+    )
+    clk_exploded = clk.withColumn("bucket", F.explode(halo))
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (imp.bucket == clk_exploded.bucket)
+        & F.col("click_ts").between(
+            F.col("imp_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_S} SECONDS"),
+            F.col("imp_ts") + F.expr(f"INTERVAL {JOIN_WINDOW_S} SECONDS"),
+        )
+    )
+    return imp.join(clk_exploded, cond, "left_outer").select(
+        "impression_id",
+        "user_id",
+        "ad_id",
+        "click_id",
+        F.col("click_id").isNotNull().alias("was_clicked"),
+    )
+
+
+@register("stream_stream_join_bucketed", oracle=_JOIN_ORACLE)
+def stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant variant of stream_stream_left_join (same oracle —
+    results must be identical): time-bucketed shuffle keys bound the
+    per-reducer work for hot join keys. See _time_bucketed_left_join.
+    """
+    return _time_bucketed_left_join(spark, sf_dir)
+
 
 @register("stream_stream_left_join", oracle=_JOIN_ORACLE)
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
