@@ -29,6 +29,11 @@ HEADLINE = [
     "windowed_avg",
     "ctr_per_ad",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "ksql_ctr",
+    "stream_stream_join_bucketed",
     "join_broadcast_chain",
     "join_left_outer",
     "join_theta_residual",

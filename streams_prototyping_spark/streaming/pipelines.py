@@ -148,3 +148,16 @@ def ctr_stateful_stream(ads_with_clicks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication: keep the first record per key,
+    with watermark-bounded state (the streaming twin of dedup_exact —
+    the first stateful operator any training-data ingest pipeline runs).
+
+    Scale note: dropDuplicatesWithinWatermark keeps one state entry per
+    key only until the watermark passes — without it, streaming
+    dedup state grows forever. Keys seen again AFTER state expiry
+    would re-emit; choose the watermark >= the max duplicate lag.
+    """
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)

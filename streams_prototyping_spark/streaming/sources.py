@@ -23,10 +23,18 @@ from pyspark.sql import types as T
 
 def decode_delimited(raw: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
     """CSV-decode a delimited value column into typed columns
-    (SURVEY §2 A2; reference X.fromDelimitedString)."""
+    (SURVEY §2 A2; reference X.fromDelimitedString).
+
+    Quoting is DISABLED to match the reference's naive value.split(",")
+    semantics (and our encoder, which never quotes): without this, a
+    '"' inside a field desynchronizes the parse."""
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     return raw.select(
-        F.from_csv(F.col(value_col).cast("string"), ddl).alias("r")
+        F.from_csv(
+            F.col(value_col).cast("string"),
+            F.lit(ddl),
+            {"quote": "", "escape": ""},
+        ).alias("r")
     ).select("r.*")
 
 

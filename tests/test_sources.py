@@ -1,0 +1,41 @@
+"""Batch source connectors: CSV / JSON / delimited-text ingestion with
+explicit schemas round-trips the parquet truth."""
+
+import pyspark.sql.functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.sources.batch import (
+    read_csv,
+    read_delimited_text,
+    read_json,
+)
+
+
+def _nation_rows(spark, sf_dir):
+    return sorted(map(tuple, load_table(spark, sf_dir, "nation").collect()))
+
+
+def test_csv_source(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "csv")
+    n.coalesce(1).write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, n.schema)
+    assert sorted(map(tuple, back.collect())) == _nation_rows(spark, sf_dir)
+
+
+def test_json_source(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "json")
+    n.coalesce(1).write.mode("overwrite").json(path)
+    back = read_json(spark, path, n.schema)
+    assert sorted(map(tuple, back.collect())) == _nation_rows(spark, sf_dir)
+
+
+def test_delimited_text_source(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "txt")
+    n.select(
+        F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    back = read_delimited_text(spark, path, n.schema)
+    assert sorted(map(tuple, back.collect())) == _nation_rows(spark, sf_dir)

@@ -169,3 +169,41 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     assert out[first_window] == (1.0, 1), (
         "late row must NOT revise the closed window (it was dropped by the watermark)"
     )
+
+
+def test_streaming_dedup_converges(spark, sf_dir, tmp_path):
+    """Replay events with planted duplicates -> streaming dedup emits
+    each event_id exactly once."""
+    import time as _time
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value").limit(150)
+    rows = ev.orderBy("ts").collect()
+    path = str(tmp_path / "dup")
+    # file 1: first 100; file 2: rows 50..150 (50 duplicates re-sent)
+    spark.createDataFrame(rows[:100], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    _time.sleep(1.1)
+    spark.createDataFrame(rows[50:], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = dedup_stream(stream, ["event_id"], "ts", watermark="30 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.table("dedup_stream_t").groupBy("event_id").count().collect()
+    assert len(got) == 150
+    assert all(r["count"] == 1 for r in got)
