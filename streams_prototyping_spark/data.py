@@ -33,9 +33,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Make any SparkSession (including one the driver harness built
+    without our session factory) safe for this engine's queries:
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      reader otherwise rejects outright;
+    - UTC session timezone: epoch outputs (unix_timestamp over NTZ
+      columns) are interpreted in the session timezone — anything but
+      UTC would shift every window/epoch result relative to the DuckDB
+      oracle.
+
+    Both are runtime-settable SQL confs; setting them is idempotent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
