@@ -255,3 +255,111 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+N_CENTROIDS = 8  # pseudo-centroids: vec_id < 8 (deterministic, no k-means RNG)
+
+# assign every vector to its nearest (max-cosine) centroid; ANN probes
+# only the query's cell. argmax is computed portably as max-by over
+# (rounded cosine, -centroid_id) so ties break identically everywhere.
+_CELLS_CTE_DUCK = f"""
+cent AS (SELECT vec_id AS c_id, v AS cv, sqnorm AS c_sqnorm FROM vecs WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+    SELECT c.vec_id, c.v, c.sqnorm, cent.c_id,
+           round({_DOT_DUCK.format(a="c.v", b="cent.cv")} / (sqrt(c.sqnorm) * sqrt(cent.c_sqnorm)), 6) AS c_cos
+    FROM vecs c CROSS JOIN cent
+),
+cells AS (
+    SELECT vec_id, v, sqnorm, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+"""
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("sqnorm").alias("c_sqnorm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "sqnorm",
+        "c_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="v", b="cv"))
+            / (F.sqrt("sqnorm") * F.sqrt("c_sqnorm")),
+            6,
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    return (
+        scored.select("vec_id", "v", "sqnorm", F.col("c_id").alias("cell"),
+                      F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+{_CELLS_CTE_DUCK},
+q AS (SELECT vec_id AS query_id, v, sqnorm, cell FROM cells WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+    FROM pairs
+) WHERE rnk <= {ANN_TOP_K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k: vectors are inverted-file-indexed by
+    nearest centroid (here {N_CENTROIDS} fixed pseudo-centroids for
+    cross-engine determinism; production trains k-means centroids) and
+    a query probes only its own cell.
+
+    Scale note: same keyed-join shape as the LSH variant but with
+    data-adaptive cells — at 100 TB the assignment pass is one
+    broadcast-join scan, the index is (cell -> vectors) partitioning,
+    and recall is tuned by nprobe (probing the top-P cells instead of
+    1, which here would just extend the rank filter over P cells).
+    """
+    cells = _cells(spark, sf_dir)
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+        F.col("cell").alias("q_cell"),
+    )
+    pairs = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= ANN_TOP_K)
+    )
