@@ -185,3 +185,89 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prefix_hash"),
         F.length("text").cast("long").alias("n_chars_calc"),
     )
+
+
+# ------------------------------------------------------------- chunking
+
+CHUNK_SIZE = 64   # words per chunk
+CHUNK_STRIDE = 48  # overlap = size - stride = 16 words
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), chunks AS (
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           array_to_string(words[(k * {CHUNK_STRIDE} + 1):(k * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ') AS chunk_text
+    FROM w
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
+    WHERE k * {CHUNK_STRIDE} < len(words)
+)
+SELECT doc_id, chunk_id, chunk_text,
+       len(string_split(chunk_text, ' ')) AS chunk_words
+FROM chunks
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_SIZE}-word chunks,
+    {CHUNK_SIZE - CHUNK_STRIDE}-word overlap) — the context-window prep
+    step of every LLM training pipeline.
+
+    Scale note: chunking is a generator explode (no shuffle) pipelined
+    into whatever writes the chunks; output row count is
+    len/stride per doc, bounded per-row, so memory stays flat.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    # chunk k covers words [k*stride, k*stride + size); k while start < len
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil((F.size(words)) / CHUNK_STRIDE).cast("int") - 1, F.lit(0)
+            ),
+        ),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(words, k * CHUNK_STRIDE + 1, CHUNK_SIZE)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("chunk_words", F.size(F.split("chunk_text", " ")).cast("long"))
+    )
+
+
+# ----------------------------------------------------------- train/val split
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {portable_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+@register("dataset_split", oracle=_SPLIT_ORACLE)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by content-stable hash —
+    the reproducible alternative to RNG sampling: the assignment is a
+    pure function of doc_id, so reruns, backfills and incremental
+    arrivals land in the same split."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
