@@ -43,13 +43,17 @@ HEADLINE = [
     "events_session_window",
     "events_hopping_window",
     "explode_wordcount",
+    "events_multi_rollup",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_fingerprint",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_stats",
     "quality_score",
+    "doc_chunking",
+    "dataset_split",
     "multimodal_decode",
 ]
 
