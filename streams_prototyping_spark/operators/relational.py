@@ -718,3 +718,55 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_SETOPS_ALL_ORACLE = """
+WITH co AS (SELECT c_nationkey AS nationkey FROM customer),
+     so AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT 'intersect_all' AS op, nationkey FROM (
+    SELECT nationkey FROM co INTERSECT ALL SELECT nationkey FROM so)
+UNION ALL
+SELECT 'except_all' AS op, nationkey FROM (
+    SELECT nationkey FROM co EXCEPT ALL SELECT nationkey FROM so)
+"""
+
+
+@register("set_operations_all", oracle=_SETOPS_ALL_ORACLE)
+def set_operations_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicities, the bag-semantics cousins of
+    set_operations."""
+    co = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    so = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nationkey")  # noqa: E731
+    return tag(co.intersectAll(so), "intersect_all").unionAll(
+        tag(co.exceptAll(so), "except_all")
+    )
+
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w AS word
+FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+)
+WHERE i <= 5
+"""
+
+
+@register("posexplode_words", oracle=_POSEXPLODE_ORACLE)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — ordinal-preserving lateral explode (first 5 word
+    positions per doc), the indexed variant of explode_wordcount's
+    table function."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+    )
