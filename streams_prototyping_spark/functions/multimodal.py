@@ -155,3 +155,64 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return p.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+FRAME_STEP = 5  # sample every 5th frame
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, text,
+           1 + CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % {FAKE_F_MOD} AS n_frames
+    FROM documents
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST('0x' || substr(md5(text || ':frame:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+           AS frame_hash
+FROM meta
+CROSS JOIN (SELECT unnest(range(0, {FAKE_F_MOD}, {FRAME_STEP})) AS f) fs
+WHERE f < n_frames
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: the fake decoder reports
+    n_frames per payload; every {FRAME_STEP}-th frame is emitted as its
+    own row with a deterministic frame hash (what a real pipeline would
+    replace with the decoded frame bytes). One payload in, 0..{FAKE_F_MOD}//{FRAME_STEP}+1
+    rows out — the fan-out shape of video preprocessing, via the same
+    Arrow-batched mapInPandas plumbing as multimodal_decode, and fully
+    hash-verified against the SQL oracle.
+
+    Scale note: frame fan-out multiplies row counts ~6x here (and
+    ~1000x for real video) — the explode happens INSIDE the Python
+    stage so only sampled frames ever materialize, and the stage stays
+    a narrow map (no shuffle) feeding whatever sink partitions by size.
+    """
+    p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(b)
+                n = decode_image_fake(payload)["n_frames"]
+                for f in range(0, n, FRAME_STEP):
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    hashes.append(
+                        int(
+                            hashlib.md5(
+                                payload + f":frame:{f}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return p.mapInPandas(
+        sample, schema="doc_id long, frame_idx long, frame_hash long"
+    )
