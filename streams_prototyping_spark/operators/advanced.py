@@ -421,3 +421,94 @@ def sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+_Q18_ORACLE = """
+SELECT c_name, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_ORACLE)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery (semi join on a
+    HAVING-filtered group set) -> 3-way join -> grouped sum -> top-20.
+
+    Scale note: the subquery aggregates lineitem FIRST (its result is
+    tiny — only the huge orders) and semi-joins back, so the big-table
+    join runs on a pre-filtered key set; Catalyst plans the IN as a
+    LeftSemi and AQE broadcasts the filtered keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(load_table(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register("stratified_sample")  # rows-only: sampling RNG is engine-specific
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key fraction) sampling via sampleBy — downsample
+    dominant event types while keeping rare ones (the class-balance
+    primitive of training-data curation). No oracle (RNG); tests bound
+    the per-stratum fractions instead.
+
+    Scale note: sampleBy is a scan-side Bernoulli filter per stratum —
+    no shuffle, no materialization of the unsampled majority class.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.sampleBy(
+        "event_type",
+        fractions={"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0},
+        seed=42,
+    ).select("event_id", "event_type")
+
+
+@register("approx_percentiles")  # rows-only: t-digest sketches are engine-specific
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per group — the mergeable, bounded-
+    memory percentile for unbounded cardinality (exact twin:
+    percentiles_exact). No oracle; tests assert the estimates bracket
+    the exact values within the sketch accuracy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    )

@@ -39,3 +39,22 @@ def test_delimited_text_source(spark, sf_dir, tmp_path):
     ).coalesce(1).write.mode("overwrite").text(path)
     back = read_delimited_text(spark, path, n.schema)
     assert sorted(map(tuple, back.collect())) == _nation_rows(spark, sf_dir)
+
+
+def test_csv_failfast_surfaces_corruption(spark, tmp_path):
+    """FAILFAST mode raises on malformed rows instead of silently
+    nulling them — corruption must be loud at 100 TB."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("k,v\n1,2.5\nnot_an_int,oops\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        read_csv(spark, str(p), schema).collect()

@@ -207,3 +207,65 @@ def test_streaming_dedup_converges(spark, sf_dir, tmp_path):
     got = spark.table("dedup_stream_t").groupBy("event_id").count().collect()
     assert len(got) == 150
     assert all(r["count"] == 1 for r in got)
+
+
+def test_hopping_window_streaming_converges(spark, sf_dir, tmp_path):
+    """Hopping (sliding) windows under streaming execution converge to
+    the batch twin (append + sentinel, time-ordered replay)."""
+    import time as _time
+
+    from streams_prototyping_spark.data import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").limit(300)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # NOTE: the sentinel must flow THROUGH the watermark operator — a
+    # pre-watermark filter that dropped it would freeze the watermark
+    # at real-data time and the tail windows would never close. Its
+    # own far-future windows are excluded from the compare by time.
+    sentinel = spark.createDataFrame(
+        [(max_ts, 0.0)], "ts timestamp, value double"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    path = str(tmp_path / "hop")
+    rows = ev.unionByName(sentinel).orderBy("ts").collect()
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)
+
+    stream = create_stream(
+        spark, "hop", ev.schema, transport="file", path=path, max_files_per_trigger=1
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "300 seconds", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    tbl = _run(agg, "hop_stream", "append")
+    got = {r.ws: r.n for r in spark.table(tbl).collect() if r.ws <= max_ts}
+
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "300 seconds", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    want = {r.ws: r.n for r in batch.collect() if r.ws <= max_ts}
+    assert got == want
+
+
+def test_rate_source_smoke(spark):
+    """The rate transport produces schema-stable synthetic load."""
+    s = create_stream(spark, "r", schema=None, transport="rate", rate_rows_per_sec=100)
+    assert s.isStreaming
+    assert set(s.columns) == {"timestamp", "value"}
+    q = (
+        s.writeStream.format("memory").queryName("rate_smoke").outputMode("append").start()
+    )
+    import time as _time
+
+    _time.sleep(3)
+    q.stop()
+    assert spark.table("rate_smoke").count() > 0
