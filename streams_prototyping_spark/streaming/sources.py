@@ -44,6 +44,24 @@ def encode_delimited(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.select(F.concat_ws(",", *[F.col(c) for c in cols]).alias("value"))
 
 
+def _require_kafka(spark: SparkSession) -> None:
+    """Fail with an actionable message when the spark-sql-kafka
+    connector jar is absent (it is not bundled with plain pyspark);
+    without this the error is an opaque DATA_SOURCE_NOT_FOUND deep in
+    the first .load()."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "Kafka transport requires the spark-sql-kafka-0-10 connector on "
+            "the classpath (spark-submit --packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:<spark-version>). Use the 'file' "
+            "transport for broker-free runs."
+        ) from exc
+
+
 def create_stream(
     spark: SparkSession,
     name: str,
@@ -84,6 +102,7 @@ def create_stream(
         else:
             df = reader.schema(schema).format("parquet").load(path)
     elif transport == "kafka":
+        _require_kafka(spark)
         raw = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_bootstrap)

@@ -269,3 +269,12 @@ def test_rate_source_smoke(spark):
     _time.sleep(3)
     q.stop()
     assert spark.table("rate_smoke").count() > 0
+
+
+def test_kafka_transport_fails_actionably_without_connector(spark):
+    """No spark-sql-kafka jar in this container: the kafka transport
+    must fail with an actionable message, not an opaque load error."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        create_stream(spark, "t", schema=None, transport="kafka", kafka_topic="t")
