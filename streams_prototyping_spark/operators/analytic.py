@@ -464,3 +464,62 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('day', min(o_orderdate)) AS d0,
+           date_trunc('day', max(o_orderdate)) AS d1
+    FROM orders
+), spine AS (
+    -- list-form generate_series (the table-function form only takes
+    -- constants in DuckDB)
+    SELECT CAST(floor(epoch(unnest(generate_series(d0, d1, INTERVAL 1 DAY)))) AS BIGINT)
+        AS day_epoch
+    FROM bounds
+), daily AS (
+    SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+)
+SELECT s.day_epoch,
+       coalesce(d.n_orders, 0) AS n_orders,
+       coalesce(d.total, 0.0) AS total
+FROM spine s LEFT JOIN daily d ON d.day_epoch = s.day_epoch
+"""
+
+
+@register("gap_fill_daily", oracle=_GAP_FILL_ORACLE)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a generated dense date spine left-joined
+    to the sparse daily aggregate, zero-filling missing days — the
+    series-densification pattern every time-series dashboard needs
+    (sparse windows never emit rows on their own).
+
+    Scale note: the spine is generated from ONE min/max row (a scalar
+    aggregate broadcast into sequence()), so densification costs one
+    broadcast join over the aggregated — already tiny — daily table,
+    never touching raw 100 TB rows twice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_epoch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    ).select(F.unix_timestamp("d").alias("day_epoch"))
+    return spine.join(daily, "day_epoch", "left").select(
+        "day_epoch",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
