@@ -97,3 +97,50 @@ def test_join_topology_matches_declarative(spark, sf_dir):
     assert _rows(ctr.select("ad_id", "n_clicked", "n_total", "ctr")) == _rows(
         declarative.select("ad_id", "n_clicked", "n_total", "ctr")
     )
+
+
+def test_topology_api_runs_streaming(spark, sf_dir, tmp_path):
+    """The topology veneer is execution-mode-agnostic: the same chain
+    built over a streaming DataFrame runs as a Structured Streaming
+    query and converges to the batch build."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("ts"), "o_totalprice"
+    ).limit(300)
+    path = str(tmp_path / "orders_stream")
+    orders.repartition(2).write.mode("overwrite").parquet(path)
+
+    def build(df):
+        return (
+            tp.stream(df)
+            .map_values(
+                ts=F.col("ts"),
+                x2=F.col("o_totalprice") * 2,
+                v=F.col("o_totalprice"),
+            )
+            .group_by(F.lit("0"))
+            .windowed_by("ts", 30)
+            .aggregate(
+                sum_v=F.sum(F.col("v").cast("decimal(18,2)")),
+                n=F.count(F.lit(1)),
+            )
+            .map_values(
+                avg_v=F.col("sum_v").cast("double") / F.col("n"), n=F.col("n")
+            )
+            .to_stream()
+            .to_df()
+        )
+
+    streaming_src = spark.readStream.schema(orders.schema).parquet(path)
+    q = (
+        build(streaming_src)
+        .writeStream.format("memory")
+        .queryName("topo_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = _rows(spark.table("topo_stream").select("wkey", "avg_v", "n"))
+    want = _rows(build(spark.read.parquet(path)).select("wkey", "avg_v", "n"))
+    assert got == want
