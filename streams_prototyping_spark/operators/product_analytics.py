@@ -1,0 +1,218 @@
+"""Product-analytics and remaining TPC-H query shapes.
+
+The query set a reference user actually runs on event streams —
+percent-of-total shares, per-window leaders, cohort retention — plus
+the two TPC-H shapes with distinctive plans not yet covered (Q14's
+conditional-sum ratio, Q2's correlated-min lookup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.operators.common import dsum_sql
+from streams_prototyping_spark.registry import register
+
+_Q14_ORACLE = """
+SELECT round(
+    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+    6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum / total-sum ratio over a
+    fact-dim join — the promotion-share metric. Both sums ride the
+    same aggregate (one scan, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q2_ORACLE = """
+SELECT s.s_name, s.s_acctbal, n.n_name, l.l_partkey, l.l_extendedprice
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+  AND l.l_partkey < 50
+"""
+
+
+@register("q2_min_cost_per_part", oracle=_Q2_ORACLE)
+def q2_min_cost_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — rows matching their
+    group's minimum, joined out to supplier/nation detail.
+
+    Scale note: Catalyst decorrelates the per-part MIN into one
+    aggregate + join (no per-row subquery); nation broadcasts. The
+    result can contain ties (several lineitems at the same min price) —
+    identical in both engines, so hash-safe.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_Q2_ORACLE)
+
+
+_PCT_TOTAL_ORACLE = f"""
+WITH per_nation AS (
+    SELECT n_name,
+           {dsum_sql('c_acctbal')} AS balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, balance,
+       round(100.0 * balance / sum(balance) OVER (), 6) AS pct_of_total,
+       CAST(rank() OVER (ORDER BY balance DESC) AS BIGINT) AS balance_rank
+FROM per_nation
+"""
+
+
+@register("pct_of_total", oracle=_PCT_TOTAL_ORACLE)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total share: window aggregate OVER () on top of a
+    grouped aggregate — the market-share/report-card pattern.
+
+    Scale note: the empty-frame window runs over the ALREADY aggregated
+    rows (25 nations), not the raw data; the plan is agg -> single-
+    partition window on a trivially small input.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    per_nation = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("balance")
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "balance",
+        F.round(100.0 * F.col("balance") / F.sum("balance").over(w_all), 6).alias(
+            "pct_of_total"
+        ),
+        F.rank().over(Window.orderBy(F.col("balance").desc())).cast("long").alias(
+            "balance_rank"
+        ),
+    )
+
+
+_TOPK_WINDOW_ORACLE = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_epoch,
+           user_id,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT day_epoch, user_id, n_events FROM (
+    SELECT day_epoch, user_id, n_events,
+           row_number() OVER (PARTITION BY day_epoch
+                              ORDER BY n_events DESC, user_id) AS rn
+    FROM daily
+) WHERE rn = 1
+"""
+
+
+@register("topk_per_window", oracle=_TOPK_WINDOW_ORACLE)
+def topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader per time window: daily per-user counts -> top user per
+    day — time windowing composed with rank-filtering (the 'daily most
+    active' leaderboard)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("day_epoch"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("day_epoch").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH weekly AS (
+    SELECT DISTINCT CAST(floor(epoch(ts)/604800) AS BIGINT) AS week, user_id
+    FROM events
+)
+SELECT a.week,
+       count(*) AS active_users,
+       count(b.user_id) AS retained_next_week,
+       round(CAST(count(b.user_id) AS DOUBLE) / count(*), 6) AS retention_rate
+FROM weekly a
+LEFT JOIN weekly b ON b.user_id = a.user_id AND b.week = a.week + 1
+GROUP BY a.week
+"""
+
+
+@register("cohort_retention", oracle=_RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: distinct weekly actives self-joined on
+    (user, week+1) — the cohort-analysis staple over event streams.
+
+    Scale note: the self-join runs on the DEDUPLICATED (week, user)
+    set, not raw events, and keys on user_id — a uniform key at any
+    scale; the distinct is one partial-agg shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+        "user_id",
+    ).distinct()
+    a = weekly.alias("a")
+    b = weekly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+            "left_outer",
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.col("b.user_id")).alias("retained_next_week"),
+            F.round(
+                F.count(F.col("b.user_id")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("retention_rate"),
+        )
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         advanced,
         sql_layer,
         functions_ext,
+        product_analytics,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
