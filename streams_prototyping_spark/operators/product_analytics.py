@@ -216,3 +216,105 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(floor(epoch(v.t_view)) AS BIGINT) AS view_epoch,
+       (c.user_id IS NOT NULL) AS reached_click,
+       (p.user_id IS NOT NULL) AS reached_purchase
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (CEP-lite): first view -> first click
+    AFTER it -> first purchase AFTER that, per user. Each stage is an
+    aggregate over the events filtered by the previous stage's
+    timestamp — strictly ordered event-sequence matching expressed as
+    three grouped mins + joins.
+
+    Scale note: every stage keys on user_id (uniform), inputs shrink
+    monotonically down the funnel, and the event scan is shared via
+    one cached-free re-read per stage — at 100 TB you'd pre-filter the
+    three event types in one pass (pivot-style) and self-join the tiny
+    per-user stage table, which is exactly this plan's shape after
+    Catalyst pushes the event_type filters into the scans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("vu"), "t_view"),
+              (F.col("user_id") == F.col("vu")) & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("cu"), "t_click"),
+              (F.col("user_id") == F.col("cu")) & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select(F.col("user_id").alias("c_uid")), v.user_id == F.col("c_uid"), "left_outer")
+        .join(p.select(F.col("user_id").alias("p_uid")), v.user_id == F.col("p_uid"), "left_outer")
+        .select(
+            "user_id",
+            F.unix_timestamp("t_view").alias("view_epoch"),
+            F.col("c_uid").isNotNull().alias("reached_click"),
+            F.col("p_uid").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bucket_low,
+       count(*) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM events), 6) AS fraction
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("value_histogram", oracle=_HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column with per-bucket
+    fractions — the distribution profile every data-quality pass
+    computes. One aggregate + a scalar-subquery total."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()  # driver-side scalar is fine: it is ONE number
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"), (bucket * 25.0).alias("bucket_low"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.count(F.lit(1)).cast("double") / F.lit(total), 6).alias(
+                "fraction"
+            ),
+        )
+    )
