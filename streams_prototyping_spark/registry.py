@@ -56,6 +56,7 @@ def load_all() -> None:
         sql_layer,
         functions_ext,
         product_analytics,
+        tpch_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
