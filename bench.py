@@ -32,6 +32,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_suppliers_kept_waiting",
+    "join_asof",
     "ksql_ctr",
     "stream_stream_join_bucketed",
     "join_broadcast_chain",
