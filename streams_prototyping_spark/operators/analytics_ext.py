@@ -1,0 +1,274 @@
+"""Coverage extensions: GROUPING SETS, robust-statistic aggregates,
+gap-based sessionization, and TF-IDF term scoring.
+
+These extend the declarative surface the reference models in its KSQL
+comments (Aggregations.java:75-77) along the axes SURVEY §7 Phases 3/5
+call for: multi-granularity aggregation, order-statistic aggregates,
+the batch twin of session windows, and a text-scoring pipeline for the
+LLM-data north star.
+
+Determinism notes follow tests/oracle_check.py: exact DECIMAL money
+sums; epoch seconds via unix_timestamp (UTC); double-valued scores
+rounded before they are used as sort keys, with a textual tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.registry import register
+
+# ------------------------------------------------------- GROUPING SETS
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_agg", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() indicators — the general form of
+    which rollup_agg / cube_agg are the fixed specializations. The
+    ANSI text runs verbatim on both engines; GROUPING() disambiguates
+    a genuine NULL key from a superaggregate row.
+
+    Scale note: Spark plans grouping sets as a single Expand + one
+    hash aggregate — one shuffle regardless of how many sets, vs one
+    pass per set if written as a UNION ALL.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ------------------------------------------- median / deterministic mode
+
+_MEDIAN_MODE_ORACLE = """
+WITH freq AS (
+    SELECT l_returnflag, l_quantity, count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_quantity
+), best AS (
+    SELECT l_returnflag, l_quantity, cnt,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY cnt DESC, l_quantity ASC) AS rn
+    FROM freq
+)
+SELECT m.l_returnflag,
+       CAST(round(m.median_qty, 4) AS DOUBLE) AS median_qty,
+       CAST(round(m.median_price, 4) AS DOUBLE) AS median_price,
+       b.l_quantity AS mode_qty,
+       b.cnt AS mode_count
+FROM (
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           median(l_extendedprice) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+) m
+JOIN best b ON b.l_returnflag = m.l_returnflag AND b.rn = 1
+"""
+
+
+@register("median_mode_agg", oracle=_MEDIAN_MODE_ORACLE)
+def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic aggregates: exact median plus a *deterministic*
+    mode (most frequent value, smallest value on ties — built as a
+    two-level aggregate + row_number rather than the engine's mode(),
+    whose tie choice is unspecified and engine-dependent). Medians are
+    rounded to 4 dp before comparison: the two engines interpolate the
+    even-count midpoint with different but ulp-equivalent formulas.
+
+    Scale note: the frequency table is a partial-aggregatable groupBy;
+    the rank-1 pick shuffles only (flag, value, cnt) triples. Exact
+    median per group sorts within bounded groups (3 flags) — unbounded
+    cardinality would switch to approx_percentiles (sketch path).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    best = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_returnflag").alias("b_flag"),
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).cast("double").alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 4).cast("double").alias("median_price"),
+    )
+    return med.join(best, med.l_returnflag == best.b_flag).select(
+        "l_returnflag", "median_qty", "median_price", "mode_qty", "mode_count"
+    )
+
+
+# ------------------------------------------------- gap-based sessionization
+
+_SESSION_GAP_S = 1800
+
+_SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_epoch
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN prev_epoch IS NULL
+                  OR ts_epoch - prev_epoch > {_SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+), numbered AS (
+    SELECT user_id, event_id, ts_epoch,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts_epoch) AS session_start_epoch,
+       max(ts_epoch) AS session_end_epoch
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity; session id = running count of session starts —
+    the batch twin of events_session_window (streaming session_window
+    uses the same gap rule). Epoch-second longs keep the gap
+    arithmetic exact across engines.
+
+    Scale note: one shuffle on user_id serves the lag, the running
+    sum, AND the final groupBy (same partitioning, Catalyst reuses the
+    exchange); per-user state is a sort of that user's events only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.lag(F.unix_timestamp("ts")).over(wo).alias("prev_epoch"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_epoch").isNull()
+            | (F.col("ts_epoch") - F.col("prev_epoch") > _SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("session_seq", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_epoch").alias("session_start_epoch"),
+            F.max("ts_epoch").alias("session_end_epoch"),
+        )
+    )
+
+
+# --------------------------------------------------------- TF-IDF top-k
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH tokens AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+), tok AS (
+    SELECT doc_id, term FROM tokens WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(round(CAST(tf.tf AS DOUBLE)
+                      * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                           / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS DOUBLE)
+               AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS rn
+    FROM scored
+)
+WHERE rn <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic text-scoring
+    pipeline (tokenize → term frequency → document frequency → smooth
+    idf → per-doc top-k). Scores are rounded to 6 dp *before* ranking
+    and ties break on the term, so the top-k set is stable even though
+    ln() may differ by an ulp between engines.
+
+    Scale note: tf and the top-k rank share the doc_id shuffle key; df
+    is a term-keyed aggregate whose result (the vocabulary) is small
+    relative to the corpus and broadcast back — no corpus-sized join
+    shuffle. At 100 TB the df table may exceed broadcast size; then it
+    becomes a shuffled join on term, still never a cross product.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

@@ -57,6 +57,7 @@ def load_all() -> None:
         functions_ext,
         product_analytics,
         tpch_ext,
+        analytics_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
