@@ -85,3 +85,59 @@ def test_no_python_in_relational_paths(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_asof_join_is_shuffle_free_of_joins(spark, sf_dir):
+    """The as-of join must compile to window functions over ONE user_id
+    shuffle — no join operator, no per-user range-join blow-up."""
+    plan = _plan(spark, sf_dir, "join_asof", mode="simple")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_sessionize_reuses_one_exchange(spark, sf_dir):
+    """lag, the running session counter, and the final per-session
+    aggregate all key on user_id; Catalyst must plan exactly one
+    shuffle for the whole pipeline."""
+    plan = _plan(spark, sf_dir, "sessionize_events", mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS plans as Expand + one aggregate, not a UNION of
+    per-set passes."""
+    plan = _plan(spark, sf_dir, "grouping_sets_agg")
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_tfidf_df_side_is_broadcast(spark, sf_dir):
+    """The vocabulary (document-frequency) table joins back to the
+    corpus-sized tf table by broadcast, never a shuffled corpus join."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# Queries allowed to contain a nested-loop/cartesian operator: the
+# deliberate tiny cross join demo, and 1-row scalar broadcasts
+# (BroadcastNestedLoopJoin over a single aggregate row is O(n), not
+# O(n^2) — it is how Catalyst attaches uncorrelated scalar results).
+_CARTESIAN_ALLOWED = {"cross_join_small"}
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Registry-wide guard: CartesianProduct in any query plan is the
+    100 TB killer; it may appear only in the explicit demo."""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        if name in _CARTESIAN_ALLOWED:
+            continue
+        try:
+            plan = _plan(spark, sf_dir, name, mode="simple")
+        except Exception:
+            continue  # non-plannable entries surface in their own tests
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
