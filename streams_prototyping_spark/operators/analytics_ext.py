@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.operators.tpch_ext import _register_views
 from streams_prototyping_spark.registry import register
 
 # ------------------------------------------------------- GROUPING SETS
@@ -272,3 +273,56 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# ---------------------------------------------------- LATERAL top-k join
+
+_LATERAL_SQL = """
+SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register("lateral_topk_per_customer", oracle=_LATERAL_SQL)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — each
+    customer's two largest orders, expressed as a per-row dependent
+    subquery rather than a window rank-filter (window_topn_per_group
+    is the equivalent plan; LATERAL is the declarative surface both
+    engines accept verbatim). o_orderkey tie-break makes the LIMIT
+    deterministic.
+
+    Scale note: Catalyst decorrelates the lateral into a
+    WindowGroupLimit over a custkey-keyed shuffle — identical physical
+    plan to the window formulation, so the syntax costs nothing.
+    """
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ------------------------------------------------------------ UNPIVOT
+
+_UNPIVOT_SQL = """
+SELECT c_custkey, metric, val
+FROM customer
+UNPIVOT (val FOR metric IN (c_acctbal, c_nationkey))
+"""
+
+
+@register("unpivot_customer_metrics", oracle=_UNPIVOT_SQL)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt), the inverse of pivot_event_counts.
+    Both engines coerce the unpivoted columns to their common type
+    (double), so the value multiset matches exactly.
+
+    Scale note: unpivot is a narrow Expand (row-local fan-out, no
+    shuffle); n_cols× row growth happens after column pruning.
+    """
+    _register_views(spark, sf_dir, "customer")
+    return spark.sql(_UNPIVOT_SQL)
