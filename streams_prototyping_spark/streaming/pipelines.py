@@ -161,3 +161,33 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str, waterma
     would re-emit; choose the watermark >= the max duplicate lag.
     """
     return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enriched_events_stream(
+    events: DataFrame, user_dim: DataFrame, watermark: str = "60 seconds"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the event stream to a
+    static user dimension, then windowed per-segment aggregation — the
+    stream-table join the reference's surface lacks entirely (SURVEY §2
+    Part C "no stream-table join") but any production deployment of its
+    CTR pipeline needs (enriching ad events with campaign/user dims).
+
+    Scale note: the dim is broadcast, so each micro-batch enriches
+    map-side with zero shuffle; the static side is re-resolvable per
+    batch (Spark re-reads changed files), which is the poor-man's
+    slowly-changing dimension. Only the windowed aggregate keeps state,
+    bounded by the watermark.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(user_dim), "user_id"
+    )
+    return (
+        enriched.groupBy(F.window("ts", f"{WINDOW_S} seconds").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

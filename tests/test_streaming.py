@@ -170,3 +170,41 @@ def test_ctr_stateful_converges_to_batch(spark, sf_dir, tmp_path):
         assert final.loc[r.ad_id, "n_unclicked"] == r.n_unclicked, r.ad_id
         total = r.n_clicked + r.n_unclicked
         assert final.loc[r.ad_id, "ctr"] == pytest.approx(r.n_clicked / total)
+
+
+def test_stream_static_enrichment_converges(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join + windowed agg equals the batch
+    twin over the same replayed files."""
+    from streams_prototyping_spark.streaming.pipelines import enriched_events_stream
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value").limit(400)
+    path = _replay_dir(events, str(tmp_path / "events_enrich"))
+    user_dim = (
+        spark.read.parquet(path)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("int"))
+    )
+
+    stream = create_stream(
+        spark, "events_enrich", spark.read.parquet(path).schema,
+        transport="file", path=path, max_files_per_trigger=1,
+    )
+    out = enriched_events_stream(stream, user_dim)
+    tbl = _run_to_end(out, "enrich_stream", "complete")
+
+    got = {
+        (r.window_start, r.segment): (r.n_events, round(r.total_value, 6))
+        for r in spark.table(tbl).collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .join(user_dim, "user_id")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    want = {
+        (r["w"].start, r.segment): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
