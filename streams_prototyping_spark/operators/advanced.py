@@ -407,18 +407,31 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stable")  # rows-only: RNG sampling is engine-specific
-def sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling (TABLESAMPLE). No oracle: sampling RNGs
-    are engine-specific; tests assert the fraction and determinism
-    across runs instead.
+_SAMPLE_STABLE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) <= '19'
+"""
 
-    Scale note: sample() is evaluated at the scan (no materialization
-    of the unsampled data) — the right way to cut a 100 TB corpus to a
-    dev slice.
+
+@register("sample_stable", oracle=_SAMPLE_STABLE_ORACLE)
+def sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~10% sample via a deterministic hash filter: keep rows
+    whose md5(key) prefix falls below a threshold (0x00..0x19 of 0x100
+    = 26/256 ≈ 10.2%). Unlike seeded RNG sampling (`df.sample`, whose
+    generator is engine-specific), a content-hash filter reproduces
+    bit-identically across engines AND across repartitions/retries —
+    the property training-data pipelines actually need from a "stable"
+    sample. Fully oracle-checked (DuckDB computes the same md5 filter).
+
+    Scale note: evaluated at the scan — a codegen'd filter, no shuffle,
+    no materialization of the rejected 90%. The right way to cut a
+    100 TB corpus to a dev slice; rerunning on appended data keeps all
+    previously-selected rows (hash, not position, decides membership).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    return li.filter(F.substring(F.md5(key), 1, 2) <= "19").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
@@ -482,35 +495,72 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stratified_sample")  # rows-only: sampling RNG is engine-specific
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-key fraction) sampling via sampleBy — downsample
-    dominant event types while keeping rare ones (the class-balance
-    primitive of training-data curation). No oracle (RNG); tests bound
-    the per-stratum fractions instead.
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT event_id, event_type
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <=
+      CASE event_type WHEN 'view' THEN '19' WHEN 'click' THEN '7f' ELSE 'ff' END
+"""
 
-    Scale note: sampleBy is a scan-side Bernoulli filter per stratum —
-    no shuffle, no materialization of the unsampled majority class.
+
+@register("stratified_sample", oracle=_STRATIFIED_SAMPLE_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-stratum fraction) sampling — downsample dominant
+    event types while keeping rare ones (the class-balance primitive of
+    training-data curation). Per-stratum thresholds on a deterministic
+    md5(key) prefix give ~10% of views, ~50% of clicks, 100% of the
+    rare strata, reproducibly across engines (fully oracle-checked) —
+    the portable twin of `df.sampleBy`, whose RNG is engine-specific.
+
+    Scale note: a scan-side codegen'd filter per stratum — no shuffle,
+    no materialization of the unsampled majority class, and membership
+    is stable under repartition/retry/append because the hash of the
+    row, not its position, decides.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.sampleBy(
-        "event_type",
-        fractions={"view": 0.1, "click": 0.5, "purchase": 1.0, "signup": 1.0, "error": 1.0},
-        seed=42,
-    ).select("event_id", "event_type")
+    prefix = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    threshold = (
+        F.when(F.col("event_type") == "view", F.lit("19"))
+        .when(F.col("event_type") == "click", F.lit("7f"))
+        .otherwise(F.lit("ff"))
+    )
+    return ev.filter(prefix <= threshold).select("event_id", "event_type")
 
 
-@register("approx_percentiles")  # rows-only: t-digest sketches are engine-specific
+_APPROX_PCT_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_exact,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("approx_percentiles", oracle=_APPROX_PCT_ORACLE)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch per group — the mergeable, bounded-
     memory percentile for unbounded cardinality (exact twin:
-    percentiles_exact). No oracle; tests assert the estimates bracket
-    the exact values within the sketch accuracy.
+    percentiles_exact). Oracle-checkable form: the output carries the
+    exact interpolated percentiles (identical in both engines) plus
+    ``approx_ok``, a Spark-side bound asserting each sketch estimate is
+    within 5% of its exact value; the DuckDB twin emits literal TRUE,
+    so sketch drift turns the row red.
     """
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99_exact"),
+    )
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)  # noqa: E731
+    return agg.select(
+        "o_orderpriority",
+        "p50_exact",
+        "p99_exact",
+        (within("p50_approx", "p50_exact") & within("p99_approx", "p99_exact")).alias(
+            "approx_ok"
+        ),
     )
 
 

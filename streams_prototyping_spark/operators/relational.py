@@ -701,22 +701,45 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(s).distinct()
 
 
-@register("approx_distinct_users")  # no oracle: HLL estimates are engine-specific
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event_type.
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
 
-    No DuckDB oracle: HLL sketches are engine-specific, so the driver
-    records a rows-only check; tests/test_relational.py asserts the
-    estimate is within 5% of the exact count.
+
+@register("approx_distinct_users", oracle=_APPROX_DISTINCT_ORACLE)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type, made
+    oracle-checkable: the output carries the EXACT distinct count (both
+    engines compute it identically) plus ``approx_ok`` — a Spark-side
+    bound asserting the HLL estimate is within 5% of the exact count.
+    The DuckDB twin emits the exact count and literal TRUE, so a sketch
+    drifting out of bounds turns the row red.
 
     Scale note: at 100 TB this replaces the exact two-phase distinct
     with a fixed-size sketch mergeable map-side — the ONLY way
     count-distinct scales to billions of keys without a giant shuffle.
+    The exact column here exists for the correctness gate; a production
+    run would emit only the estimate.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("approx_ok"),
     )
 
 
