@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 K_PERMS = 8          # minhash signature length
 LSH_ROWS_PER_BAND = 2  # -> 4 bands; P(collide) = 1-(1-j^2)^4
@@ -118,6 +119,25 @@ _SIGS_CTE_DUCK = (
 )
 
 
+def shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) — persisted via shared_stage: each of the 8
+    signature expressions (and the Jaccard verifier's two join sides)
+    references the shingles column, and CollapseProject would otherwise
+    inline the shingle construction into every consumer (measured 4x
+    slower end-to-end). The persist is the DataFrame-API barrier; the
+    cache makes it one computation per sf_dir per session instead of
+    one per invocation (bench/parity sweeps previously stacked cached
+    copies)."""
+    return shared_stage(
+        spark,
+        sf_dir,
+        "dedup/shingled",
+        lambda: widen(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+        ),
+    )
+
+
 def minhash_signatures_df(
     spark: SparkSession, sf_dir: str, materialize: bool = False
 ) -> DataFrame:
@@ -126,20 +146,15 @@ def minhash_signatures_df(
     shingle construction into every one of the 8 signature expressions
     AND into every downstream self-join branch, recomputing the md5
     pipeline ~6x. At production scale signatures are checkpointed to a
-    table for exactly this reason (compute once, join many).
-
-    The shingled stage is ALWAYS persisted: each of the 8 signature
-    expressions references the shingles column, and CollapseProject
-    would otherwise inline the shingle construction 8x (measured 4x
-    slower end-to-end). The persist is the DataFrame-API barrier."""
-    d = widen(load_table(spark, sf_dir, "documents"))
-    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).persist()
+    table for exactly this reason (compute once, join many); in-session
+    the shared_stage cache plays that role."""
+    shingled = shingled_df(spark, sf_dir)
     sigs = shingled.select(
         "doc_id",
         *[F.expr(_sig_spark(j)).alias(f"sig_{j}") for j in range(K_PERMS)],
     )
     if materialize:
-        sigs = sigs.persist()
+        sigs = shared_stage(spark, sf_dir, "dedup/minhash_sigs", lambda: sigs)
     return sigs
 
 
@@ -312,11 +327,17 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the 16 bit-votes fold over that array — 1 md5 per token, not
     16. Pure codegen'd expressions, no shuffle.
     """
-    d = widen(load_table(spark, sf_dir, "documents"))
-    # persist = projection barrier: the 16 bit-vote expressions all
+    # shared_stage = projection barrier: the 16 bit-vote expressions all
     # reference `hashes`; without it CollapseProject inlines the md5
     # pass 16x (same pathology as the minhash signatures).
-    hashed = d.select("doc_id", F.expr(_HASHES_SPARK).alias("hashes")).persist()
+    hashed = shared_stage(
+        spark,
+        sf_dir,
+        "dedup/simhash_hashes",
+        lambda: widen(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.expr(_HASHES_SPARK).alias("hashes")
+        ),
+    )
     return hashed.select(
         "doc_id", F.expr(_simhash_spark()).cast("long").alias("simhash")
     )
@@ -359,10 +380,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries shingle arrays only for the candidate pairs, so the heavy
     payload moves O(candidates) times.
     """
-    d = widen(load_table(spark, sf_dir, "documents"))
-    shingled = d.select(
-        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
-    ).persist()  # joined twice (x/y sides); recompute would double the shingle pass
+    # joined twice (x/y sides) and shared with the signature pipeline
+    shingled = shingled_df(spark, sf_dir)
     sigs = minhash_signatures_df(spark, sf_dir, materialize=True)
     bands = _lsh_bands_df(sigs)
     a = bands.alias("a")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 N_QUERIES = 5      # query set: vec_id < 5
 TOP_K = 5
@@ -137,22 +138,33 @@ bucketed AS (
 
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    hp = vecs.filter(F.col("vec_id") < LSH_BITS).select(
-        F.col("vec_id").alias("h_idx"), F.col("v").alias("hv")
-    )
-    dot = F.expr(_DOT_SPARK.format(a="v", b="hv"))
-    return (
-        vecs.crossJoin(F.broadcast(hp))
-        .groupBy("vec_id", "v", "sqnorm")
-        .agg(
-            F.sum(
-                F.when(dot > 0, F.pow(2, F.col("h_idx")).cast("long")).otherwise(0)
-            )
-            .cast("long")
-            .alias("bucket")
+    """(vec_id, v, sqnorm, bucket) — the LSH index. Persisted via
+    shared_stage: the assignment (a 64-dim dot-product fold per vector
+    per hyperplane) is the dominant CPU cost of the ANN family, and the
+    same index is consumed by ann_lsh_topk (both join sides),
+    ann_lsh_topk_multiprobe, and embedding_near_dup_pairs. One
+    computation per sf_dir per session; at production scale this is the
+    checkpointed index table."""
+
+    def build() -> DataFrame:
+        vecs = _vectors(spark, sf_dir)
+        hp = vecs.filter(F.col("vec_id") < LSH_BITS).select(
+            F.col("vec_id").alias("h_idx"), F.col("v").alias("hv")
         )
-    )
+        dot = F.expr(_DOT_SPARK.format(a="v", b="hv"))
+        return (
+            vecs.crossJoin(F.broadcast(hp))
+            .groupBy("vec_id", "v", "sqnorm")
+            .agg(
+                F.sum(
+                    F.when(dot > 0, F.pow(2, F.col("h_idx")).cast("long")).otherwise(0)
+                )
+                .cast("long")
+                .alias("bucket")
+            )
+        )
+
+    return shared_stage(spark, sf_dir, "similarity/lsh_buckets", build)
 
 
 _ANN_ORACLE = f"""
@@ -271,40 +283,53 @@ scored AS (
            round({_DOT_DUCK.format(a="c.v", b="cent.cv")} / (sqrt(c.sqnorm) * sqrt(cent.c_sqnorm)), 6) AS c_cos
     FROM vecs c CROSS JOIN cent
 ),
+ranked AS (
+    SELECT vec_id, v, sqnorm, c_id AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+    FROM scored
+),
 cells AS (
-    SELECT vec_id, v, sqnorm, c_id AS cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-        FROM scored
-    ) WHERE rn = 1
+    SELECT vec_id, v, sqnorm, cell FROM ranked WHERE rn = 1
 )
 """
 
 
+def _cells_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, sqnorm, cell, rn) — every vector's centroids ranked
+    by cosine (rn=1 is the IVF assignment; rn<=P is the nprobe probe
+    list). Persisted via shared_stage: the centroid-scoring pass is the
+    dominant CPU cost and is shared by ann_ivf_topk and the nprobe
+    variant; keeping the full ranking cached lets both read one index."""
+
+    def build() -> DataFrame:
+        vecs = _vectors(spark, sf_dir)
+        cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("sqnorm").alias("c_sqnorm"),
+        )
+        scored = vecs.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "sqnorm",
+            "c_id",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="v", b="cv"))
+                / (F.sqrt("sqnorm") * F.sqrt("c_sqnorm")),
+                6,
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+        return scored.select(
+            "vec_id", "v", "sqnorm", F.col("c_id").alias("cell"),
+            F.row_number().over(w).alias("rn"),
+        )
+
+    return shared_stage(spark, sf_dir, "similarity/ivf_cells_ranked", build)
+
+
 def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("v").alias("cv"),
-        F.col("sqnorm").alias("c_sqnorm"),
-    )
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "v",
-        "sqnorm",
-        "c_id",
-        F.round(
-            F.expr(_DOT_SPARK.format(a="v", b="cv"))
-            / (F.sqrt("sqnorm") * F.sqrt("c_sqnorm")),
-            6,
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-    return (
-        scored.select("vec_id", "v", "sqnorm", F.col("c_id").alias("cell"),
-                      F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _cells_ranked(spark, sf_dir).filter(F.col("rn") == 1).drop("rn")
 
 
 _IVF_ORACLE = f"""
@@ -339,6 +364,146 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cells = _cells(spark, sf_dir)
     q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+        F.col("cell").alias("q_cell"),
+    )
+    pairs = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= ANN_TOP_K)
+    )
+
+
+# ------------------------------------------------------------- multi-probe
+
+NPROBE = 2  # IVF: probe the 2 nearest cells per query
+
+_MULTIPROBE_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+{_BUCKETS_CTE_DUCK},
+qb AS (SELECT vec_id AS query_id, v, sqnorm, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+q AS (
+    SELECT query_id, v, sqnorm,
+           unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(LSH_BITS))}]) AS probe
+    FROM qb
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN bucketed c ON c.bucket = q.probe AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+    FROM pairs
+) WHERE rnk <= {ANN_TOP_K}
+"""
+
+
+@register("ann_lsh_topk_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-{ANN_TOP_K}: each query probes its own sign
+    bucket PLUS the {LSH_BITS} buckets at Hamming distance 1 (one sign
+    bit flipped) — the standard recall fix for vectors that land near a
+    hyperplane (Lv et al. 2007, multi-probe LSH). Probe fan-out is
+    exactly {LSH_BITS + 1}x; buckets are disjoint, so no candidate is
+    scored twice.
+
+    Scale note: the plan is identical to ann_lsh_topk — a keyed
+    equi-join of the (still tiny, broadcast) exploded query-probe list
+    against the bucketed corpus — so the cost ceiling is
+    (1+bits)/2^bits of the corpus per query, and the bucket index is
+    the shared cached stage, computed once for the whole ANN family.
+    """
+    bucketed = _bucketed(spark, sf_dir)
+    qb = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probes = F.array(
+        F.col("q_bucket"),
+        *[F.expr(f"q_bucket ^ {1 << i}").cast("long") for i in range(LSH_BITS)],
+    )
+    q = qb.select(
+        "query_id", "qv", "q_sqnorm", F.explode(probes).alias("probe")
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= ANN_TOP_K)
+    )
+
+
+_NPROBE_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+{_CELLS_CTE_DUCK},
+q AS (
+    SELECT vec_id AS query_id, v, sqnorm, cell
+    FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+    FROM pairs
+) WHERE rnk <= {ANN_TOP_K}
+"""
+
+
+@register("ann_ivf_topk_nprobe", oracle=_NPROBE_ORACLE)
+def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-{ANN_TOP_K} with nprobe={NPROBE}: each query probes its
+    {NPROBE} nearest cells (by centroid cosine) instead of 1 — the
+    recall knob of every IVF index. Candidates keep their single rn=1
+    cell assignment; cells are disjoint, so the probe union has no
+    duplicate candidates.
+
+    Scale note: the probe list falls out of the SAME cached ranked
+    assignment the base query uses (rn <= nprobe vs rn = 1) — no extra
+    scoring pass — and the join stays keyed on cell with the exploded
+    query side broadcast; cost scales linearly in nprobe.
+    """
+    ranked = _cells_ranked(spark, sf_dir)
+    cells = _cells(spark, sf_dir)
+    q = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("sqnorm").alias("q_sqnorm"),

@@ -195,13 +195,14 @@ CHUNK_STRIDE = 48  # overlap = size - stride = 16 words
 _CHUNK_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, string_split(text, ' ') AS words FROM documents
-), chunks AS (
-    SELECT doc_id,
-           CAST(k AS BIGINT) AS chunk_id,
-           array_to_string(words[(k * {CHUNK_STRIDE} + 1):(k * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ') AS chunk_text
+), keyed AS (
+    SELECT doc_id, words,
+           CAST(unnest(range(0, greatest(CAST(ceil(len(words) / {CHUNK_STRIDE}.0) AS BIGINT), 1))) AS BIGINT) AS chunk_id
     FROM w
-    CROSS JOIN (SELECT unnest(range(0, 64)) AS k) ks
-    WHERE k * {CHUNK_STRIDE} < len(words)
+), chunks AS (
+    SELECT doc_id, chunk_id,
+           array_to_string(words[(chunk_id * {CHUNK_STRIDE} + 1):(chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ') AS chunk_text
+    FROM keyed
 )
 SELECT doc_id, chunk_id, chunk_text,
        len(string_split(chunk_text, ' ')) AS chunk_words

@@ -58,7 +58,12 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         has_python=any(
             m in simple for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
         ),
-        pushed_filters="PushedFilters: [" in formatted
-        and "PushedFilters: []" not in formatted.split("PushedFilters: [", 1)[0],
+        # true iff at least one scan has a NON-empty pushed-filter list:
+        # inspect the text AFTER each marker (a segment starting with ']'
+        # is an empty 'PushedFilters: []' entry)
+        pushed_filters=any(
+            not seg.startswith("]")
+            for seg in formatted.split("PushedFilters: [")[1:]
+        ),
         scans=simple.count("Scan parquet"),
     )

@@ -1,0 +1,65 @@
+"""Shared persisted-stage cache.
+
+Several query families need a persisted intermediate as a projection
+barrier (CollapseProject would otherwise inline an expensive expression
+into every consumer — see functions/dedup.py) or as a shared index
+(the ANN family all consume the same bucket/cell assignment). A bare
+``.persist()`` per invocation leaks: registry-wide sweeps (bench.py,
+the plan dump, the oracle-parity suite) call each query function
+repeatedly and would accumulate cached blocks, relying on LRU eviction.
+
+This module gives those stages one home:
+
+- ``shared_stage(spark, sf_dir, tag, build)`` returns a persisted
+  DataFrame, building it at most once per (sf_dir, tag) per live
+  session. Re-invocations reuse the same cached blocks instead of
+  stacking new ones, which also means e.g. ann_lsh_topk and
+  embedding_near_dup_pairs share one bucket-assignment computation.
+- ``release_all()`` unpersists everything — called by bench.py after
+  the sweep and usable from test teardown.
+
+At production scale the same seam is a checkpointed table (compute
+signatures/cells once, join many); the cache is the in-session stand-in
+the docstrings of the users point at.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _is_live(df: DataFrame, spark: SparkSession) -> bool:
+    try:
+        return df.sparkSession is spark and not spark._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def shared_stage(
+    spark: SparkSession, sf_dir: str, tag: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Persisted stage, built at most once per (sf_dir, tag) per session."""
+    key = (sf_dir, tag)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        if _is_live(cached, spark):
+            return cached
+        # stale entry from a stopped/foreign session: drop it
+        _CACHE.pop(key, None)
+    df = build().persist()
+    _CACHE[key] = df
+    return df
+
+
+def release_all() -> None:
+    """Unpersist and forget every cached stage (safe to call anytime)."""
+    for key, df in list(_CACHE.items()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        _CACHE.pop(key, None)

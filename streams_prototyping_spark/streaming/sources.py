@@ -39,9 +39,20 @@ def decode_delimited(raw: DataFrame, schema: T.StructType, value_col: str = "val
 
 
 def encode_delimited(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Inverse codec for egress (reference X.toDelimitedString)."""
+    """Inverse codec for egress (reference X.toDelimitedString).
+
+    Each field goes through coalesce(cast(string), '') before concat_ws:
+    concat_ws SKIPS null arguments entirely, so a null field would emit
+    fewer delimiters and silently shift every later column on decode.
+    An empty string keeps field positions stable (and round-trips back
+    to null for non-string types, matching the reference's naive
+    split-on-comma semantics)."""
     cols = cols or df.columns
-    return df.select(F.concat_ws(",", *[F.col(c) for c in cols]).alias("value"))
+    return df.select(
+        F.concat_ws(
+            ",", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        ).alias("value")
+    )
 
 
 def _require_kafka(spark: SparkSession) -> None:

@@ -138,16 +138,29 @@ class KTableLike:
     def to_stream(self, key_format: str = "{start}-{end}-{key}") -> KStreamLike:
         """toStream with the windowed-key formatter
         (Aggregations.java:141-148): flatten (window, key) into the
-        reference's "{winStart}-{winEnd}-{key}" string."""
+        reference's "{winStart}-{winEnd}-{key}" string. ``key_format``
+        is honored: a format string over {start}, {end} and {key}
+        (epoch-seconds window bounds; key = '-'-joined key columns),
+        compiled to format_string so it stays a JVM-side expression."""
         df = self.df
         if self.windowed:
-            wkey = F.concat_ws(
-                "-",
-                F.unix_timestamp(F.col("_w.start")),
-                F.unix_timestamp(F.col("_w.end")),
-                *[F.col(k) for k in self.keys],
-            )
-            df = df.withColumn("wkey", wkey).drop("_w")
+            parts = {
+                "start": F.unix_timestamp(F.col("_w.start")).cast("string"),
+                "end": F.unix_timestamp(F.col("_w.end")).cast("string"),
+                "key": F.concat_ws("-", *[F.col(k) for k in self.keys]),
+            }
+            # "{start}-{end}-{key}" -> printf template "%s-%s-%s" + arg order
+            template = key_format.replace("%", "%%")  # literal % survives
+            args: list[tuple[int, Column]] = []
+            for name in ("start", "end", "key"):
+                placeholder = "{" + name + "}"
+                if placeholder in template:
+                    idx = template.index(placeholder)
+                    # keep placeholders in appearance order
+                    args.append((idx, parts[name]))
+                    template = template.replace(placeholder, "%s", 1)
+            ordered = [c for _, c in sorted(args, key=lambda t: t[0])]
+            df = df.withColumn("wkey", F.format_string(template, *ordered)).drop("_w")
         return KStreamLike(df=df, key=self.keys[0] if self.keys else None)
 
 

@@ -58,3 +58,23 @@ def test_csv_failfast_surfaces_corruption(spark, tmp_path):
 
     with pytest.raises((PySparkException, Py4JJavaError)):
         read_csv(spark, str(p), schema).collect()
+
+
+def test_encode_delimited_null_field_keeps_positions(spark):
+    """A null mid-row field must still emit its delimiter (concat_ws
+    alone would skip it and shift every later column on decode)."""
+    from streams_prototyping_spark.streaming.sources import (
+        decode_delimited,
+        encode_delimited,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "b", None)], "id int, mid string, tail string"
+    )
+    encoded = [r.value for r in encode_delimited(df).orderBy("value").collect()]
+    assert encoded == ["1,,x", "2,b,"]
+    back = decode_delimited(
+        encode_delimited(df).selectExpr("value"), df.schema
+    )
+    got = sorted(map(tuple, back.collect()))
+    assert got == [(1, None, "x"), (2, "b", None)]

@@ -144,3 +144,30 @@ def test_topology_api_runs_streaming(spark, sf_dir, tmp_path):
     got = _rows(spark.table("topo_stream").select("wkey", "avg_v", "n"))
     want = _rows(build(spark.read.parquet(path)).select("wkey", "avg_v", "n"))
     assert got == want
+
+
+def test_to_stream_honors_key_format(spark, sf_dir):
+    """key_format is compiled to a JVM-side format_string, not ignored."""
+    from streams_prototyping_spark import topology as tp
+    from streams_prototyping_spark.data import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    table = (
+        tp.stream(ev)
+        .group_by("event_type")
+        .windowed_by("ts", 30)
+        .aggregate(n=F.count(F.lit(1)))
+    )
+    default = table.to_stream().df.select("wkey").limit(1).collect()[0].wkey
+    custom = (
+        table.to_stream(key_format="{key}@{start}..{end}")
+        .df.select("wkey")
+        .limit(1)
+        .collect()[0]
+        .wkey
+    )
+    start, end, key = default.split("-", 2)
+    assert custom.count("@") == 1 and ".." in custom
+    k2, rest = custom.split("@", 1)
+    s2, e2 = rest.split("..", 1)
+    assert int(s2) < int(e2)
