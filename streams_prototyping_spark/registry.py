@@ -61,7 +61,9 @@ def load_all() -> None:
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         dedup,
+        dedup_pipeline,
         similarity,
         text,
+        text_transform,
         multimodal,
     )

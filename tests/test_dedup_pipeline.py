@@ -1,0 +1,131 @@
+"""Behavioral invariants for the dedup-pipeline completion operators
+(clusters / canonical / incremental / winnowing) and the text-transform
+family. Exactness vs DuckDB is covered by test_oracle_parity; these
+tests pin the *semantic* properties a value-hash can't express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark import registry
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def clusters(spark, sf_dir):
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    }
+
+
+def test_clusters_cover_all_docs_and_use_min_id(spark, sf_dir, clusters):
+    from streams_prototyping_spark.data import load_table
+
+    docs = {r[0] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()}
+    assert set(clusters) == docs
+    # cluster id is the smallest member id -> every cluster contains its own id
+    for doc, cid in clusters.items():
+        assert cid <= doc
+        assert clusters[cid] == cid
+
+
+def test_clusters_respect_candidate_edges(spark, sf_dir, clusters):
+    """Every LSH candidate pair above the estimate threshold must land
+    in one cluster (edge contraction), including transitively."""
+    pairs = registry.QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()
+    for r in pairs:
+        assert clusters[r["doc_a"]] == clusters[r["doc_b"]], (
+            f"edge ({r['doc_a']},{r['doc_b']}) split across clusters"
+        )
+
+
+def test_canonical_one_per_cluster_max_quality(spark, sf_dir, clusters):
+    canon = registry.QUERIES["dedup_canonical"](spark, sf_dir).collect()
+    assert len(canon) == len(set(clusters.values()))
+    assert {r["cluster_id"] for r in canon} == set(clusters.values())
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in registry.QUERIES["quality_score"](spark, sf_dir).collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for doc, cid in clusters.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for r in canon:
+        members = by_cluster[r["cluster_id"]]
+        assert r["cluster_size"] == len(members)
+        best = max(quality[m] for m in members)
+        assert quality[r["canonical_doc_id"]] == pytest.approx(best)
+
+
+def test_incremental_returns_only_novel_arrivals(spark, sf_dir):
+    from streams_prototyping_spark.data import load_table
+
+    out = {r["doc_id"] for r in registry.QUERIES["dedup_incremental"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    corpus_texts = {r["text"] for r in docs if r["doc_id"] % 10 != 0}
+    for r in docs:
+        if r["doc_id"] % 10 == 0:
+            expected_kept = r["text"] not in corpus_texts
+            assert (r["doc_id"] in out) == expected_kept
+
+
+def test_winnowing_shared_run_guarantee(spark, sf_dir):
+    """Winnowing's core guarantee: identical documents select identical
+    fingerprint sets (any shared run of w+k-1 words shares at least one
+    selected hash; byte-identical docs share all of them)."""
+    df = registry.QUERIES["winnowing_fingerprint"](spark, sf_dir)
+    fps = df.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("fingerprint")).alias("fps")
+    )
+    from streams_prototyping_spark.data import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = docs.join(fps, "doc_id").collect()
+    by_text: dict[str, list] = {}
+    for r in joined:
+        by_text.setdefault(r["text"], []).append(r["fps"])
+    dup_groups = [v for v in by_text.values() if len(v) > 1]
+    for group in dup_groups:
+        assert all(g == group[0] for g in group)
+    # fingerprints are a subset of trigram count (selection, not expansion)
+    for r in joined:
+        n_words = len(r["text"].split(" "))
+        assert len(r["fps"]) <= max(n_words - 2, 1)
+
+
+def test_text_normalize_is_canonical(spark, sf_dir):
+    rows = registry.QUERIES["text_normalize"](spark, sf_dir).collect()
+    for r in rows[:200]:
+        t = r["norm_text"]
+        assert t == t.lower()
+        assert "  " not in t
+        assert t == t.strip()
+        assert all(c.isalnum() or c == " " for c in t)
+        assert r["norm_chars"] == len(t)
+
+
+def test_repetition_stats_bounds(spark, sf_dir):
+    rows = registry.QUERIES["repetition_stats"](spark, sf_dir).collect()
+    token_rows = {
+        r["doc_id"]: r["n_words"]
+        for r in registry.QUERIES["token_stats"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert 0.0 < r["top_trigram_frac"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        # a trigram counted in top_trigram_frac with n>1 also counts as dup
+        n_words = token_rows[r["doc_id"]]
+        assert r["n_trigrams"] == max(n_words - 2, 1)
+
+
+def test_pii_masking_leaks_nothing(spark, sf_dir):
+    rows = registry.QUERIES["pii_masking"](spark, sf_dir).collect()
+    from streams_prototyping_spark.data import load_table
+
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_customers
+    surrogates = {r["surrogate_id"] for r in rows}
+    assert len(surrogates) == n_customers  # stable AND collision-free here
+    for r in rows[:200]:
+        assert not any(ch.isdigit() for ch in r["name_masked"])
