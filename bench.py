@@ -50,6 +50,11 @@ HEADLINE = [
     "events_multi_rollup",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_canonical",
+    "winnowing_fingerprint",
+    "repetition_stats",
+    "text_normalize",
     "simhash_fingerprint",
     "cosine_topk",
     "ann_lsh_topk",
