@@ -216,3 +216,96 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(
         sample, schema="doc_id long, frame_idx long, frame_hash long"
     )
+
+
+RESIZE_TARGET = 224  # letterbox bounding box (longest side)
+
+
+def resize_image_fake(payload: bytes) -> dict:
+    """Deterministic fake letterbox resize: aspect-preserving integer
+    scale of the fake-decoded dims into a {RESIZE_TARGET}px bounding
+    box. Same seam as decode_image_real: a real pipeline swaps this
+    for PIL.Image.thumbnail + re-encode, with zero plan changes."""
+    d = decode_image_fake(payload)
+    w, h = d["width"], d["height"]
+    long_side = max(w, h)
+    out_w = max(1, (w * RESIZE_TARGET) // long_side)
+    out_h = max(1, (h * RESIZE_TARGET) // long_side)
+    resized_hash = int(
+        hashlib.md5(payload + f":resized:{out_w}x{out_h}".encode()).hexdigest()[:15],
+        16,
+    )
+    return {"out_width": out_w, "out_height": out_h, "resized_hash": resized_hash}
+
+
+_RESIZE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id, text,
+           64 + CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % {FAKE_W_MOD} AS w,
+           64 + (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) >> 8) % {FAKE_H_MOD} AS h
+    FROM documents
+), scaled AS (
+    SELECT doc_id, text, w, h,
+           greatest(CAST(floor(w * {RESIZE_TARGET} / greatest(w, h)) AS BIGINT), 1) AS out_width,
+           greatest(CAST(floor(h * {RESIZE_TARGET} / greatest(w, h)) AS BIGINT), 1) AS out_height
+    FROM dims
+)
+SELECT doc_id, w AS in_width, h AS in_height, out_width, out_height,
+       CAST('0x' || substr(md5(text || ':resized:' || CAST(out_width AS VARCHAR)
+                           || 'x' || CAST(out_height AS VARCHAR)), 1, 15) AS BIGINT)
+           AS resized_hash
+FROM scaled
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox resize of 'image' payloads into a
+    {RESIZE_TARGET}px box — the third multimodal transform (after
+    decode and frame-sample) every vision-data pipeline runs before
+    training. Deterministic fake resize through the identical
+    Arrow-batched mapInPandas plumbing, hash-verified against the SQL
+    oracle (integer scale math reproduces exactly in both engines).
+
+    Scale note: narrow Python map over the scan, no shuffle; output
+    rows carry dims + content hash (a real pipeline carries re-encoded
+    bytes — same schema shape with a binary column, same plan).
+    """
+    p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(b)
+                d = decode_image_fake(payload)
+                r = resize_image_fake(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        d["width"],
+                        d["height"],
+                        r["out_width"],
+                        r["out_height"],
+                        r["resized_hash"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "in_width",
+                    "in_height",
+                    "out_width",
+                    "out_height",
+                    "resized_hash",
+                ],
+            )
+
+    return p.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, in_width long, in_height long, "
+            "out_width long, out_height long, resized_hash long"
+        ),
+    )

@@ -106,3 +106,64 @@ def ksql_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_KSQL_CTR_SPARK)
+
+
+# ----------------------------------------------------- recursive CTE
+
+_RSPINE_SPARK = """
+WITH RECURSIVE m(n) AS (
+    SELECT 0
+    UNION ALL
+    SELECT n + 1 FROM m WHERE n < 79
+), spine AS (
+    SELECT CAST(add_months(DATE '1995-01-01', n) AS DATE) AS month_start FROM m
+), monthly AS (
+    SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+)
+SELECT s.month_start,
+       coalesce(monthly.n_orders, 0) AS n_orders,
+       coalesce(monthly.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN monthly ON monthly.month_start = s.month_start
+"""
+
+_RSPINE_ORACLE = """
+WITH RECURSIVE m(n) AS (
+    SELECT 0
+    UNION ALL
+    SELECT n + 1 FROM m WHERE n < 79
+), spine AS (
+    SELECT CAST(DATE '1995-01-01' + to_months(n) AS DATE) AS month_start FROM m
+), monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+)
+SELECT s.month_start,
+       coalesce(monthly.n_orders, 0) AS n_orders,
+       coalesce(monthly.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN monthly ON monthly.month_start = s.month_start
+"""
+
+
+@register("recursive_month_spine", oracle=_RSPINE_ORACLE)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine (Spark 4's recursive CTE support,
+    absent from every KSQL-era engine): an 80-month recursively
+    generated calendar LEFT JOINed to monthly order rollups, so empty
+    months surface as zero rows — the recursion-based twin of
+    gap_fill_daily's sequence() spine.
+
+    Scale note: the recursion materializes 80 driver-sized rows (one
+    UnionLoop iteration each); the orders side is one partial-agg
+    shuffle keyed by month. Spark's recursive CTEs are UNION ALL only
+    (monotone recursion, no cycle risk here); graph closure stays with
+    the iterative DataFrame loop in dedup_pipeline.py.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RSPINE_SPARK)
