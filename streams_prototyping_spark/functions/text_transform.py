@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.functions.portable_hash import (
     portable_hash64,
     portable_hash64_sql,
@@ -35,6 +35,34 @@ from streams_prototyping_spark.registry import register
 # backrefs): strip non-alphanumeric/space, collapse space runs.
 _PUNCT_RE = "[^a-z0-9 ]"
 _WS_RE = " +"
+
+
+def norm_text_col(col: str = "text"):
+    """Canonical-text Column (lowercase, punctuation-stripped,
+    whitespace-collapsed) — shared by the batch query and the
+    streaming ingest pipeline so both dedup on the identical key."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), _PUNCT_RE, ""), _WS_RE, " "
+        )
+    )
+
+
+def quality_score_col(col: str = "text"):
+    """[0,1] quality Column (length saturation + lexical diversity +
+    stopword ratio) — the formula of functions/text.py quality_score,
+    reusable over any text column (batch or streaming)."""
+    stop_words = ("the", "a", "of", "and", "to", "in", "is", "it")
+    words = F.split(col, " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: x.isin(*stop_words))).cast("double") / n_words
+    )
+    length_score = F.when(n_words >= 100, F.lit(1.0)).otherwise(
+        n_words.cast("double") / 100
+    )
+    return F.round(0.4 * length_score + 0.4 * distinct_ratio + 0.2 * stop_ratio, 6)
 
 _NORMALIZE_ORACLE = f"""
 SELECT doc_id,
@@ -59,11 +87,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over the scan — no shuffle, full scan speed.
     """
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, ""), _WS_RE, " "
-        )
-    )
+    norm = norm_text_col()
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -105,39 +129,54 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate documents (boilerplate, keyword stuffing, generation
     loops) light up on exactly these two ratios.
 
-    Scale note: explode + two-level aggregation keyed by doc_id — the
-    shuffle is O(distinct trigrams) with partial map-side combine, and
-    doc_id keys are unique so there is no skew; this is the
-    explode-then-reaggregate shape that beats per-row O(n²) array
-    self-matching at any scale.
+    Scale note: SHUFFLE-FREE — the obvious explode + groupBy(doc_id,
+    gram) re-aggregation ships O(total trigrams) rows through a
+    shuffle (~the corpus itself at 100 TB). Instead each row sorts its
+    own trigram array (O(n log n) per document, inside codegen) and a
+    single left-to-right fold over the sorted array counts run
+    lengths: max run = top-trigram count, elements in runs > 1 = dup
+    count. Pure narrow projection at full scan speed; the DuckDB
+    oracle computes the same features via the explode shape, proving
+    the fold equivalent. (widen() fans the single-file local scan out
+    to every core; a real deployment's scan is already wide.)
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= 3,
-        F.zip_with(
-            F.zip_with(
-                F.slice(words, 1, F.size(words) - 2),
-                F.slice(words, 2, F.size(words) - 2),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-            F.slice(words, 3, F.size(words) - 2),
-            lambda ab, c: F.concat_ws(" ", ab, c),
+    d = widen(load_table(spark, sf_dir, "documents"))
+    words = "split(text, ' ')"
+    grams = f"""
+    CASE WHEN size({words}) >= 3
+         THEN zip_with(
+             zip_with(slice({words}, 1, size({words}) - 2),
+                      slice({words}, 2, size({words}) - 2),
+                      (a, b) -> concat(a, ' ', b)),
+             slice({words}, 3, size({words}) - 2),
+             (ab, c) -> concat(ab, ' ', c))
+         ELSE array(text) END
+    """
+    # fold state: (prev gram, current run, max run, dup count, total)
+    fold = f"""
+    aggregate(
+        array_sort({grams}),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                     'max_run', 0L, 'dup', 0L, 'total', 0L),
+        (s, x) -> named_struct(
+            'prev', x,
+            'run', IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1, 1L),
+            'max_run', greatest(s.max_run,
+                                IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1, 1L)),
+            'dup', s.dup + CASE WHEN s.prev IS NOT NULL AND x = s.prev
+                                THEN IF(s.run = 1, 2L, 1L) ELSE 0L END,
+            'total', s.total + 1),
+        s -> named_struct('max_run', s.max_run, 'dup', s.dup, 'total', s.total))
+    """
+    return d.select("doc_id", F.expr(fold).alias("f")).select(
+        "doc_id",
+        F.col("f.total").alias("n_trigrams"),
+        F.round(F.col("f.max_run").cast("double") / F.col("f.total"), 6).alias(
+            "top_trigram_frac"
         ),
-    ).otherwise(F.array(F.col("text")))
-    counts = (
-        d.select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return counts.groupBy("doc_id").agg(
-        F.sum("n").alias("n_trigrams"),
-        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_trigram_frac"),
-        F.round(
-            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).cast("double")
-            / F.sum("n"),
-            6,
-        ).alias("dup_trigram_frac"),
+        F.round(F.col("f.dup").cast("double") / F.col("f.total"), 6).alias(
+            "dup_trigram_frac"
+        ),
     )
 
 

@@ -191,3 +191,57 @@ def enriched_events_stream(
             "total_value",
         )
     )
+
+
+def ingest_documents_stream(
+    docs: DataFrame,
+    *,
+    ts_col: str = "ingest_ts",
+    min_quality: float = 0.0,
+    dedup_watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming training-data ingest pipeline, end to end:
+    normalize -> quality-filter -> watermarked exact dedup on the
+    CANONICAL text. This is the continuous twin of the batch chain
+    text_normalize |> quality_score |> dedup_exact — a crawl feed goes
+    in, deduplicated training documents come out.
+
+    Stages (all per-micro-batch, narrow until the dedup):
+    1. canonical text via norm_text_col (case/punct/whitespace-
+       insensitive, so near-copies that byte-exact dedup misses
+       collapse to one key);
+    2. quality gate: quality_score_col >= min_quality (cheap Catalyst
+       expressions — rows are dropped BEFORE any state is touched);
+    3. dropDuplicatesWithinWatermark on norm_md5: one state entry per
+       distinct canonical text within the watermark horizon — state is
+       bounded by (arrival rate x horizon), not corpus size.
+
+    Scale note: the only stateful operator is the dedup; everything
+    upstream is scan-speed projection. At 100 TB/day the dedup key is
+    a 128-bit hash (32-byte state rows), and the horizon is set to the
+    crawler's max re-fetch lag. Cross-horizon (historical) dedup is
+    the batch job's responsibility (dedup_incremental's anti-join
+    against the fingerprint table) — the stream handles the hot
+    window, the batch the archive, which is the standard split.
+    """
+    from streams_prototyping_spark.functions.text_transform import (
+        norm_text_col,
+        quality_score_col,
+    )
+
+    canon = docs.select(
+        "doc_id",
+        F.col(ts_col).alias("ingest_ts"),
+        norm_text_col("text").alias("norm_text"),
+        quality_score_col("text").alias("quality"),
+    ).filter(F.col("quality") >= min_quality)
+    keyed = canon.select(
+        "doc_id",
+        "ingest_ts",
+        "quality",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").cast("long").alias("norm_chars"),
+    )
+    return keyed.withWatermark("ingest_ts", dedup_watermark).dropDuplicatesWithinWatermark(
+        ["norm_md5"]
+    )
