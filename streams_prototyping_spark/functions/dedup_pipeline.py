@@ -343,20 +343,10 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM windowed
 """
 
 
-@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE)
-def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
-    algorithm): hash every word-trigram in order, slide a window of
-    {WINNOW_W} consecutive hashes, keep each window's minimum, emit the
-    distinct selected hashes. Guarantees any shared run of
-    {WINNOW_W + 2} words between two docs shares a fingerprint —
-    the positional near-dup index complementing MinHash's set sketch.
-
-    Scale note: pure per-row array expressions (one md5 per trigram,
-    computed once into an array, then O(n·w) mins) followed by a
-    generator explode — no shuffle; the fingerprint index table
-    (fingerprint -> doc) is the groupBy consumers build on top.
-    """
+def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) — the winnowing index rows, one per
+    distinct selected hash per doc. Shared by winnowing_fingerprint
+    and the decontamination overlap join (functions/curation.py)."""
     d = widen(load_table(spark, sf_dir, "documents"))
     hashed = shared_stage(
         spark,
@@ -380,3 +370,20 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hashed.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every word-trigram in order, slide a window of
+    {WINNOW_W} consecutive hashes, keep each window's minimum, emit the
+    distinct selected hashes. Guarantees any shared run of
+    {WINNOW_W + 2} words between two docs shares a fingerprint —
+    the positional near-dup index complementing MinHash's set sketch.
+
+    Scale note: pure per-row array expressions (one md5 per trigram,
+    computed once into an array, then O(n·w) mins) followed by a
+    generator explode — no shuffle; the fingerprint index table
+    (fingerprint -> doc) is the groupBy consumers build on top.
+    """
+    return winnow_fps_df(spark, sf_dir)

@@ -60,6 +60,7 @@ def load_all() -> None:
         analytics_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
+        curation,
         dedup,
         dedup_pipeline,
         similarity,
