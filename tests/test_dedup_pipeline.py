@@ -129,3 +129,34 @@ def test_pii_masking_leaks_nothing(spark, sf_dir):
     assert len(surrogates) == n_customers  # stable AND collision-free here
     for r in rows[:200]:
         assert not any(ch.isdigit() for ch in r["name_masked"])
+
+
+def test_decontamination_pairs_cross_eval_boundary(spark, sf_dir):
+    from streams_prototyping_spark.functions.curation import EVAL_SOURCE, MIN_SHARED_FPS
+
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in registry.QUERIES["winnowing_fingerprint"](spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    rows = registry.QUERIES["decontamination_overlap"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus should produce at least one overlap pair"
+    for r in rows:
+        assert docs[r["train_doc_id"]] != EVAL_SOURCE
+        assert docs[r["eval_doc_id"]] == EVAL_SOURCE
+        assert r["n_shared_fps"] >= MIN_SHARED_FPS
+
+
+def test_mixture_weights_form_a_distribution(spark, sf_dir):
+    rows = registry.QUERIES["domain_mixture_weights"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["mixture_weight"] for r in rows) - 1.0) < 1e-4
+    # temperature < 1 flattens: the head domain is down-weighted
+    # relative to its share, the tail domain up-weighted
+    head = max(rows, key=lambda r: r["token_share"])
+    tail = min(rows, key=lambda r: r["token_share"])
+    assert head["mixture_weight"] <= head["token_share"] + 1e-9
+    assert tail["mixture_weight"] >= tail["token_share"] - 1e-9
