@@ -44,3 +44,53 @@ def materialize_table(
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read the current state of a materialized table."""
     return spark.read.parquet(path)
+
+
+def dedup_against_store(
+    df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "norm_md5",
+    query_name: str = "dedup_store",
+) -> StreamingQuery:
+    """Incremental dedup with a PERSISTENT fingerprint store: each
+    micro-batch is (1) deduped within itself, (2) anti-joined against
+    the accumulated store — surviving rows are appended to the store
+    and are the batch's output. This is the archive half of the
+    hot-window/archive split: dropDuplicatesWithinWatermark bounds
+    state to the watermark horizon, while the store remembers every
+    key ever seen across restarts (it is rebuilt from the store files,
+    not from streaming state, on recovery).
+
+    Scale note: the store is an append-only keyed parquet table; the
+    anti-join is an equi-join on a 128-bit hash that AQE broadcasts
+    while the delta is small. At warehouse scale the store is bucketed
+    by key so the probe is shuffle-free, and compaction is a routine
+    background OPTIMIZE. Exactly-once: foreachBatch may retry a batch,
+    so the append is idempotent-keyed by (batch_id) subdirectory —
+    a retried batch overwrites its own output rather than doubling it.
+    """
+    spark = df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        batch = batch_df.dropDuplicates([key_col])
+        try:
+            seen = spark.read.parquet(f"{store_path}/*/")
+            novel = batch.join(
+                seen.select(key_col).distinct(), key_col, "left_anti"
+            )
+        except AnalysisException:  # first batch: store does not exist yet
+            novel = batch
+        # per-batch subdirectory -> a Spark-retried batch overwrites its
+        # own previous attempt (idempotent), never double-appends
+        novel.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

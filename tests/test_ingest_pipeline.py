@@ -111,3 +111,42 @@ def test_planted_near_dups_collapse(spark, replayed):
         .collect()
     )
     assert pairs and all(r["same"] for r in pairs)
+
+
+def test_dedup_store_survives_restart(spark, tmp_path):
+    """The persistent fingerprint store: duplicates are rejected both
+    within a run AND across a stream restart (streaming state is
+    irrelevant — the store itself is the memory)."""
+    import time as _time
+
+    from streams_prototyping_spark.streaming.sinks import dedup_against_store
+
+    feed = str(tmp_path / "feed")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, norm_md5 string"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+        )
+        q = dedup_against_store(stream, store, ck)
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: keys a,b then b,c (b is an in-run duplicate across batches)
+    write_chunk([(1, "a"), (2, "b")])
+    write_chunk([(3, "b"), (4, "c")])
+    run_stream()
+    # run 2 (restart, same checkpoint): c again (cross-run duplicate) + d
+    write_chunk([(5, "c"), (6, "d")])
+    run_stream()
+
+    kept = spark.read.parquet(f"{store}/*/").collect()
+    assert sorted(r["norm_md5"] for r in kept) == ["a", "b", "c", "d"]
+    # the first arrival won in every case
+    assert {r["norm_md5"]: r["doc_id"] for r in kept} == {"a": 1, "b": 2, "c": 4, "d": 6}
