@@ -63,6 +63,9 @@ HEADLINE = [
     "ann_ivf_topk_nprobe",
     "token_stats",
     "quality_score",
+    "decontamination_overlap",
+    "domain_mixture_weights",
+    "multimodal_resize",
     "doc_chunking",
     "dataset_split",
     "multimodal_decode",

@@ -141,3 +141,36 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_repetition_fold_is_shuffle_free(spark, sf_dir):
+    """The Gopher repetition features must be a narrow fold — the
+    explode+reaggregate alternative ships ~the corpus through a
+    shuffle at scale (REFLECTION round 2)."""
+    from streams_prototyping_spark.plans.introspect import plan_facts
+
+    facts = plan_facts(registry.QUERIES["repetition_stats"](spark, sf_dir))
+    assert facts.shuffles <= 1  # widen()'s fan-out repartition only
+    plan = _plan(spark, sf_dir, "repetition_stats", mode="simple")
+    assert "HashAggregate" not in plan  # no re-aggregation pass at all
+
+
+def test_winnowing_is_narrow(spark, sf_dir):
+    from streams_prototyping_spark.plans.introspect import plan_facts
+
+    facts = plan_facts(registry.QUERIES["winnowing_fingerprint"](spark, sf_dir))
+    assert facts.shuffles <= 1  # widen() only; fingerprinting never shuffles
+    assert facts.has_cartesian is False
+
+
+def test_decontamination_joins_keyed_with_broadcast_eval(spark, sf_dir):
+    """The contamination check must be a keyed fingerprint join with
+    the (small) eval index broadcast — never a doc cross product."""
+    from streams_prototyping_spark.plans.introspect import plan_facts
+
+    df = registry.QUERIES["decontamination_overlap"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.has_cartesian is False
+    assert facts.broadcast_joins >= 1  # eval fingerprint side broadcast
+    plan = _plan(spark, sf_dir, "decontamination_overlap", mode="simple")
+    assert "SortMergeJoin" not in plan
