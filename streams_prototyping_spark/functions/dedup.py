@@ -456,3 +456,90 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .distinct()
     )
+
+
+# ------------------------------------------- skew-capped LSH candidates
+
+BUCKET_CAP = 2  # max docs per band bucket (production ~10^3; small here
+#                 so the defense is exercised on the synthetic corpus)
+
+_CAPPED_PAIRS_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ", "
+    + _bands_cte_duck()
+    + f""",
+sized AS (
+    SELECT band, band_key, count(*) AS n FROM bands GROUP BY band, band_key
+),
+kept AS (
+    SELECT b.doc_id, b.band, b.band_key
+    FROM bands b JOIN sized s
+      ON s.band = b.band AND s.band_key = b.band_key
+    WHERE s.n <= {BUCKET_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(K_PERMS))})
+           / CAST({K_PERMS} AS DOUBLE) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE ({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(K_PERMS))})
+          / CAST({K_PERMS} AS DOUBLE) >= {EST_JACCARD_MIN}
+"""
+)
+
+
+@register("minhash_lsh_pairs_capped", oracle=_CAPPED_PAIRS_ORACLE)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the skew defense ENGAGED: band buckets
+    holding more than {BUCKET_CAP} docs are dropped before the
+    self-join. A pathological bucket (empty documents, boilerplate,
+    adversarial content all hashing to one band key) otherwise turns
+    the keyed self-join into an n² hot spot on one reducer; capping
+    bounds per-bucket work at CAP², and a pair lost to one band's cap
+    still collides in any of the other {N_BANDS - 1} bands (banding's
+    built-in redundancy — the recall loss is only for docs hot in
+    EVERY band, which is exactly the boilerplate we want gone).
+
+    Scale note: bucket sizing is a tiny aggregate over (band,
+    band_key); the hot-bucket list is orders of magnitude smaller than
+    the corpus and broadcast into a filtering join, so the defense
+    costs one cheap pre-pass, not a reshuffle of the data.
+    """
+    sigs = minhash_signatures_df(spark, sf_dir, materialize=True)
+    bands = _lsh_bands_df(sigs)
+    sized = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    hot = sized.filter(F.col("n") > BUCKET_CAP).select("band", "band_key")
+    kept = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti").select(
+        "doc_id", "band", "band_key"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}"), 1).otherwise(0)
+        for j in range(K_PERMS)
+    )
+    est = (matches / F.lit(float(K_PERMS))).alias("est_jaccard")
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
+    )

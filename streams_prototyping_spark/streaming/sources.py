@@ -38,6 +38,22 @@ def decode_delimited(raw: DataFrame, schema: T.StructType, value_col: str = "val
     ).select("r.*")
 
 
+def decode_json(raw: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """JSON-decode a value column into typed columns — the
+    value_format='json' twin of decode_delimited (KSQL's other wire
+    format). Unknown fields are ignored, missing fields arrive null —
+    the schema-on-read contract a crawl feed actually needs."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def encode_json(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Inverse codec for egress: struct -> JSON text value column."""
+    cols = cols or df.columns
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
 def encode_delimited(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Inverse codec for egress (reference X.toDelimitedString).
 
@@ -110,6 +126,9 @@ def create_stream(
         if value_format == "delimited":
             raw = reader.format("text").load(path)
             df = decode_delimited(raw, schema)
+        elif value_format == "json":
+            raw = reader.format("text").load(path)
+            df = decode_json(raw, schema)
         else:
             df = reader.schema(schema).format("parquet").load(path)
     elif transport == "kafka":
@@ -121,8 +140,13 @@ def create_stream(
             .load()
         )
         # reference serdes: key ByteArray (ignored), value String
-        # (Aggregations.java:65-68); delimited decode per B1.
-        df = decode_delimited(raw, schema) if value_format == "delimited" else raw
+        # (Aggregations.java:65-68); delimited/json decode per B1.
+        if value_format == "delimited":
+            df = decode_delimited(raw, schema)
+        elif value_format == "json":
+            df = decode_json(raw, schema)
+        else:
+            df = raw
     elif transport == "rate":
         rate = (
             spark.readStream.format("rate")

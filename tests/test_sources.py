@@ -78,3 +78,70 @@ def test_encode_delimited_null_field_keeps_positions(spark):
     )
     got = sorted(map(tuple, back.collect()))
     assert got == [(1, None, "x"), (2, "b", None)]
+
+
+def test_json_codec_roundtrip_batch(spark):
+    from pyspark.sql import types as T
+
+    from streams_prototyping_spark.streaming.sources import decode_json, encode_json
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_epoch", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 1000, 2.5), (2, 2000, -3.25), (3, None, None)],
+        "event_id long, ts_epoch long, value double",
+    )
+    back = decode_json(encode_json(df), schema)
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, df.collect()), key=str
+    )
+
+
+def test_json_stream_transport_end_to_end(spark, sf_dir, tmp_path):
+    """value_format='json' through create_stream: JSON-lines files ->
+    typed stream -> agg, converging to the batch source."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.sources import create_stream, encode_json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "value"
+    ).limit(200)
+    path = str(tmp_path / "jsonwire")
+    encode_json(ev).coalesce(2).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_epoch", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = create_stream(
+        spark, "jsonwire", schema, transport="file", path=path, value_format="json"
+    )
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("jsonwire_agg")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("jsonwire_agg").first()
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).first()
+    assert (got.n, got.total) == (want.n, want.total) and got.n == 200
