@@ -1,0 +1,151 @@
+"""Single-node streaming throughput probe for the two reference
+pipelines (SURVEY §6: the reference publishes NO numbers, so these
+measurements set the record to match-or-beat).
+
+Drives each pipeline from the rate source at an offered load high
+enough to saturate, lets it run for --secs, and reports the sustained
+processedRowsPerSecond from StreamingQueryProgress (excluding the
+first warm-up batches).
+
+Usage: python scripts/throughput_probe.py [--secs 30] [--rate 2000000]
+Prints one JSON line per pipeline plus a combined summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # join state is heap-resident
+
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.session import get_spark
+from streams_prototyping_spark.streaming.pipelines import (
+    ads_with_clicks_stream,
+    windowed_avg_stream,
+)
+
+SECS = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--secs=")), "60"))
+RATE = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--rate=")), "500000")
+)
+
+
+def _rate_events(spark, rate):
+    """rate source -> the orders/events shape the pipelines expect."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 1000).cast("double").alias("value"),
+            F.col("value").alias("event_id"),
+            # wide key space: per-key join fan-out must stay O(1) — a
+            # narrow modulus turns the stream-stream join quadratic
+            (F.col("value") % 10_000_000).alias("user_id"),
+        )
+    )
+
+
+def _sustained(progress: list[dict]) -> float:
+    """Median processedRowsPerSecond over the post-warm-up batches."""
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in progress
+        if p.get("processedRowsPerSecond") and p["numInputRows"] > 0
+    ]
+    rates = rates[2:] or rates  # drop warm-up batches
+    rates.sort()
+    return rates[len(rates) // 2] if rates else 0.0
+
+
+def probe(name: str, out_df, min_batches: int = 6, output_mode: str = "update") -> dict:
+    q = (
+        out_df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .trigger(processingTime="2 seconds")
+        .queryName(name)
+        .start()
+    )
+    deadline = time.time() + SECS
+    while time.time() < deadline:
+        done = [
+            d
+            for d in (json.loads(p.json) for p in q.recentProgress)
+            if d["numInputRows"] > 0
+        ]
+        if len(done) >= min_batches:
+            break
+        time.sleep(1.0)
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    sustained = _sustained(progress)
+    rec = {
+        "pipeline": name,
+        "sustained_rows_per_sec": round(sustained),
+        "offered_rows_per_sec": RATE,
+        "secs": SECS,
+        "batches": len(progress),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> None:
+    spark = get_spark("throughput-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    # App 1: windowed AVG aggregation (Aggregations.java topology)
+    results.append(probe("windowed_avg_stream", windowed_avg_stream(_rate_events(spark, RATE))))
+
+    # App 2: stream-stream windowed left join (StreamStreamJoin.java).
+    # Impressions and clicks derive from two rate streams; ~1/3 of
+    # impressions receive a click within the +/-60 s window.
+    # join offered load below the agg's: every row is symmetric-hash
+    # state (insert + probe + watermark eviction), the heaviest per-row
+    # work in the engine; a 60 s watermark bounds buffered state to
+    # ~2 min of stream on each side.
+    imps = _rate_events(spark, RATE // 5).select(
+        F.col("ts").alias("imp_ts"),
+        F.col("event_id").alias("impression_id"),
+        F.col("user_id"),
+        (F.col("event_id") % 10).alias("ad_id"),
+    )
+    clicks = _rate_events(spark, RATE // 15).select(
+        F.col("ts").alias("click_ts"),
+        (F.col("event_id") * 3).alias("click_impression_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    results.append(
+        probe(
+            "ads_with_clicks_stream",
+            ads_with_clicks_stream(imps, clicks, watermark="60 seconds"),
+            output_mode="append",  # stream-stream outer joins are append-only
+        )
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_throughput",
+                "unit": "rows/sec",
+                "pipelines": {r["pipeline"]: r["sustained_rows_per_sec"] for r in results},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
