@@ -111,3 +111,41 @@ def test_delimited_codec_roundtrip(spark, rows):
     df = spark.createDataFrame([(k, s, float(v)) for k, s, v in rows], schema)
     back = decode_delimited(encode_delimited(df), schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+_doc_text = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=30,
+).map(" ".join)
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=12))
+def test_text_normalize_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) — the canonical form is
+    a fixpoint, so re-ingesting already-normalized docs can't fork the
+    dedup key."""
+    from streams_prototyping_spark.functions.text_transform import norm_text_col
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(norm_text_col("text").alias("text"))
+    twice = once.select(norm_text_col("text").alias("n2"), "text")
+    for r in twice.collect():
+        assert r["n2"] == r["text"]
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_quality_score_bounds(spark, texts):
+    from pyspark.sql import functions as F
+
+    from streams_prototyping_spark.functions.text_transform import quality_score_col
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for r in df.select(quality_score_col("text").alias("q")).collect():
+        assert r["q"] is None or 0.0 <= r["q"] <= 1.0
