@@ -326,3 +326,66 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, "customer")
     return spark.sql(_UNPIVOT_SQL)
+
+
+# ------------------------------------------------------------- EWMA
+
+EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH seqs AS (
+    SELECT user_id,
+           list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_events,
+       round(list_reduce(vals, (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}), 6)
+           AS ewma
+FROM seqs
+"""
+
+
+@register("ewma_per_user", oracle=_EWMA_ORACLE)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user
+    (alpha={EWMA_ALPHA}, seeded with the first observation) — the
+    recursive time-series smoother SQL window frames cannot express
+    (each output depends on the previous OUTPUT, not previous inputs).
+
+    Computed as a left fold over the time-ordered value array; both
+    engines fold left-to-right over the identical (ts, event_id)-sorted
+    sequence, so the float result is bit-identical (same additions in
+    the same order) and round(…, 6) is belt-and-braces.
+
+    Scale note: one groupBy(user) shuffle carrying (ts-sortable struct,
+    value); per-user sequences are bounded by user activity, and the
+    fold is O(n) inside codegen. For unbounded per-key history the
+    streaming twin keeps ONE state row per user
+    (applyInPandasWithState, same recurrence) instead of materializing
+    the sequence — the recurrence is the same code either way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            )
+        ).alias("rows")
+    )
+    vals = "transform(rows, r -> r.value)"
+    fold = (
+        f"aggregate(slice({vals}, 2, size({vals}) - 1), "
+        f"CAST(element_at({vals}, 1) AS DOUBLE), "
+        f"(acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA})"
+    )
+    return seqs.select(
+        "user_id",
+        F.expr(f"size({vals})").cast("int").alias("n_events"),
+        F.round(F.expr(fold), 6).alias("ewma"),
+    )

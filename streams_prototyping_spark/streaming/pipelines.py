@@ -245,3 +245,56 @@ def ingest_documents_stream(
     return keyed.withWatermark("ingest_ts", dedup_watermark).dropDuplicatesWithinWatermark(
         ["norm_md5"]
     )
+
+
+EWMA_ALPHA = 0.3
+_EWMA_STATE_SCHEMA = "ewma double, n long"
+_EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma double"
+
+
+def _ewma_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA recurrence over arrival order (rows sorted by
+    event time within each micro-batch; state carries across batches).
+    Identical arithmetic to the batch fold in ewma_per_user — one
+    multiply-add per observation, seeded by the first."""
+    if state.exists:
+        ewma, n = state.get
+    else:
+        ewma, n = None, 0
+    pdf = pd.concat(list(batches))
+    if len(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"].astype(float):
+            ewma = v if n == 0 else (1.0 - EWMA_ALPHA) * ewma + EWMA_ALPHA * v
+            n += 1
+        state.update((float(ewma), int(n)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma": [round(ewma, 6) if ewma is not None else None]}
+    )
+
+
+def ewma_stateful_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ewma_per_user: the recursive smoother as a
+    continuously-updated KTable via applyInPandasWithState. Exactly
+    ONE state row (ewma, n) per user regardless of history length —
+    the unbounded-history case the batch fold's materialized sequence
+    cannot cover.
+
+    Scale note: state is two scalars per key; the recurrence is
+    order-sensitive, so correctness at scale requires per-key
+    event-time-ordered delivery (Kafka key partitioning provides it;
+    the file-replay tests provide it by time-sliced chunks). Emission
+    is per key per micro-batch (update mode), the same A17
+    approximation as ctr_stateful_stream.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -278,3 +278,51 @@ def test_kafka_transport_fails_actionably_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         create_stream(spark, "t", schema=None, transport="kafka", kafka_topic="t")
+
+
+def test_ewma_stateful_stream_converges_to_batch_fold(spark, sf_dir, tmp_path):
+    """The streaming EWMA (one state row per user) must produce the
+    SAME final smoothed value as the batch fold over the full ordered
+    history, regardless of micro-batch boundaries."""
+    import time as _time
+
+    from streams_prototyping_spark import registry
+    from streams_prototyping_spark.streaming.pipelines import ewma_stateful_stream
+
+    registry.load_all()
+    from streams_prototyping_spark.data import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rows = ev.orderBy("ts", "event_id").collect()
+    path = str(tmp_path / "ewma")
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(rows[i * third : (i + 1) * third], ev.schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        ewma_stateful_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last emitted row per user (max n_events) is the final state
+    got: dict[int, tuple] = {}
+    for r in spark.table("ewma_stream").collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["ewma"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in registry.QUERIES["ewma_per_user"](spark, sf_dir).collect()
+    }
+    assert got == want
