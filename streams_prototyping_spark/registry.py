@@ -63,6 +63,7 @@ def load_all() -> None:
         curation,
         dedup,
         dedup_pipeline,
+        packing,
         similarity,
         text,
         text_transform,

@@ -160,3 +160,40 @@ def test_mixture_weights_form_a_distribution(spark, sf_dir):
     tail = min(rows, key=lambda r: r["token_share"])
     assert head["mixture_weight"] <= head["token_share"] + 1e-9
     assert tail["mixture_weight"] >= tail["token_share"] - 1e-9
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    from streams_prototyping_spark.functions.packing import CTX_TOKENS
+
+    rows = sorted(
+        registry.QUERIES["sequence_packing"](spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["offset_in_bin"] == cum % CTX_TOKENS
+        assert r["bin_id"] == cum // CTX_TOKENS
+        cum += r["n_tokens"]
+    # bins are contiguous from 0
+    bins = {r["bin_id"] for r in rows}
+    assert bins == set(range(max(bins) + 1))
+
+
+def test_token_budget_is_tight_and_quality_ordered(spark, sf_dir):
+    from streams_prototyping_spark.functions.packing import TOKEN_BUDGET
+
+    kept = registry.QUERIES["token_budget_select"](spark, sf_dir).collect()
+    assert kept, "budget should admit at least one doc"
+    total = sum(r["n_tokens"] for r in kept)
+    assert total <= TOKEN_BUDGET
+    # every kept doc has quality >= every dropped doc (prefix property)
+    all_q = {
+        r["doc_id"]: r["quality_score"]
+        for r in registry.QUERIES["quality_score"](spark, sf_dir).collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept}
+    min_kept_q = min(r["q"] for r in kept)
+    dropped_better = [
+        d for d, q in all_q.items() if d not in kept_ids and q > min_kept_q
+    ]
+    assert not dropped_better, f"higher-quality docs dropped: {dropped_better[:5]}"
