@@ -48,14 +48,18 @@ def main() -> None:
     if len(sys.argv) > 1:
         current = _load_queries(Path(sys.argv[1]))
     else:
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        current = json.loads(line)["queries"]
+        )
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            sys.stderr.write(proc.stderr[-2000:])
+            raise SystemExit(
+                f"bench.py produced no JSON line (rc={proc.returncode}) — see stderr above"
+            )
+        current = json.loads(json_lines[-1])["queries"]
 
     regressions: list[str] = []
     print(f"{'query':34s} {'r01':>8s} {'now':>8s} {'ratio':>7s}")
@@ -79,6 +83,10 @@ def main() -> None:
 
     tot_old = sum(v for k, v in baseline.items() if k in current)
     tot_new = sum(v for k, v in current.items() if k in baseline)
+    if tot_old == 0:
+        raise SystemExit(
+            "no shared queries between baseline and current run — wrong file?"
+        )
     print(
         f"\nshared-query total: r01={tot_old:.2f}s now={tot_new:.2f}s "
         f"({tot_new / tot_old:.2f}x)"

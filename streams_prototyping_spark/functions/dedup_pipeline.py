@@ -37,10 +37,12 @@ from pyspark.sql import functions as F
 from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.functions.dedup import (
     EST_JACCARD_MIN,
+    K_PERMS,
     _bands_cte_duck,
     _SIGS_CTE_DUCK,
     minhash_lsh_pairs_df,
 )
+from streams_prototyping_spark.functions.text import _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
 
@@ -50,13 +52,12 @@ MAX_CC_ROUNDS = 15  # raise loudly rather than return a non-fixpoint
 
 # DuckDB recursive twin: min reachable doc_id per node == component id.
 # The edge list is exactly minhash_lsh_pairs' output (both directions).
-_K_PERMS = 8
 _EST_EXPR = (
     "("
     + " + ".join(
-        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(_K_PERMS)
+        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(K_PERMS)
     )
-    + f") / CAST({_K_PERMS} AS DOUBLE)"
+    + f") / CAST({K_PERMS} AS DOUBLE)"
 )
 
 _CLUSTERS_CTE = (
@@ -183,9 +184,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------- canonical
 
 # quality score fragment (same formula as functions/text.py
-# quality_score — duplicated here as SQL text so the oracle is one
-# self-contained statement).
-_QUALITY_DUCK = """
+# quality_score; stopword list shared via text._STOP_LIST_SQL).
+_QUALITY_DUCK = f"""
 quality AS (
     SELECT doc_id,
            round(0.4 * (CASE WHEN len(string_split(text, ' ')) >= 100 THEN 1.0
@@ -193,7 +193,7 @@ quality AS (
                + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                         / len(string_split(text, ' ')))
                + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
-                              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                              x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE)
                         / len(string_split(text, ' '))), 6) AS q
     FROM documents
 )
@@ -228,24 +228,11 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-only) quality features; both sides are keyed by doc_id /
     cluster_id, no new shuffle shape beyond the clustering itself.
     """
+    from streams_prototyping_spark.functions.text_transform import quality_score_col
+
     clusters = dedup_clusters_df(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
-    stop_words = ("the", "a", "of", "and", "to", "in", "is", "it")
-    stop_ratio = (
-        F.size(F.filter(words, lambda x: x.isin(*stop_words))).cast("double") / n_words
-    )
-    length_score = F.when(n_words >= 100, F.lit(1.0)).otherwise(
-        n_words.cast("double") / 100
-    )
-    quality = d.select(
-        "doc_id",
-        F.round(
-            0.4 * length_score + 0.4 * distinct_ratio + 0.2 * stop_ratio, 6
-        ).alias("q"),
-    )
+    quality = d.select("doc_id", quality_score_col("text").alias("q"))
     joined = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
     wc = Window.partitionBy("cluster_id")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.functions.text import _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
 
 CTX_TOKENS = 512       # context window size (words here; tokens in prod)
@@ -82,7 +83,7 @@ WITH scored AS (
                + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                         / len(string_split(text, ' ')))
                + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
-                              x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+                              x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE)
                         / len(string_split(text, ' '))), 6) AS q
     FROM documents
 ), ranked AS (

@@ -32,9 +32,12 @@ from streams_prototyping_spark.registry import register
 # ---------------------------------------------------------- normalize
 
 # Java regex and RE2 agree on these patterns (no lookaround, no
-# backrefs): strip non-alphanumeric/space, collapse space runs.
-_PUNCT_RE = "[^a-z0-9 ]"
-_WS_RE = " +"
+# backrefs): strip non-alphanumeric/non-whitespace, then collapse ALL
+# whitespace runs (space, tab, newline) to one space — deleting
+# non-space whitespace instead of collapsing it would glue adjacent
+# words together and fork the canonical dedup key.
+_PUNCT_RE = r"[^a-z0-9\s]"
+_WS_RE = r"\s+"
 
 
 def norm_text_col(col: str = "text"):
@@ -52,7 +55,9 @@ def quality_score_col(col: str = "text"):
     """[0,1] quality Column (length saturation + lexical diversity +
     stopword ratio) — the formula of functions/text.py quality_score,
     reusable over any text column (batch or streaming)."""
-    stop_words = ("the", "a", "of", "and", "to", "in", "is", "it")
+    from streams_prototyping_spark.functions.text import EN_STOPWORDS
+
+    stop_words = EN_STOPWORDS
     words = F.split(col, " ")
     n_words = F.size(words)
     distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
@@ -98,16 +103,17 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- repetition
 
-_REP_GRAMS_DUCK = """
-CASE WHEN len(string_split(text, ' ')) >= 3
-     THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
-                         i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
-     ELSE [text] END
-"""
+# trigram construction shared with winnowing/decontamination
+# (functions/dedup_pipeline.py) so every operator agrees on what a
+# trigram is
+from streams_prototyping_spark.functions.dedup_pipeline import (  # noqa: E402
+    _GRAMS_DUCK,
+    _GRAMS_SPARK,
+)
 
 _REPETITION_ORACLE = f"""
 WITH g AS (
-    SELECT doc_id, unnest({_REP_GRAMS_DUCK}) AS gram FROM documents
+    SELECT doc_id, unnest({_GRAMS_DUCK}) AS gram FROM documents
 ), counts AS (
     SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram
 )
@@ -141,17 +147,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every core; a real deployment's scan is already wide.)
     """
     d = widen(load_table(spark, sf_dir, "documents"))
-    words = "split(text, ' ')"
-    grams = f"""
-    CASE WHEN size({words}) >= 3
-         THEN zip_with(
-             zip_with(slice({words}, 1, size({words}) - 2),
-                      slice({words}, 2, size({words}) - 2),
-                      (a, b) -> concat(a, ' ', b)),
-             slice({words}, 3, size({words}) - 2),
-             (ab, c) -> concat(ab, ' ', c))
-         ELSE array(text) END
-    """
+    grams = _GRAMS_SPARK
     # fold state: (prev gram, current run, max run, dup count, total)
     fold = f"""
     aggregate(

@@ -247,7 +247,10 @@ def ingest_documents_stream(
     )
 
 
-EWMA_ALPHA = 0.3
+from streams_prototyping_spark.operators.analytics_ext import (  # noqa: E402
+    EWMA_ALPHA,
+)
+
 _EWMA_STATE_SCHEMA = "ewma double, n long"
 _EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma double"
 

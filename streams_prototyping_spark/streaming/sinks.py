@@ -73,19 +73,7 @@ def dedup_against_store(
     spark = df.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        batch = batch_df.dropDuplicates([key_col])
-        try:
-            seen = spark.read.parquet(f"{store_path}/*/")
-            novel = batch.join(
-                seen.select(key_col).distinct(), key_col, "left_anti"
-            )
-        except AnalysisException:  # first batch: store does not exist yet
-            novel = batch
-        # per-batch subdirectory -> a Spark-retried batch overwrites its
-        # own previous attempt (idempotent), never double-appends
-        novel.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+        merge_batch_into_store(spark, batch_df, batch_id, store_path, key_col)
 
     return (
         df.writeStream.foreachBatch(_merge)
@@ -94,3 +82,35 @@ def dedup_against_store(
         .queryName(query_name)
         .start()
     )
+
+
+def merge_batch_into_store(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key_col: str,
+) -> None:
+    """One idempotent merge step (the foreachBatch body of
+    dedup_against_store, factored out so retries are unit-testable).
+
+    The anti-join MUST exclude the current batch's own partition: a
+    retried batch would otherwise see its previous attempt in the
+    store, anti-join itself to empty, and the overwrite would ERASE
+    its keys — the exact data loss the per-batch directory exists to
+    prevent. Partition-discovery reads give us the batch_id column to
+    filter on."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    batch = batch_df.dropDuplicates([key_col])
+    try:
+        seen = (
+            spark.read.option("basePath", store_path)
+            .parquet(store_path)
+            .filter(F.col("batch_id") != batch_id)
+        )
+        novel = batch.join(seen.select(key_col).distinct(), key_col, "left_anti")
+    except AnalysisException:  # first batch: store does not exist yet
+        novel = batch
+    novel.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")

@@ -150,3 +150,28 @@ def test_dedup_store_survives_restart(spark, tmp_path):
     assert sorted(r["norm_md5"] for r in kept) == ["a", "b", "c", "d"]
     # the first arrival won in every case
     assert {r["norm_md5"]: r["doc_id"] for r in kept} == {"a": 1, "b": 2, "c": 4, "d": 6}
+
+
+def test_dedup_store_merge_is_retry_idempotent(spark, tmp_path):
+    """foreachBatch may re-run a batch after a partial failure; the
+    merge must not anti-join the batch against its OWN previous
+    attempt (which would erase its keys from the store)."""
+    from streams_prototyping_spark.streaming.sinks import merge_batch_into_store
+
+    store = str(tmp_path / "store")
+    schema = "doc_id long, norm_md5 string"
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    merge_batch_into_store(spark, b0, 0, store, "norm_md5")
+    # retry of batch 0 (same data) — keys must survive
+    merge_batch_into_store(spark, b0, 0, store, "norm_md5")
+    kept = spark.read.parquet(f"{store}/*/").collect()
+    assert sorted(r["norm_md5"] for r in kept) == ["a", "b"]
+    # next batch still deduped against batch 0
+    b1 = spark.createDataFrame([(3, "b"), (4, "c")], schema)
+    merge_batch_into_store(spark, b1, 1, store, "norm_md5")
+    kept = spark.read.parquet(f"{store}/*/").collect()
+    assert sorted(r["norm_md5"] for r in kept) == ["a", "b", "c"]
+    # retry of batch 1 after the store already contains it
+    merge_batch_into_store(spark, b1, 1, store, "norm_md5")
+    kept = spark.read.parquet(f"{store}/*/").collect()
+    assert sorted(r["norm_md5"] for r in kept) == ["a", "b", "c"]

@@ -115,7 +115,11 @@ def test_delimited_codec_roundtrip(spark, rows):
 
 _doc_text = st.lists(
     st.text(
-        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        # include \t and \n: normalization must COLLAPSE non-space
+        # whitespace, not delete it (deleting glues words together)
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, include_characters="\t\n"
+        ),
         min_size=0,
         max_size=12,
     ),
