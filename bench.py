@@ -44,6 +44,8 @@ HEADLINE = [
     "sort_limit_topk",
     "window_topn_per_group",
     "window_running_sum",
+    "ewma_per_user",
+    "sequence_packing",
     "events_session_window",
     "events_hopping_window",
     "explode_wordcount",
