@@ -65,6 +65,10 @@ HEADLINE = [
     "ann_ivf_topk_nprobe",
     "token_stats",
     "quality_score",
+    "gopher_quality_filter",
+    "boilerplate_phrases",
+    "unigram_logprob",
+    "kmeans_lloyd",
     "decontamination_overlap",
     "domain_mixture_weights",
     "multimodal_resize",

@@ -1,0 +1,187 @@
+"""Deterministic k-means (Lloyd's iterations) over the embeddings table.
+
+This is the centroid-training step the IVF index in similarity.py
+points at: ann_ivf_topk uses "the first K data vectors" as its cells;
+a real IVF index trains those cells with a few Lloyd iterations first.
+kmeans_lloyd IS that training loop, expressed as a fixed unrolled
+number of DataFrame iterations so it stays a pure batch query with an
+exact DuckDB oracle.
+
+Determinism across engines (the interesting part): a naive
+``avg(double)`` centroid differs between Spark and DuckDB in the last
+bits because summation order differs, and k-means AMPLIFIES that noise
+into discrete assignment flips on the next iteration. So centroid
+components are computed as an EXACT decimal sum (``sum(CAST(val AS
+DECIMAL(25,10)))`` — order-independent) divided by the member count in
+double, then rounded to 9 dp. Both engines therefore compute
+bit-identical centroids, making every downstream distance, assignment
+and inertia bit-identical too. Same trick for inertia: per-row rounded
+distances summed as decimals.
+
+Scale design (100 TB of embeddings): each Lloyd iteration is
+  scan -> broadcast K centroids -> per-row argmin (narrow)
+  -> partial-combined groupBy(cell, dim) sum/count (shuffle of K*D
+     partial rows per task, NOT the data)
+so the data is scanned once per iteration and never shuffled; only
+K*D*n_tasks partial aggregates move. That is the canonical distributed
+k-means (Spark MLlib's own shape). The K-row centroid table is always
+broadcast — the vecs x centroids join is a BroadcastNestedLoopJoin
+over a K-row side, never a real cartesian.
+
+Reference parity: the reference repo has no ML operators; this extends
+the engine per the LLM-pipeline mandate (SURVEY.md Part C'').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
+
+K_CELLS = 8     # centroids; init = vectors with vec_id < K (deterministic)
+N_ITERS = 2     # unrolled Lloyd centroid updates before the final assign
+DIM = 64        # embedding dimensionality (asserted in tests)
+
+_SQD_SPARK = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_SQD_DUCK = (
+    "list_sum(list_transform(range(1, len(q.v) + 1), "
+    "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))"
+)
+
+
+def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: vec_id, v, cell, sqd (ties -> lowest cell)."""
+    j = vecs.crossJoin(F.broadcast(cent))  # K-row broadcast side, never cartesian
+    w = Window.partitionBy("vec_id").orderBy(F.col("sqd").asc(), F.col("cell").asc())
+    return (
+        j.select("vec_id", "v", "cell", F.expr(_SQD_SPARK).alias("sqd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _recenter(assign: DataFrame) -> DataFrame:
+    """Exact-decimal per-dimension mean -> new centroid table (cell, cv)."""
+    return (
+        assign.select("cell", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("cval")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+
+
+def _final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: assignment after N_ITERS Lloyd updates."""
+
+    def build() -> DataFrame:
+        vecs = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        for _ in range(N_ITERS):
+            cent = _recenter(_assign(vecs, cent))
+        return _assign(vecs, cent)
+
+    return shared_stage(spark, sf_dir, "kmeans_final_assign", build)
+
+
+def _assign_cte(src: str, cent: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT vec_id, v, cell, sqd FROM (
+        SELECT q.vec_id, q.v, c.cell, {_SQD_DUCK} AS sqd,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQD_DUCK} ASC, c.cell ASC) AS rn
+        FROM {src} q CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+
+def _recenter_cte(src: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT cell, list(cval ORDER BY dim) AS cv FROM (
+        SELECT cell, t.dim,
+               round(CAST(sum(CAST(v[t.dim] AS DECIMAL(25,10))) AS DOUBLE)
+                     / count(*), 9) AS cval
+        FROM {src} CROSS JOIN range(1, {DIM} + 1) t(dim)
+        GROUP BY cell, t.dim
+    ) GROUP BY cell
+)"""
+
+
+def _lloyd_ctes() -> str:
+    parts = [
+        "vecs AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM vecs WHERE vec_id < {K_CELLS})",
+    ]
+    for i in range(N_ITERS):
+        parts.append(_assign_cte("vecs", f"c{i}", f"a{i}"))
+        parts.append(_recenter_cte(f"a{i}", f"c{i + 1}"))
+    parts.append(_assign_cte("vecs", f"c{N_ITERS}", "afinal"))
+    return ",\n".join(parts)
+
+
+_KMEANS_ORACLE = f"""
+WITH {_lloyd_ctes()}
+SELECT vec_id, cell, round(sqd, 6) AS sq_dist FROM afinal
+"""
+
+
+@register("kmeans_lloyd", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cell assignment after {N_ITERS} deterministic Lloyd
+    iterations (K={K_CELLS}, init = first K vectors by vec_id) — the
+    IVF centroid-training loop as a batch query."""
+    return _final_assign(spark, sf_dir).select(
+        "vec_id", "cell", F.round("sqd", 6).alias("sq_dist")
+    )
+
+
+_PROFILE_ORACLE = f"""
+WITH {_lloyd_ctes()}
+SELECT cell,
+       count(*) AS n_members,
+       round(CAST(sum(CAST(round(sqd, 6) AS DECIMAL(25,6))) AS DOUBLE), 6)
+           AS inertia,
+       round(CAST(sum(CAST(round(sqd, 6) AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*), 6) AS mean_sq_dist
+FROM afinal
+GROUP BY cell
+"""
+
+
+@register("kmeans_cluster_profile", oracle=_PROFILE_ORACLE)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell cluster profile (size, inertia, mean squared distance)
+    of the trained k-means — the balance check an IVF index build runs
+    before accepting its cell layout. Shares the trained assignment
+    stage with kmeans_lloyd (built once per session)."""
+    a = _final_assign(spark, sf_dir)
+    inertia = F.sum(F.round("sqd", 6).cast("decimal(25,6)")).cast("double")
+    return a.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.round(inertia, 6).alias("inertia"),
+        F.round(inertia / F.count("*"), 6).alias("mean_sq_dist"),
+    )

@@ -60,6 +60,8 @@ def load_all() -> None:
         analytics_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
+        clustering,
+        corpus_stats,
         curation,
         dedup,
         dedup_pipeline,

@@ -1,0 +1,132 @@
+"""Semantic + plan tests for the corpus-stats and clustering operators
+(boilerplate_phrases, gopher_quality_filter, unigram_logprob,
+kmeans_lloyd, kmeans_cluster_profile). Oracle parity is covered by
+test_oracle_parity; these assert the properties parity can't see:
+plan shape at scale and algebraic invariants."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark import registry
+from streams_prototyping_spark.functions.clustering import DIM, K_CELLS
+from streams_prototyping_spark.plans.introspect import plan_facts
+
+registry.load_all()
+
+
+def test_gopher_filter_is_narrow(spark, sf_dir):
+    """All Gopher features are per-row folds: no shuffle, no join."""
+    facts = plan_facts(registry.QUERIES["gopher_quality_filter"](spark, sf_dir))
+    assert facts.shuffles == 0
+    assert facts.broadcast_joins == 0 and facts.sort_merge_joins == 0
+    assert not facts.has_python
+
+
+def test_gopher_verdict_consistent(spark, sf_dir):
+    rows = registry.QUERIES["gopher_quality_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expected = (
+            r.r_word_count and r.r_mean_wlen and r.r_stopwords
+            and r.r_max_wlen and r.r_top_word
+        )
+        assert r.passes == expected
+        assert 0.0 < r.top_word_frac <= 1.0
+    # the thresholds must actually discriminate on this corpus
+    assert {r.passes for r in rows} == {True, False}
+
+
+def test_boilerplate_is_keyed_join(spark, sf_dir):
+    """Boilerplate join-back is keyed on gram — never a doc cross
+    product — and fractions are well-formed."""
+    df = registry.QUERIES["boilerplate_phrases"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert not facts.has_cartesian
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler_grams <= r.n_grams
+        assert 0.0 <= r.boiler_frac <= 1.0
+    # threshold must bite: some but not all grams are boilerplate
+    assert any(r.n_boiler_grams > 0 for r in rows)
+    assert any(r.n_boiler_grams < r.n_grams for r in rows)
+
+
+def test_unigram_logprob_invariants(spark, sf_dir):
+    """NLL is positive (p < 1 for every token) and min <= mean <= max;
+    the frequency table is broadcast, the token stream never re-shuffles."""
+    df = registry.QUERIES["unigram_logprob"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.broadcast_joins >= 1  # freq + total lookup sides
+    assert not facts.has_cartesian
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.min_nll <= r.mean_nll <= r.max_nll
+        assert r.min_nll > 0.0
+
+
+def test_kmeans_assignment_shape(spark, sf_dir):
+    """Every vector lands in exactly one live cell; distances are
+    non-negative; no cartesian product (the K-row side is broadcast)."""
+    df = registry.QUERIES["kmeans_lloyd"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert not facts.has_cartesian
+    rows = df.collect()
+    n_vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert len(rows) == n_vecs  # one assignment per vector
+    cells = {r.cell for r in rows}
+    assert cells <= set(range(K_CELLS))
+    assert len(cells) > 1  # clustering actually split the data
+    assert all(r.sq_dist >= 0.0 for r in rows)
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    """Lloyd's guarantee: total inertia is non-increasing across
+    iterations. Computed directly with the module's own building
+    blocks at N_ITERS=0 vs N_ITERS=2."""
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.functions.clustering import _assign, _recenter
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    cent0 = vecs.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    inertia0 = _assign(vecs, cent0).agg(F.sum("sqd")).collect()[0][0]
+    cent2 = _recenter(_assign(vecs, _recenter(_assign(vecs, cent0))))
+    inertia2 = _assign(vecs, cent2).agg(F.sum("sqd")).collect()[0][0]
+    assert inertia2 <= inertia0 + 1e-9
+
+
+def test_kmeans_profile_consistent_with_assignment(spark, sf_dir):
+    prof = {
+        r.cell: r
+        for r in registry.QUERIES["kmeans_cluster_profile"](spark, sf_dir).collect()
+    }
+    assign = registry.QUERIES["kmeans_lloyd"](spark, sf_dir).collect()
+    sizes: dict[int, int] = {}
+    inertia: dict[int, float] = {}
+    for r in assign:
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+        inertia[r.cell] = inertia.get(r.cell, 0.0) + r.sq_dist
+    assert set(prof) == set(sizes)
+    for cell, p in prof.items():
+        assert p.n_members == sizes[cell]
+        assert math.isclose(p.inertia, inertia[cell], rel_tol=0, abs_tol=1e-4)
+
+
+def test_embedding_dim_matches_constant(spark, sf_dir):
+    """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("n"))
+        .distinct()
+        .collect()
+    )
+    assert [r.n for r in d] == [DIM]
