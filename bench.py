@@ -68,7 +68,10 @@ HEADLINE = [
     "gopher_quality_filter",
     "boilerplate_phrases",
     "unigram_logprob",
+    "collocation_pmi",
+    "tfidf_cosine_pairs",
     "kmeans_lloyd",
+    "pq_encode",
     "decontamination_overlap",
     "domain_mixture_weights",
     "multimodal_resize",

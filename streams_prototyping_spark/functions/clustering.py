@@ -185,3 +185,101 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inertia, 6).alias("inertia"),
         F.round(inertia / F.count("*"), 6).alias("mean_sq_dist"),
     )
+
+
+# ------------------------------------------------------- product quantization
+
+M_SUB = 8           # subspaces
+SUB_DIM = DIM // M_SUB
+K_PQ = 16           # codewords per subspace; codebook = first K_PQ vectors
+
+_SUB_SQD_SPARK = (
+    "aggregate(zip_with(subvec, cw, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_SUB_SQD_DUCK = (
+    "list_sum(list_transform(range(1, len(p.subvec) + 1), "
+    "i -> (p.subvec[i] - c.cw[i]) * (p.subvec[i] - c.cw[i])))"
+)
+
+_PQ_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), subs AS (
+    SELECT vec_id, t.m,
+           v[(t.m * {SUB_DIM} + 1):(t.m * {SUB_DIM} + {SUB_DIM})] AS subvec
+    FROM vecs CROSS JOIN range(0, {M_SUB}) t(m)
+), codebook AS (
+    SELECT m, vec_id AS cw_id, subvec AS cw FROM subs WHERE vec_id < {K_PQ}
+), best AS (
+    SELECT vec_id, m, cw_id, sqd FROM (
+        SELECT p.vec_id, p.m, c.cw_id, {_SUB_SQD_DUCK} AS sqd,
+               row_number() OVER (PARTITION BY p.vec_id, p.m
+                                  ORDER BY {_SUB_SQD_DUCK} ASC, c.cw_id ASC) AS rn
+        FROM subs p JOIN codebook c ON c.m = p.m
+    ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(cw_id, '-' ORDER BY m) AS pq_code,
+       round(CAST(sum(CAST(round(sqd, 9) AS DECIMAL(25,9))) AS DOUBLE), 6)
+           AS recon_sq_err
+FROM best
+GROUP BY vec_id
+"""
+
+
+@register("pq_encode", oracle=_PQ_ORACLE)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector split into {M_SUB} subvectors
+    of {SUB_DIM} dims; each subvector encoded as its nearest codeword id
+    (codebook = the first {K_PQ} vectors' subvectors — deterministic,
+    like the IVF cells). Output: the '-'-joined PQ code plus the exact
+    reconstruction error. Together with kmeans_lloyd (coarse cells)
+    this is the IVF-PQ index layout.
+
+    Scale note: the codebook is {M_SUB}x{K_PQ} rows, always broadcast;
+    the vector stream explodes M-fold, joins on subspace id (keyed,
+    broadcast side), and the per-(vec, subspace) argmin partial-combines
+    — the data shuffles once on vec_id for code assembly, nothing else.
+    Reconstruction error uses decimal-exact summation so both engines
+    agree bit-for-bit.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {M_SUB - 1}), m -> named_struct("
+                f"'m', CAST(m AS INT), "
+                f"'subvec', slice(v, m * {SUB_DIM} + 1, {SUB_DIM})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
+        "m", F.col("vec_id").alias("cw_id"), F.col("subvec").alias("cw")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("sqd").asc(), F.col("cw_id").asc()
+    )
+    best = (
+        subs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "cw_id", F.expr(_SUB_SQD_SPARK).alias("sqd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cw_id"))),
+                lambda s: s["cw_id"].cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.round(
+            F.sum(F.round("sqd", 9).cast("decimal(25,9)")).cast("double"), 6
+        ).alias("recon_sq_err"),
+    )

@@ -50,6 +50,7 @@ from streams_prototyping_spark.functions.dedup_pipeline import (
 )
 from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 # ----------------------------------------------------------- boilerplate
 
@@ -254,4 +255,217 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(nll), 6).alias("min_nll"),
             F.round(F.max(nll), 6).alias("max_nll"),
         )
+    )
+
+
+# ------------------------------------------------------- collocation PMI
+
+PMI_MIN_COUNT = 5  # bigram must occur >= 5 times corpus-wide
+
+_BIGRAMS_SPARK = """
+CASE WHEN size(split(text, ' ')) >= 2
+     THEN zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                   slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                   (a, b) -> named_struct('w1', a, 'w2', b))
+     ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
+"""
+
+_BIGRAMS_DUCK = """
+CASE WHEN len(string_split(text, ' ')) >= 2
+     THEN list_transform(range(1, len(string_split(text, ' '))),
+              i -> {'w1': (string_split(text, ' '))[i],
+                    'w2': (string_split(text, ' '))[i + 1]})
+     ELSE [] END
+"""
+
+_PMI_ORACLE = f"""
+WITH bg AS (
+    SELECT b.w1, b.w2 FROM documents, unnest({_BIGRAMS_DUCK}) AS t(b)
+), bgf AS (
+    SELECT w1, w2, count(*) AS n_bigram FROM bg GROUP BY w1, w2
+), uni AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), unif AS (
+    SELECT word, count(*) AS n FROM uni GROUP BY word
+), tot AS (
+    SELECT (SELECT sum(n_bigram) FROM bgf) AS n_bg_total,
+           (SELECT sum(n) FROM unif) AS n_uni_total
+)
+SELECT bgf.w1, bgf.w2, bgf.n_bigram,
+       f1.n AS n_w1, f2.n AS n_w2,
+       round(ln((CAST(bgf.n_bigram AS DOUBLE) / tot.n_bg_total)
+                / ((CAST(f1.n AS DOUBLE) / tot.n_uni_total)
+                   * (CAST(f2.n AS DOUBLE) / tot.n_uni_total))), 6) AS pmi
+FROM bgf
+JOIN unif f1 ON f1.word = bgf.w1
+JOIN unif f2 ON f2.word = bgf.w2
+CROSS JOIN tot
+WHERE bgf.n_bigram >= {PMI_MIN_COUNT}
+"""
+
+
+@register("collocation_pmi", oracle=_PMI_ORACLE)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram collocations scored by pointwise mutual
+    information — the classic phrase-mining statistic (word2vec's
+    phrase pass, tokenizer-vocabulary merges, and template detection
+    all rank candidate merges by exactly this ratio).
+
+    Scale note: one bigram aggregation + one unigram aggregation (both
+    partial-combined over the exploded stream), then two broadcast
+    lookups of the unigram table and a broadcast 1-row totals join —
+    the bigram stream itself is never re-shuffled after its groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bgf = (
+        d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= PMI_MIN_COUNT)
+    )
+    unif = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .agg(F.count("*").alias("n_uni_total"))
+        .crossJoin(
+            d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b"))
+            .agg(F.count("*").alias("n_bg_total"))
+        )
+    )
+    f1 = unif.select(F.col("word").alias("w1"), F.col("n").alias("n_w1"))
+    f2 = unif.select(F.col("word").alias("w2"), F.col("n").alias("n_w2"))
+    pmi = F.log(
+        (F.col("n_bigram").cast("double") / F.col("n_bg_total"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("n_uni_total"))
+            * (F.col("n_w2").cast("double") / F.col("n_uni_total"))
+        )
+    )
+    return (
+        bgf.join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "n_bigram", "n_w1", "n_w2", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+# -------------------------------------------- sparse tf-idf cosine pairs
+
+TFIDF_DF_MIN = 2    # df=1 terms cannot produce pairs; prune before join
+TFIDF_DF_MAX = 16   # prefix-filter analogue: drop hot terms from pairing
+TFIDF_MIN_COS = 0.25
+
+_TFIDF_GRAMS_CTE = f"""
+g AS (
+    SELECT doc_id, unnest({_GRAMS_DUCK}) AS gram FROM documents
+), tf AS (
+    SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
+), df AS (
+    SELECT gram, count(*) AS df FROM tf GROUP BY gram
+), nd AS (
+    SELECT count(*) AS n_docs FROM documents
+), w AS (
+    SELECT tf.doc_id, tf.gram, df.df,
+           tf.tf * round(ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS w
+    FROM tf JOIN df USING (gram) CROSS JOIN nd
+), norms AS (
+    SELECT doc_id,
+           sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE))
+               AS norm
+    FROM w GROUP BY doc_id
+)
+"""
+
+_TFIDF_ORACLE = f"""
+WITH {_TFIDF_GRAMS_CTE}
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       count(*) AS n_shared_terms,
+       round(CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / (any_value(na.norm) * any_value(nb.norm)), 6) AS cos_sim
+FROM w a
+JOIN w b ON b.gram = a.gram AND a.doc_id < b.doc_id
+JOIN norms na ON na.doc_id = a.doc_id
+JOIN norms nb ON nb.doc_id = b.doc_id
+WHERE a.df BETWEEN {TFIDF_DF_MIN} AND {TFIDF_DF_MAX}
+GROUP BY a.doc_id, b.doc_id
+HAVING round(CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / (any_value(na.norm) * any_value(nb.norm)), 6) >= {TFIDF_MIN_COS}
+"""
+
+
+@register("tfidf_cosine_pairs", oracle=_TFIDF_ORACLE)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity pairs via an inverted index —
+    the all-pairs similarity-join shape (Bayardo et al.: index terms,
+    join postings lists, prune hot terms). Complements the dense-vector
+    ANN family and the Jaccard-based dedup detectors.
+
+    Scale note: pairing joins postings ON TERM (keyed, never a doc
+    cross product); df=1 terms are pruned (cannot pair) and terms with
+    df > {TFIDF_DF_MAX} are excluded from pairing (the prefix-filter
+    move that caps per-term fan-out at df^2 — hot terms contribute
+    little to tf-idf cosine anyway since idf -> 0). Norms still use the
+    FULL vector. idf is rounded to 6 dp before use and dot/norm sums
+    are decimal-exact, so both engines agree bit-for-bit despite
+    summation-order differences.
+    """
+    def build_w() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+        tf = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+        df_tbl = tf.groupBy("gram").agg(F.count("*").alias("df"))
+        nd = d.agg(F.count("*").alias("n_docs"))
+        return (
+            tf.join(df_tbl, "gram")
+            .join(F.broadcast(nd))
+            .select(
+                "doc_id",
+                "gram",
+                "df",
+                (
+                    F.col("tf")
+                    * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+                ).alias("w"),
+            )
+        )
+
+    # one persisted postings build feeds all four consumers (index side a,
+    # index side b, and both norm lookups) — without the barrier the plan
+    # re-derives tf/df per consumer (measured: 12 scans -> 2)
+    w = shared_stage(spark, sf_dir, "tfidf_postings", build_w)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+        ).alias("norm")
+    )
+    indexed = w.filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX))
+    a = indexed.select(
+        F.col("doc_id").alias("doc1"), "gram", F.col("w").alias("w1")
+    )
+    b = indexed.select(
+        F.col("doc_id").alias("doc2"), "gram", F.col("w").alias("w2")
+    )
+    na = norms.select(F.col("doc_id").alias("doc1"), F.col("norm").alias("norm1"))
+    nb = norms.select(F.col("doc_id").alias("doc2"), F.col("norm").alias("norm2"))
+    cos = F.sum(
+        F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(28,9)")
+    ).cast("double") / (F.first("norm1") * F.first("norm2"))
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .join(na, "doc1")
+        .join(nb, "doc2")
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= TFIDF_MIN_COS)
     )

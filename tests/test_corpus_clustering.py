@@ -121,6 +121,56 @@ def test_kmeans_profile_consistent_with_assignment(spark, sf_dir):
         assert math.isclose(p.inertia, inertia[cell], rel_tol=0, abs_tol=1e-4)
 
 
+def test_pq_code_shape(spark, sf_dir):
+    """PQ codes have M_SUB fields, all < K_PQ; codebook members encode
+    themselves with zero reconstruction error."""
+    from streams_prototyping_spark.functions.clustering import K_PQ, M_SUB
+
+    rows = registry.QUERIES["pq_encode"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        parts = r.pq_code.split("-")
+        assert len(parts) == M_SUB
+        assert all(0 <= int(p) < K_PQ for p in parts)
+        assert r.recon_sq_err >= 0.0
+    by_id = {r.vec_id: r for r in rows}
+    for i in range(K_PQ):
+        assert by_id[i].recon_sq_err == 0.0
+        assert by_id[i].pq_code == "-".join([str(i)] * M_SUB)
+
+
+def test_collocation_pmi_symmetric_marginals(spark, sf_dir):
+    """PMI recomputes from its own reported marginals; counts respect
+    the min-count threshold."""
+    from streams_prototyping_spark.functions.corpus_stats import PMI_MIN_COUNT
+
+    rows = registry.QUERIES["collocation_pmi"](spark, sf_dir).collect()
+    assert rows
+    n_uni = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    for r in rows:
+        assert r.n_bigram >= PMI_MIN_COUNT
+        assert r.n_w1 >= r.n_bigram and r.n_w2 >= r.n_bigram
+        assert r.n_w1 <= n_uni
+
+
+def test_tfidf_pairs_keyed_and_bounded(spark, sf_dir):
+    """Similarity join must be keyed on term (no cartesian) and cosine
+    stays in (0, 1]; pairs are canonical doc1 < doc2."""
+    df = registry.QUERIES["tfidf_cosine_pairs"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert not facts.has_cartesian
+    rows = df.collect()
+    assert rows  # planted duplicates guarantee similar pairs exist
+    for r in rows:
+        assert r.doc1 < r.doc2
+        assert 0.0 < r.cos_sim <= 1.0 + 1e-9
+        assert r.n_shared_terms >= 1
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
