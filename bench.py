@@ -74,6 +74,8 @@ HEADLINE = [
     "pq_encode",
     "decontamination_overlap",
     "domain_mixture_weights",
+    "curation_pipeline_select",
+    "source_quality_report",
     "multimodal_resize",
     "doc_chunking",
     "dataset_split",

@@ -59,17 +59,18 @@ BOILER_MIN_DOCS = 3  # trigram in >= 3 distinct docs => boilerplate
 _BOILER_ORACLE = f"""
 WITH g AS (
     SELECT doc_id, unnest({_GRAMS_DUCK}) AS gram FROM documents
+), tf AS (
+    SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
 ), b AS (
-    SELECT gram FROM g GROUP BY gram
-    HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    SELECT gram FROM tf GROUP BY gram HAVING count(*) >= {BOILER_MIN_DOCS}
 )
-SELECT g.doc_id,
-       count(*) AS n_grams,
-       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler_grams,
-       round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS boiler_frac
-FROM g LEFT JOIN b ON b.gram = g.gram
-GROUP BY g.doc_id
+SELECT tf.doc_id,
+       sum(tf.tf) AS n_grams,
+       sum(CASE WHEN b.gram IS NOT NULL THEN tf.tf ELSE 0 END) AS n_boiler_grams,
+       round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN tf.tf ELSE 0 END) AS DOUBLE)
+             / sum(tf.tf), 6) AS boiler_frac
+FROM tf LEFT JOIN b ON b.gram = tf.gram
+GROUP BY tf.doc_id
 """
 
 
@@ -79,31 +80,36 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BOILER_MIN_DOCS} distinct documents is boilerplate; each document
     reports how much of it is boilerplate.
 
-    Scale note: both aggregations partial-combine map-side (distinct
-    doc-per-gram first, then gram counts); the join back is keyed on
-    gram — never a document cross product — and the >= K threshold
-    shrinks the right side an order of magnitude before the join.
+    Scale note: the raw trigram stream is exploded ONCE and collapsed
+    to per-(doc, gram) counts immediately (partial-combined); doc
+    frequency, the boilerplate set and the per-doc totals all derive
+    from that collapsed table, so the join back moves distinct
+    (doc, gram) pairs — not occurrences — keyed on gram, never a
+    document cross product. The >= K threshold shrinks the boilerplate
+    side an order of magnitude before the join.
     """
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("tf"))
+    )
     boiler = (
-        grams.distinct()
-        .groupBy("gram")
+        tf.groupBy("gram")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= BOILER_MIN_DOCS)
         .select("gram", F.lit(1).alias("is_boiler"))
     )
+    boiler_tf = F.sum(
+        F.when(F.col("is_boiler").isNotNull(), F.col("tf")).otherwise(F.lit(0))
+    )
     return (
-        grams.join(boiler, "gram", "left")
+        tf.join(boiler, "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler_grams"),
-            F.round(
-                F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("boiler_frac"),
+            F.sum("tf").alias("n_grams"),
+            boiler_tf.alias("n_boiler_grams"),
+            F.round(boiler_tf.cast("double") / F.sum("tf"), 6).alias("boiler_frac"),
         )
     )
 

@@ -151,3 +151,185 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_share",
         F.round("w_raw", 6).alias("mixture_weight"),
     )
+
+
+# ------------------------------------------- end-to-end curation select
+
+# The per-doc keep/drop decision a curation run actually materializes:
+# every document tagged with the FIRST pipeline stage that rejects it
+# (stage order mirrors a real pipeline: holdout isolation -> cheap
+# quality gate -> normalized exact dedup among survivors -> benchmark
+# decontamination). Composes the already-oracled building blocks —
+# single-sourced on both engines (the oracle embeds the component
+# oracles as subqueries).
+
+from streams_prototyping_spark.functions.corpus_stats import (  # noqa: E402
+    _GOPHER_ORACLE,
+    gopher_quality_filter,
+)
+from streams_prototyping_spark.functions.text_transform import (  # noqa: E402
+    _NORMALIZE_ORACLE,
+    text_normalize,
+)
+
+_SELECT_REASON_SQL = f"""
+CASE WHEN source = '{EVAL_SOURCE}' THEN 'eval_holdout'
+     WHEN NOT passes THEN 'quality'
+     WHEN doc_id <> min_keep THEN 'duplicate'
+     WHEN contaminated THEN 'contaminated'
+     ELSE 'kept' END
+"""
+
+_PIPELINE_SELECT_ORACLE = f"""
+WITH base AS (
+    SELECT d.doc_id, d.source, g.passes, n.norm_md5
+    FROM documents d
+    JOIN ({_GOPHER_ORACLE}) g ON g.doc_id = d.doc_id
+    JOIN ({_NORMALIZE_ORACLE}) n ON n.doc_id = d.doc_id
+), contam AS (
+    SELECT DISTINCT train_doc_id AS doc_id FROM ({_DECONTAM_ORACLE})
+), flagged AS (
+    SELECT b.doc_id, b.source, b.passes,
+           (c.doc_id IS NOT NULL) AS contaminated,
+           min(CASE WHEN b.source <> '{EVAL_SOURCE}' AND b.passes
+                    THEN b.doc_id END)
+               OVER (PARTITION BY b.norm_md5) AS min_keep
+    FROM base b LEFT JOIN contam c ON c.doc_id = b.doc_id
+)
+SELECT doc_id,
+       {_SELECT_REASON_SQL} AS reason,
+       ({_SELECT_REASON_SQL} = 'kept') AS keep
+FROM flagged
+"""
+
+
+@register("curation_pipeline_select", oracle=_PIPELINE_SELECT_ORACLE)
+def curation_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final corpus selection: per-document keep/drop verdict with the
+    first rejecting stage as the reason (eval_holdout | quality |
+    duplicate | contaminated | kept). Duplicate resolution keeps the
+    lowest doc_id among QUALITY-PASSING members of each normalized
+    content group — rejected docs cannot claim survivorship.
+
+    Scale note: composes the registered building blocks by doc-keyed
+    joins for single-sourcing; a production pipeline fuses the quality
+    and normalization projections into one scan pass (they are
+    independent narrow columns — see gopher_quality_filter /
+    text_normalize plans), keeps the dedup window as one hash-keyed
+    shuffle on norm_md5, and broadcasts the contaminated-id set (it is
+    bounded by the benchmark corpus size).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    n = text_normalize(spark, sf_dir).select("doc_id", "norm_md5")
+    contam = (
+        decontamination_overlap(spark, sf_dir)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("contaminated_flag", F.lit(True))
+    )
+    base = (
+        d.join(g, "doc_id")
+        .join(n, "doc_id")
+        .join(F.broadcast(contam), "doc_id", "left")
+    )
+    win = Window.partitionBy("norm_md5")
+    candidate = (F.col("source") != EVAL_SOURCE) & F.col("passes")
+    min_keep = F.min(F.when(candidate, F.col("doc_id"))).over(win)
+    reason = (
+        F.when(F.col("source") == EVAL_SOURCE, "eval_holdout")
+        .when(~F.col("passes"), "quality")
+        .when(F.col("doc_id") != F.col("min_keep"), "duplicate")
+        .when(F.coalesce(F.col("contaminated_flag"), F.lit(False)), "contaminated")
+        .otherwise("kept")
+    )
+    return (
+        base.withColumn("min_keep", min_keep)
+        .withColumn("reason", reason)
+        .select("doc_id", "reason", (F.col("reason") == "kept").alias("keep"))
+    )
+
+
+# --------------------------------------------------- per-source audit
+
+from streams_prototyping_spark.functions.corpus_stats import (  # noqa: E402
+    _BOILER_ORACLE,
+    _UNIGRAM_ORACLE,
+    boilerplate_phrases,
+    unigram_logprob,
+)
+from streams_prototyping_spark.functions.text import (  # noqa: E402
+    _QUALITY_ORACLE,
+    quality_score,
+)
+
+_SOURCE_REPORT_ORACLE = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE})),
+g AS (SELECT doc_id, passes FROM ({_GOPHER_ORACLE})),
+u AS (SELECT doc_id, mean_nll FROM ({_UNIGRAM_ORACLE})),
+b AS (SELECT doc_id, boiler_frac FROM ({_BOILER_ORACLE}))
+SELECT d.source,
+       count(*) AS n_docs,
+       round(CAST(sum(CASE WHEN g.passes THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS gopher_pass_rate,
+       round(CAST(sum(CAST(q.quality_score AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality,
+       round(CAST(sum(CAST(u.mean_nll AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*), 6) AS mean_doc_nll,
+       round(CAST(sum(CAST(b.boiler_frac AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*), 6) AS mean_boiler_frac
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN g ON g.doc_id = d.doc_id
+JOIN u ON u.doc_id = d.doc_id
+JOIN b ON b.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register("source_quality_report", oracle=_SOURCE_REPORT_ORACLE)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, Gopher pass rate,
+    mean quality score, mean unigram NLL and mean boilerplate fraction
+    — the audit table a pipeline owner reads before adjusting mixture
+    weights or thresholds.
+
+    Scale note: per-doc features are narrow projections (or
+    already-keyed aggregates) joined on doc_id, then one source-keyed
+    partial-combined aggregation; per-doc doubles are pre-rounded, so
+    the decimal sums make the report deterministic across engines and
+    partitionings. Output is domain-count sized.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    u = unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
+    b = boilerplate_phrases(spark, sf_dir).select("doc_id", "boiler_frac")
+
+    def dmean(col: str):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        d.join(q, "doc_id")
+        .join(g, "doc_id")
+        .join(u, "doc_id")
+        .join(b, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("gopher_pass_rate"),
+            dmean("quality_score").alias("mean_quality"),
+            dmean("mean_nll").alias("mean_doc_nll"),
+            dmean("boiler_frac").alias("mean_boiler_frac"),
+        )
+    )

@@ -171,6 +171,45 @@ def test_tfidf_pairs_keyed_and_bounded(spark, sf_dir):
         assert r.n_shared_terms >= 1
 
 
+def test_curation_select_invariants(spark, sf_dir):
+    """Every doc gets exactly one verdict; eval-source docs are always
+    held out; kept docs are unique per normalized content; keep <=>
+    reason == 'kept'."""
+    from streams_prototyping_spark.functions.curation import EVAL_SOURCE
+
+    sel = {r.doc_id: r for r in
+           registry.QUERIES["curation_pipeline_select"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(sel) == len(docs)
+    norm = {r.doc_id: r.norm_md5 for r in
+            registry.QUERIES["text_normalize"](spark, sf_dir).collect()}
+    kept_hashes = set()
+    for d in docs:
+        r = sel[d.doc_id]
+        assert r.keep == (r.reason == "kept")
+        if d.source == EVAL_SOURCE:
+            assert r.reason == "eval_holdout"
+        if r.keep:
+            h = norm[d.doc_id]
+            assert h not in kept_hashes  # one survivor per content group
+            kept_hashes.add(h)
+    reasons = {r.reason for r in sel.values()}
+    assert "kept" in reasons and "quality" in reasons and "eval_holdout" in reasons
+
+
+def test_source_report_consistent(spark, sf_dir):
+    """Report rows cover every source; rates/fractions in [0,1]; doc
+    counts sum to the corpus size."""
+    rows = registry.QUERIES["source_quality_report"](spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.gopher_pass_rate <= 1.0
+        assert 0.0 <= r.mean_quality <= 1.0
+        assert 0.0 <= r.mean_boiler_frac <= 1.0
+        assert r.mean_doc_nll > 0.0
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
