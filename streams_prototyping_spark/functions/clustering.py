@@ -34,7 +34,7 @@ the engine per the LLM-pipeline mandate (SURVEY.md Part C'').
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
@@ -56,14 +56,25 @@ _SQD_DUCK = (
 
 
 def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: vec_id, v, cell, sqd (ties -> lowest cell)."""
+    """Nearest-centroid assignment: vec_id, v, cell, sqd (ties -> lowest cell).
+
+    Argmin is min(struct(sqd, cell)) under a groupBy — struct ordering
+    gives the deterministic tie-break, and map-side partial aggregation
+    collapses the K candidate rows per vector BEFORE the shuffle (a
+    row_number window would shuffle and sort N*K rows instead of N).
+    first(v) is safe: v is functionally dependent on vec_id.
+    """
     j = vecs.crossJoin(F.broadcast(cent))  # K-row broadcast side, never cartesian
-    w = Window.partitionBy("vec_id").orderBy(F.col("sqd").asc(), F.col("cell").asc())
     return (
         j.select("vec_id", "v", "cell", F.expr(_SQD_SPARK).alias("sqd"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("sqd"), F.col("cell"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(
+            "vec_id", "v", F.col("m.cell").alias("cell"), F.col("m.sqd").alias("sqd")
+        )
     )
 
 
@@ -262,14 +273,19 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = subs.filter(F.col("vec_id") < K_PQ).select(
         "m", F.col("vec_id").alias("cw_id"), F.col("subvec").alias("cw")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("sqd").asc(), F.col("cw_id").asc()
-    )
+    # same partial-combined argmin shape as _assign (see its docstring)
     best = (
         subs.join(F.broadcast(codebook), "m")
-        .select("vec_id", "m", "cw_id", F.expr(_SUB_SQD_SPARK).alias("sqd"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                F.expr(_SUB_SQD_SPARK).alias("sqd"), F.col("cw_id").alias("cw_id")
+            ).alias("s"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.cw_id").alias("cw_id"), F.col("s.sqd").alias("sqd"))
     )
     return best.groupBy("vec_id").agg(
         F.array_join(

@@ -52,6 +52,27 @@ from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQ
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
 
+# ------------------------------------------------- shared trigram tf stage
+
+
+def gram_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, gram) trigram counts — the collapsed term stream that
+    boilerplate detection, tf-idf postings and the source report all
+    start from. Persisted once per session (shared_stage); at
+    production scale this is the checkpointed term-frequency table
+    every downstream corpus statistic joins against."""
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    return shared_stage(spark, sf_dir, "gram_tf", build)
+
+
 # ----------------------------------------------------------- boilerplate
 
 BOILER_MIN_DOCS = 3  # trigram in >= 3 distinct docs => boilerplate
@@ -88,12 +109,7 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     document cross product. The >= K threshold shrinks the boilerplate
     side an order of magnitude before the join.
     """
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = gram_tf_df(spark, sf_dir)
     boiler = (
         tf.groupBy("gram")
         .agg(F.count("*").alias("df"))
@@ -422,8 +438,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     def build_w() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
-        grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
-        tf = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+        tf = gram_tf_df(spark, sf_dir)
         df_tbl = tf.groupBy("gram").agg(F.count("*").alias("df"))
         nd = d.agg(F.count("*").alias("n_docs"))
         return (

