@@ -209,3 +209,72 @@ def pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+# ------------------------------------------------- collapse repeats
+
+# Degeneration cleanup: drop word i when it closes an immediate
+# unigram loop (w[i] == w[i-1]) or an immediate bigram loop
+# (w[i] == w[i-2] AND w[i-1] == w[i-3]). The mask is computed over the
+# ORIGINAL positions (no cascade after removal) — a deliberate,
+# documented approximation that keeps the operator a pure portable
+# projection instead of a sequential fold; one pass removes one loop
+# "lap", which is what the repetition_stats gate needs to stop firing.
+
+_KEEP_MASK_SPARK = """
+filter(
+    transform(split(text, ' '), (w, i) -> named_struct('w', w, 'i', i)),
+    s -> NOT (
+        (s.i >= 1 AND s.w = element_at(split(text, ' '), s.i))
+        OR (s.i >= 3
+            AND s.w = element_at(split(text, ' '), s.i - 1)
+            AND element_at(split(text, ' '), s.i) = element_at(split(text, ' '), s.i - 2))
+    )
+)
+"""
+
+_CLEAN_SPARK = f"array_join(transform({_KEEP_MASK_SPARK}, s -> s.w), ' ')"
+
+# DuckDB: words are 1-indexed; i >= 2 / i >= 4 are the same guards.
+_CLEAN_DUCK = """
+array_to_string(list_transform(list_filter(
+    list_transform(range(1, len(string_split(text, ' ')) + 1),
+                   i -> {'w': (string_split(text, ' '))[i], 'i': i}),
+    s -> NOT (
+        (s.i >= 2 AND s.w = (string_split(text, ' '))[s.i - 1])
+        OR (s.i >= 4
+            AND s.w = (string_split(text, ' '))[s.i - 2]
+            AND (string_split(text, ' '))[s.i - 1] = (string_split(text, ' '))[s.i - 3])
+    )), s -> s.w), ' ')
+"""
+
+_COLLAPSE_ORACLE = f"""
+SELECT doc_id,
+       {_CLEAN_DUCK} AS clean_text,
+       CAST(len(string_split(text, ' '))
+            - len(string_split({_CLEAN_DUCK}, ' ')) AS BIGINT) AS n_removed
+FROM documents
+"""
+
+
+@register("collapse_repeats", oracle=_COLLAPSE_ORACLE)
+def collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-loop cleanup: collapse immediate unigram ("the the")
+    and bigram ("a b a b") repeats to one occurrence per lap — the
+    cheap degeneration scrub applied to model-generated or template
+    text before it re-enters a training mix.
+
+    Scale note: pure narrow projection (position mask over the word
+    array inside codegen) — no shuffle, full scan speed, and the same
+    static-mask semantics in both engines (a cascading fold would
+    remove nested laps too; documented approximation).
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    clean = F.expr(_CLEAN_SPARK)
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (
+            F.size(F.split("text", " ")) - F.size(F.split(clean, " "))
+        ).cast("long").alias("n_removed"),
+    )

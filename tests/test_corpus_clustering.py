@@ -220,6 +220,23 @@ def test_mad_outliers_invariants(spark, sf_dir):
     assert any(abs(r.robust_z) < 0.01 for r in rows)  # near-median mass exists
 
 
+def test_collapse_repeats_no_adjacent_dups(spark, sf_dir):
+    """After one pass no immediate unigram repeat survives (original-
+    position masking still catches whole runs), and word accounting
+    holds: kept + removed = original."""
+    rows = registry.QUERIES["collapse_repeats"](spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert rows
+    removed_any = False
+    for r in rows:
+        words = r.clean_text.split(" ")
+        assert all(a != b for a, b in zip(words, words[1:]))
+        assert len(words) + r.n_removed == len(docs[r.doc_id].split(" "))
+        removed_any = removed_any or r.n_removed > 0
+    assert removed_any  # the corpus does contain immediate repeats
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
