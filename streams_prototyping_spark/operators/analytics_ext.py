@@ -432,25 +432,35 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream is scanned twice and never shuffled.
     """
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    med = e.groupBy("event_type").agg(
-        F.round(F.median("value"), 6).alias("med")
+    return apply_mad_gate(e, mad_thresholds_df(spark, sf_dir)).select(
+        "event_id", "event_type", "value", "robust_z", "is_outlier"
     )
-    mad = (
+
+
+def mad_thresholds_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type (med, mad) threshold table — trained in batch,
+    applied by the batch query above AND the streaming gate
+    (streaming/pipelines.outlier_gate_stream): the train-offline /
+    score-online split of every production data-quality monitor."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.round(F.median("value"), 6).alias("med"))
+    return (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad")
+            F.first("med").alias("med"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad"),
         )
     )
+
+
+def apply_mad_gate(rows: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Row-wise modified z-score against a broadcast threshold table —
+    stateless, so it works identically on a batch frame or a stream."""
     z = MAD_SCALE * (F.col("value") - F.col("med")) / F.col("mad")
-    return (
-        e.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.round(z, 6).alias("robust_z"),
-            (F.abs(z) > MAD_Z_THRESHOLD).alias("is_outlier"),
-        )
+    return rows.join(F.broadcast(thresholds), "event_type").withColumns(
+        {
+            "robust_z": F.round(z, 6),
+            "is_outlier": F.abs(z) > MAD_Z_THRESHOLD,
+        }
     )

@@ -301,3 +301,21 @@ def ewma_stateful_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def outlier_gate_stream(events: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Online data-quality gate: score each arriving event against a
+    BATCH-TRAINED median/MAD threshold table (train offline, score
+    online — operators/analytics_ext.mad_thresholds_df is the trainer).
+
+    Scale note: completely STATELESS — the thresholds broadcast to
+    every task and each record is scored map-side, so this is the one
+    pipeline here with true per-record latency (no state store, no
+    watermark, append mode; the reference's cache-off per-record
+    emission semantics, A17, fall out for free on a stateless plan).
+    """
+    from streams_prototyping_spark.operators.analytics_ext import apply_mad_gate
+
+    return apply_mad_gate(events, thresholds).select(
+        "event_id", "event_type", "value", "robust_z", "is_outlier"
+    )

@@ -208,3 +208,33 @@ def test_stream_static_enrichment_converges(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_outlier_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless stream gate == batch gate row-for-row (same thresholds,
+    append mode, no watermark needed)."""
+    from streams_prototyping_spark import registry
+    from streams_prototyping_spark.operators.analytics_ext import mad_thresholds_df
+    from streams_prototyping_spark.streaming.pipelines import outlier_gate_stream
+
+    registry.load_all()
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).limit(500)
+    path = _replay_dir(events, str(tmp_path / "gate_events"))
+
+    thresholds = mad_thresholds_df(spark, sf_dir)
+    stream = create_stream(
+        spark, "gate_events", events.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(outlier_gate_stream(stream, thresholds), "gate_stream", "append")
+
+    got = {r.event_id: (r.robust_z, r.is_outlier) for r in spark.table(tbl).collect()}
+    ids = {r.event_id for r in spark.read.parquet(path).collect()}
+    batch = registry.QUERIES["value_outliers_mad"](spark, sf_dir)
+    want = {
+        r.event_id: (r.robust_z, r.is_outlier)
+        for r in batch.collect() if r.event_id in ids
+    }
+    assert got == want
