@@ -490,3 +490,62 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= TFIDF_MIN_COS)
     )
+
+
+# ------------------------------------------------- NLL decile calibration
+
+N_DECILES = 10
+
+_NLL_DECILE_ORACLE = f"""
+WITH u AS (
+    SELECT doc_id, mean_nll FROM ({_UNIGRAM_ORACLE})
+), g AS (
+    SELECT doc_id, passes FROM ({_GOPHER_ORACLE})
+), ranked AS (
+    SELECT u.doc_id, u.mean_nll, g.passes,
+           ntile({N_DECILES}) OVER (ORDER BY u.mean_nll, u.doc_id) AS decile
+    FROM u JOIN g ON g.doc_id = u.doc_id
+)
+SELECT decile,
+       count(*) AS n_docs,
+       round(min(mean_nll), 6) AS min_nll,
+       round(max(mean_nll), 6) AS max_nll,
+       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS gopher_pass_rate
+FROM ranked
+GROUP BY decile
+"""
+
+
+@register("nll_decile_stats", oracle=_NLL_DECILE_ORACLE)
+def nll_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration: documents bucketed into NLL deciles
+    (ties broken by doc_id for determinism), each decile reporting its
+    NLL range and the Gopher pass rate — the table you read to decide
+    where to CUT the perplexity filter (CCNet keeps the head/middle
+    deciles by exactly this kind of calibration).
+
+    Scale note: the global ntile is a single-partition sort of
+    per-doc FEATURE rows (doc_id, nll, passes) — fine up to ~10^9 docs
+    of 17-byte rows; beyond that the decile boundaries come from
+    approx_percentile and the bucketing becomes a map-side range
+    lookup (the documented sketch path).
+    """
+    from pyspark.sql import Window
+
+    u = unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
+    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    ranked = u.join(g, "doc_id").withColumn(
+        "decile",
+        F.ntile(N_DECILES).over(Window.orderBy(F.col("mean_nll"), F.col("doc_id"))),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("mean_nll"), 6).alias("min_nll"),
+        F.round(F.max("mean_nll"), 6).alias("max_nll"),
+        F.round(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("gopher_pass_rate"),
+    )

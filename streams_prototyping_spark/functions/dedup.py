@@ -543,3 +543,54 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", est)
         .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
     )
+
+
+# --------------------------------------------------- LSH bucket audit
+
+_LSH_BUCKET_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ",\n"
+    + _bands_cte_duck()
+    + """
+, buckets AS (
+    SELECT band, band_key, count(*) AS n_docs
+    FROM bands GROUP BY band, band_key
+)
+SELECT band,
+       count(*) AS n_buckets,
+       CAST(max(n_docs) AS BIGINT) AS max_bucket_size,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_colliding_buckets,
+       CAST(sum(n_docs * (n_docs - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets
+GROUP BY band
+"""
+)
+
+
+@register("lsh_bucket_stats", oracle=_LSH_BUCKET_ORACLE)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket audit: bucket counts, the largest bucket
+    (the skew hot spot the capped variant defends against), and the
+    exact candidate-pair workload sum(C(size, 2)) the band join will
+    generate. This is the tuning/monitoring query behind the
+    bands-vs-rows trade-off — run it BEFORE the pair join to predict
+    its cost at any scale.
+
+    Scale note: two partial-combined aggregations over the band index
+    ((band, key) then band), output is N_BANDS rows — the audit never
+    touches document text and costs one pass over the 4-row-per-doc
+    band table.
+    """
+    bands = _lsh_bands_df(minhash_signatures_df(spark, sf_dir, materialize=True))
+    buckets = bands.groupBy("band", "band_key").agg(F.count("*").alias("n_docs"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_docs").cast("long").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

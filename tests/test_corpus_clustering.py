@@ -237,6 +237,35 @@ def test_collapse_repeats_no_adjacent_dups(spark, sf_dir):
     assert removed_any  # the corpus does contain immediate repeats
 
 
+def test_nll_deciles_partition_corpus(spark, sf_dir):
+    """Deciles cover every doc once with non-overlapping, ordered NLL
+    ranges."""
+    rows = sorted(
+        registry.QUERIES["nll_decile_stats"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_nll <= a.max_nll <= b.min_nll + 1e-9
+
+
+def test_lsh_bucket_stats_predicts_pair_workload(spark, sf_dir):
+    """The audit's candidate-pair total bounds the distinct LSH pairs
+    (pairs colliding in several bands are counted once downstream)."""
+    from streams_prototyping_spark.functions.dedup import N_BANDS
+
+    stats = registry.QUERIES["lsh_bucket_stats"](spark, sf_dir).collect()
+    assert len(stats) == N_BANDS
+    workload = sum(r.candidate_pairs for r in stats)
+    distinct_pairs = registry.QUERIES["minhash_lsh_pairs"](spark, sf_dir).count()
+    assert distinct_pairs <= workload
+    for r in stats:
+        assert r.n_colliding_buckets <= r.n_buckets
+        assert r.max_bucket_size >= 1
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
