@@ -72,10 +72,15 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "kmeans_lloyd",
     "pq_encode",
+    "pq_adc_topk",
     "decontamination_overlap",
     "domain_mixture_weights",
     "curation_pipeline_select",
     "source_quality_report",
+    "nll_decile_stats",
+    "value_outliers_mad",
+    "collapse_repeats",
+    "lsh_bucket_stats",
     "multimodal_resize",
     "doc_chunking",
     "dataset_split",

@@ -240,6 +240,58 @@ GROUP BY vec_id
 """
 
 
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, subvec) — every vector split into M_SUB subvectors."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    return vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {M_SUB - 1}), m -> named_struct("
+                f"'m', CAST(m AS INT), "
+                f"'subvec', slice(v, m * {SUB_DIM} + 1, {SUB_DIM})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    return subs.filter(F.col("vec_id") < K_PQ).select(
+        "m", F.col("vec_id").alias("cw_id"), F.col("subvec").alias("cw")
+    )
+
+
+def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared encoded table (vec_id, m, cw_id, sqd): nearest codeword
+    per (vector, subspace) — the persisted PQ index both pq_encode and
+    the ADC search consume. Same partial-combined argmin shape as
+    _assign (see its docstring)."""
+
+    def build() -> DataFrame:
+        subs = _pq_subs(spark, sf_dir)
+        codebook = _pq_codebook(subs)
+        return (
+            subs.join(F.broadcast(codebook), "m")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(
+                    F.expr(_SUB_SQD_SPARK).alias("sqd"), F.col("cw_id").alias("cw_id")
+                ).alias("s"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("s").alias("s"))
+            .select(
+                "vec_id", "m", F.col("s.cw_id").alias("cw_id"), F.col("s.sqd").alias("sqd")
+            )
+        )
+
+    return shared_stage(spark, sf_dir, "pq_best", build)
+
+
 @register("pq_encode", oracle=_PQ_ORACLE)
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: each vector split into {M_SUB} subvectors
@@ -256,37 +308,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reconstruction error uses decimal-exact summation so both engines
     agree bit-for-bit.
     """
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {M_SUB - 1}), m -> named_struct("
-                f"'m', CAST(m AS INT), "
-                f"'subvec', slice(v, m * {SUB_DIM} + 1, {SUB_DIM})))"
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
-    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
-        "m", F.col("vec_id").alias("cw_id"), F.col("subvec").alias("cw")
-    )
-    # same partial-combined argmin shape as _assign (see its docstring)
-    best = (
-        subs.join(F.broadcast(codebook), "m")
-        .select(
-            "vec_id",
-            "m",
-            F.struct(
-                F.expr(_SUB_SQD_SPARK).alias("sqd"), F.col("cw_id").alias("cw_id")
-            ).alias("s"),
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.min("s").alias("s"))
-        .select("vec_id", "m", F.col("s.cw_id").alias("cw_id"), F.col("s.sqd").alias("sqd"))
-    )
+    best = _pq_best(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -298,4 +320,110 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.round("sqd", 9).cast("decimal(25,9)")).cast("double"), 6
         ).alias("recon_sq_err"),
+    )
+
+
+# --------------------------------------------------------- ADC search
+
+PQ_N_QUERIES = 5   # query set: vec_id < 5 (matches the dense-ANN family)
+PQ_TOP_K = 3
+
+_LUT_SQD_DUCK = (
+    "list_sum(list_transform(range(1, len(q.subvec) + 1), "
+    "i -> (q.subvec[i] - c.cw[i]) * (q.subvec[i] - c.cw[i])))"
+)
+
+_ADC_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), subs AS (
+    SELECT vec_id, t.m,
+           v[(t.m * {SUB_DIM} + 1):(t.m * {SUB_DIM} + {SUB_DIM})] AS subvec
+    FROM vecs CROSS JOIN range(0, {M_SUB}) t(m)
+), codebook AS (
+    SELECT m, vec_id AS cw_id, subvec AS cw FROM subs WHERE vec_id < {K_PQ}
+), best AS (
+    SELECT vec_id, m, cw_id FROM (
+        SELECT p.vec_id, p.m, c.cw_id,
+               row_number() OVER (PARTITION BY p.vec_id, p.m
+                                  ORDER BY {_SUB_SQD_DUCK} ASC, c.cw_id ASC) AS rn
+        FROM subs p JOIN codebook c ON c.m = p.m
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, c.m, c.cw_id,
+           round({_LUT_SQD_DUCK}, 9) AS partial_d
+    FROM subs q JOIN codebook c ON c.m = q.m
+    WHERE q.vec_id < {PQ_N_QUERIES}
+), adc AS (
+    SELECT l.query_id, b.vec_id,
+           round(CAST(sum(CAST(l.partial_d AS DECIMAL(25,9))) AS DOUBLE), 6)
+               AS adc_sq_dist
+    FROM best b JOIN lut l ON l.m = b.m AND l.cw_id = b.cw_id
+    WHERE b.vec_id <> l.query_id
+    GROUP BY l.query_id, b.vec_id
+)
+SELECT query_id, vec_id, adc_sq_dist, rnk FROM (
+    SELECT query_id, vec_id, adc_sq_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sq_dist ASC, vec_id ASC) AS BIGINT)
+               AS rnk
+    FROM adc
+) WHERE rnk <= {PQ_TOP_K}
+"""
+
+
+@register("pq_adc_topk", oracle=_ADC_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{PQ_TOP_K} search over PQ codes
+    (Jegou et al. 2011): each query precomputes a {M_SUB}x{K_PQ}
+    lookup table of subspace distances to every codeword; a candidate's
+    approximate distance is then just the SUM of {M_SUB} table lookups
+    on its code — no candidate vector is ever touched at query time.
+    This is the query path of the IVF-PQ index (kmeans_lloyd cells +
+    pq_encode codes).
+
+    Scale note: the LUT is Q*{M_SUB}*{K_PQ} rows and broadcasts; the
+    encoded table (the shared pq_best stage) joins it keyed on
+    (subspace, codeword) — each code row fans out to exactly Q rows —
+    and the per-(query, candidate) sum partial-combines before its
+    shuffle. Top-k is a per-query WindowGroupLimit. Decimal-exact sums
+    of pre-rounded partials keep both engines bit-identical.
+    """
+    best = _pq_best(spark, sf_dir).select("vec_id", "m", "cw_id")
+    subs = _pq_subs(spark, sf_dir)
+    codebook = _pq_codebook(subs)
+    q = subs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("subvec").alias("qsub")
+    )
+    lut_sqd = (
+        "aggregate(zip_with(qsub, cw, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = q.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "cw_id", F.round(F.expr(lut_sqd), 9).alias("partial_d")
+    )
+    adc = (
+        best.join(F.broadcast(lut), ["m", "cw_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("partial_d").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("adc_sq_dist")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sq_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select(
+            "query_id",
+            "vec_id",
+            "adc_sq_dist",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= PQ_TOP_K)
     )

@@ -492,6 +492,33 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- cached per-doc features
+
+# Composition queries (source_quality_report, curation_pipeline_select,
+# nll_decile_stats) consume the same per-doc feature frames; these
+# helpers persist them once per session so each composition pays a
+# cache read, not a recompute. The LEAF queries stay un-cached — their
+# plans remain the narrow scan-speed projections the plan tests pin.
+
+
+def gopher_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_stage(
+        spark, sf_dir, "gopher_features", lambda: gopher_quality_filter(spark, sf_dir)
+    )
+
+
+def unigram_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_stage(
+        spark, sf_dir, "unigram_features", lambda: unigram_logprob(spark, sf_dir)
+    )
+
+
+def boiler_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared_stage(
+        spark, sf_dir, "boiler_features", lambda: boilerplate_phrases(spark, sf_dir)
+    )
+
+
 # ------------------------------------------------- NLL decile calibration
 
 N_DECILES = 10
@@ -533,8 +560,8 @@ def nll_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    u = unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
-    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    u = unigram_features_df(spark, sf_dir).select("doc_id", "mean_nll")
+    g = gopher_features_df(spark, sf_dir).select("doc_id", "passes")
     ranked = u.join(g, "doc_id").withColumn(
         "decile",
         F.ntile(N_DECILES).over(Window.orderBy(F.col("mean_nll"), F.col("doc_id"))),

@@ -165,7 +165,7 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from streams_prototyping_spark.functions.corpus_stats import (  # noqa: E402
     _GOPHER_ORACLE,
-    gopher_quality_filter,
+    gopher_features_df,
 )
 from streams_prototyping_spark.functions.text_transform import (  # noqa: E402
     _NORMALIZE_ORACLE,
@@ -222,7 +222,7 @@ def curation_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    g = gopher_features_df(spark, sf_dir).select("doc_id", "passes")
     n = text_normalize(spark, sf_dir).select("doc_id", "norm_md5")
     contam = (
         decontamination_overlap(spark, sf_dir)
@@ -257,8 +257,8 @@ def curation_pipeline_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streams_prototyping_spark.functions.corpus_stats import (  # noqa: E402
     _BOILER_ORACLE,
     _UNIGRAM_ORACLE,
-    boilerplate_phrases,
-    unigram_logprob,
+    boiler_features_df,
+    unigram_features_df,
 )
 from streams_prototyping_spark.functions.text import (  # noqa: E402
     _QUALITY_ORACLE,
@@ -304,9 +304,9 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    g = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
-    u = unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
-    b = boilerplate_phrases(spark, sf_dir).select("doc_id", "boiler_frac")
+    g = gopher_features_df(spark, sf_dir).select("doc_id", "passes")
+    u = unigram_features_df(spark, sf_dir).select("doc_id", "mean_nll")
+    b = boiler_features_df(spark, sf_dir).select("doc_id", "boiler_frac")
 
     def dmean(col: str):
         return F.round(

@@ -266,6 +266,43 @@ def test_lsh_bucket_stats_predicts_pair_workload(spark, sf_dir):
         assert r.max_bucket_size >= 1
 
 
+def test_adc_matches_code_reconstruction(spark, sf_dir):
+    """ADC's table-lookup sum must equal the distance to the candidate's
+    PQ reconstruction, recomputed independently from pq_encode's codes
+    and the raw embeddings (Jegou eq. 13 — the defining property of
+    asymmetric distance)."""
+    from streams_prototyping_spark.functions.clustering import (
+        K_PQ,
+        M_SUB,
+        PQ_N_QUERIES,
+        SUB_DIM,
+    )
+
+    adc_rows = registry.QUERIES["pq_adc_topk"](spark, sf_dir).collect()
+    assert adc_rows
+    assert {r.query_id for r in adc_rows} == set(range(PQ_N_QUERIES))
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    codes = {
+        r.vec_id: [int(c) for c in r.pq_code.split("-")]
+        for r in registry.QUERIES["pq_encode"](spark, sf_dir).collect()
+    }
+    def sub(v, m):
+        return v[m * SUB_DIM:(m + 1) * SUB_DIM]
+
+    for r in adc_rows:
+        q = emb[r.query_id]
+        code = codes[r.vec_id]
+        assert all(0 <= c < K_PQ for c in code)
+        expect = sum(
+            sum((a - b) ** 2 for a, b in zip(sub(q, m), sub(emb[code[m]], m)))
+            for m in range(M_SUB)
+        )
+        assert abs(r.adc_sq_dist - expect) < 1e-4
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
