@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_lsh_topk_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe",
+    "ann_recall_report",
     "token_stats",
     "quality_score",
     "gopher_quality_filter",

@@ -303,6 +303,19 @@ def test_adc_matches_code_reconstruction(spark, sf_dir):
         assert abs(r.adc_sq_dist - expect) < 1e-4
 
 
+def test_ann_recall_probing_dominates(spark, sf_dir):
+    """Widening the search (multi-probe / nprobe) can only add
+    candidates, so recall must not decrease; recall stays in [0,1]."""
+    rows = registry.QUERIES["ann_recall_report"](spark, sf_dir).collect()
+    by = {(r.method, r.query_id): r.recall for r in rows}
+    queries = {q for m, q in by}
+    assert len(queries) == 5 and len(by) == 20
+    for q in queries:
+        assert by[("lsh_multiprobe", q)] >= by[("lsh", q)]
+        assert by[("ivf_nprobe", q)] >= by[("ivf", q)]
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
