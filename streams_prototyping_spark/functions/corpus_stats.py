@@ -1,5 +1,6 @@
 """Corpus-frequency text operators: boilerplate detection, Gopher-style
-rule filtering, and unigram-LM importance scoring.
+rule filtering, unigram-LM importance scoring, PMI collocations and
+sparse tf-idf similarity pairs.
 
 These are the cross-document statistics a training-data pipeline
 computes between dedup and mixing:
@@ -19,6 +20,12 @@ computes between dedup and mixing:
   corpus's own unigram LM — the cheap importance/perplexity-style
   score (CCNet uses a KenLM; the unigram version is the same plan
   shape: frequency table join + per-doc aggregate).
+- collocation_pmi: corpus-wide bigram PMI (phrase mining / tokenizer
+  merge candidates).
+- tfidf_cosine_pairs: Bayardo-style all-pairs similarity join over a
+  trigram inverted index with df-window pruning.
+- nll_decile_stats: NLL-decile calibration table (where to cut the
+  perplexity filter); consumes the cached per-doc feature stages.
 
 Reference parity note: the reference repo (apurvam/streams-prototyping)
 has no text operators; these extend the engine for the LLM-pipeline
