@@ -318,3 +318,89 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------- marketing attribution
+
+ATTR_TOUCH_TYPES = ("view", "click")
+ATTR_HORIZON_S = 3600  # credit a touch up to 1h before the purchase
+
+_ATTR_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events
+), touched AS (
+    SELECT event_id, user_id, event_type, ts_epoch,
+           last_value(CASE WHEN event_type IN ('view', 'click')
+                           THEN event_id END IGNORE NULLS)
+               OVER w AS touch_event_id,
+           last_value(CASE WHEN event_type IN ('view', 'click')
+                           THEN ts_epoch END IGNORE NULLS)
+               OVER w AS touch_epoch
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_epoch AS purchase_epoch,
+       touch_event_id, touch_epoch,
+       ts_epoch - touch_epoch AS gap_s,
+       (touch_epoch IS NOT NULL
+        AND ts_epoch - touch_epoch <= {ATTR_HORIZON_S}) AS attributed
+FROM touched
+WHERE event_type = 'purchase'
+"""
+
+
+@register("attribution_last_touch", oracle=_ATTR_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent preceding view/click by the same user within {ATTR_HORIZON_S}s
+    (the conversion-credit query behind every CTR/ROAS dashboard; the
+    as-of-join shape expressed as one pass of window functions instead
+    of a join).
+
+    Determinism: the window orders by (ts, event_id), so same-timestamp
+    touches resolve identically in both engines; last(IGNORE NULLS)
+    over ROWS ... 1 PRECEDING excludes the purchase itself.
+
+    Scale note: ONE shuffle on user_id and a per-user ordered pass —
+    no self-join, no second shuffle; the purchase filter happens after
+    the window but prunes before anything else consumes the result.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_epoch",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("ts_epoch")), ignorenulls=True)
+        .over(w)
+        .alias("touch_epoch"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_epoch").alias("purchase_epoch"),
+        "touch_event_id",
+        "touch_epoch",
+        (F.col("ts_epoch") - F.col("touch_epoch")).alias("gap_s"),
+        (
+            F.col("touch_epoch").isNotNull()
+            & ((F.col("ts_epoch") - F.col("touch_epoch")) <= ATTR_HORIZON_S)
+        ).alias("attributed"),
+    )

@@ -153,3 +153,40 @@ def test_quality_score_bounds(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     for r in df.select(quality_score_col("text").alias("q")).collect():
         assert r["q"] is None or 0.0 <= r["q"] <= 1.0
+
+
+# three-way check: the collapse_repeats mask has a plain-Python
+# reference; DuckDB must agree with it on arbitrary word lists (Spark
+# agrees with DuckDB via the oracle-parity suite, closing the triangle).
+_repeat_words = st.lists(
+    st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=14
+)
+
+
+def _collapse_ref(words: list[str]) -> list[str]:
+    out = []
+    for i, w in enumerate(words):
+        drop = (i >= 1 and w == words[i - 1]) or (
+            i >= 3 and w == words[i - 2] and words[i - 1] == words[i - 3]
+        )
+        if not drop:
+            out.append(w)
+    return out
+
+
+@given(_repeat_words)
+@settings(max_examples=120, deadline=None)
+def test_collapse_repeats_duckdb_matches_python_reference(words):
+    import duckdb
+
+    from streams_prototyping_spark.functions.text_transform import _CLEAN_DUCK
+
+    text = " ".join(words)
+    sql = "SELECT " + _CLEAN_DUCK.replace("text", "t.txt") + " AS clean FROM t"
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t AS SELECT ? AS txt", [text])
+        got = con.execute(sql).fetchone()[0]
+    finally:
+        con.close()
+    assert got == " ".join(_collapse_ref(words))
