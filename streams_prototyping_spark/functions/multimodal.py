@@ -309,3 +309,50 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_width long, out_height long, resized_hash long"
         ),
     )
+
+
+# ------------------------------------------------- payload exact dedup
+
+_PAYLOAD_DEDUP_ORACLE = """
+WITH hashed AS (
+    SELECT doc_id, md5(text) AS payload_md5 FROM documents
+), groups AS (
+    SELECT payload_md5,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM hashed GROUP BY payload_md5
+)
+SELECT h.doc_id, g.payload_md5, g.n_copies, g.canonical_doc_id,
+       (h.doc_id = g.canonical_doc_id) AS is_canonical
+FROM hashed h JOIN groups g ON g.payload_md5 = h.payload_md5
+"""
+
+
+@register("multimodal_payload_dedup", oracle=_PAYLOAD_DEDUP_ORACLE)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical payload dedup — the FIRST stage of every image/
+    audio dedup pipeline (hash the raw bytes before any decode; only
+    survivors pay decode cost). Emits the full group map: every payload
+    with its copy count and canonical (lowest-id) survivor — singleton
+    groups included, so the output is the decode WORKLIST (filter
+    is_canonical) as well as the duplicate report (filter n_copies >= 2;
+    this synthetic corpus has none, so all groups are singletons).
+
+    Scale note: one partial-combined groupBy on the 16-byte payload
+    digest — the payload bytes themselves reduce to a hash map-side and
+    never shuffle; the member join is keyed on the digest. The
+    perceptual near-dup pass (SimHash/pHash) runs on survivors only.
+    """
+    p = _payloads(spark, sf_dir)
+    hashed = p.select("doc_id", F.md5("payload").alias("payload_md5"))
+    groups = hashed.groupBy("payload_md5").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return hashed.join(groups, "payload_md5").select(
+        "doc_id",
+        "payload_md5",
+        "n_copies",
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+    )

@@ -316,6 +316,33 @@ def test_ann_recall_probing_dominates(spark, sf_dir):
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
 
 
+def test_tfidf_postings_stage_is_cached(spark, sf_dir):
+    """The weighted-postings build must come from the shared cached
+    stage — four consumers re-deriving it is the measured 4x plan blow-
+    up this guards against."""
+    from streams_prototyping_spark.plans.introspect import explain_str
+
+    df = registry.QUERIES["tfidf_cosine_pairs"](spark, sf_dir)
+    assert explain_str(df, "simple").count("InMemoryTableScan") >= 4
+
+
+def test_payload_dedup_groups_consistent(spark, sf_dir):
+    """The group map covers every document exactly once; each group has
+    exactly one canonical member (its minimum doc_id) and a copy count
+    matching its membership."""
+    rows = registry.QUERIES["multimodal_payload_dedup"](spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == total
+    by_md5: dict[str, list] = {}
+    for r in rows:
+        by_md5.setdefault(r.payload_md5, []).append(r)
+    for members in by_md5.values():
+        assert len(members) == members[0].n_copies >= 1
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == min(m.doc_id for m in members)
+
+
 def test_embedding_dim_matches_constant(spark, sf_dir):
     """The oracle unrolls DIM in SQL; fail loudly if testdata changes."""
     d = (
