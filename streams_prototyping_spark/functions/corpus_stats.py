@@ -583,3 +583,57 @@ def nll_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gopher_pass_rate"),
     )
+
+
+# --------------------------------------------------- Zipf histogram
+
+_ZIPF_ORACLE = """
+WITH freq AS (
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+), tot AS (
+    SELECT sum(n) AS total FROM freq
+)
+SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS log2_bucket,
+       count(*) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(n) AS DOUBLE) / tot.total, 6) AS occurrence_share
+FROM freq CROSS JOIN tot
+GROUP BY log2_bucket, tot.total
+"""
+
+
+@register("zipf_token_histogram", oracle=_ZIPF_ORACLE)
+def zipf_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health audit: term-frequency histogram on log2 buckets —
+    a healthy natural-language corpus shows the Zipf line (each bucket
+    roughly halving in term count); crawl corruption, dedup failures
+    and template spam all bend it.
+
+    Determinism: the bucket is the INTEGER bit length of the count
+    (conv/printf-%b), not floor(log2(double)) — exact powers of two sit
+    on a float boundary the two engines could round differently.
+
+    Scale note: one partial-combined term count, then a re-aggregation
+    of vocabulary-sized rows; the 1-row total broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    bucket = (F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1).cast("long")
+    return (
+        freq.join(F.broadcast(tot))
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.round(F.sum("n").cast("double") / F.first("total"), 6).alias(
+                "occurrence_share"
+            ),
+        )
+    )

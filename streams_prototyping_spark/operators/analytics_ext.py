@@ -464,3 +464,96 @@ def apply_mad_gate(rows: DataFrame, thresholds: DataFrame) -> DataFrame:
             "is_outlier": F.abs(z) > MAD_Z_THRESHOLD,
         }
     )
+
+
+# --------------------------------------------------- skew diagnostics
+
+SKEW_TOP_N = 10
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (
+    SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY user_id
+), tot AS (
+    SELECT count(*) AS total, count(DISTINCT user_id) AS n_keys FROM events
+)
+SELECT key, n_rows, rnk,
+       round(CAST(n_rows AS DOUBLE) / tot.total, 6) AS row_share,
+       round(CAST(n_rows AS DOUBLE) * tot.n_keys / tot.total, 6) AS skew_factor
+FROM (
+    SELECT key, n_rows,
+           CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS BIGINT) AS rnk
+    FROM per_key
+) CROSS JOIN tot
+WHERE rnk <= {SKEW_TOP_N}
+"""
+
+
+@register("skew_key_report", oracle=_SKEW_ORACLE)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the {SKEW_TOP_N} heaviest join/group keys
+    with their row share and skew factor (share x key count; 1.0 =
+    perfectly uniform). This is the query you run when a stage's
+    slowest task is 10x the median — its output decides between
+    salting, AQE skew-join thresholds, or a broadcast (see the
+    skew-resistant join variants in operators/ctr.py).
+
+    Scale note: one partial-combined groupBy on the key, then a top-N
+    over the (already small) per-key counts — TakeOrderedAndProject,
+    no global sort; the totals side is a 1-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    tot = e.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        per_key.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SKEW_TOP_N)
+        .join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            "rnk",
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
+                "row_share"
+            ),
+            F.round(
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+        )
+    )
+
+
+# --------------------------------------------------- rank normalization
+
+_QNORM_ORACLE = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id), 6) AS value_pctl
+FROM events
+"""
+
+
+@register("quantile_normalize_values", oracle=_QNORM_ORACLE)
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization: each value mapped to its
+    percent rank within its event type (ties broken by event_id so both
+    engines agree) — the distribution-free scaling used when features
+    feed models that assume [0, 1] inputs.
+
+    Scale note: one shuffle on event_type + per-group sort; group count
+    is bounded. For unbounded groups the same column comes from a
+    two-pass histogram lookup (the approx_percentiles sketch path).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("value_pctl"),
+    )
