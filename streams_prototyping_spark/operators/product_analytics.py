@@ -473,3 +473,86 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------- incremental agg maintenance
+
+_INC_CUTOFF_DAYS = 3  # base = first 3 days, delta = the rest
+
+_INC_MERGE_ORACLE = f"""
+WITH cut AS (
+    SELECT CAST(floor(min(epoch(ts))/86400)*86400
+                + {_INC_CUTOFF_DAYS}*86400 AS BIGINT) AS cutoff
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 6)
+           AS total_value,
+       (min(CAST(floor(epoch(ts)) AS BIGINT)) < cut.cutoff) AS had_base,
+       (max(CAST(floor(epoch(ts)) AS BIGINT)) >= cut.cutoff) AS had_delta
+FROM events CROSS JOIN cut
+GROUP BY user_id, cut.cutoff
+"""
+
+
+@register("incremental_agg_merge", oracle=_INC_MERGE_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-user aggregate is
+    computed as BASE (first {_INC_CUTOFF_DAYS} days) merged with DELTA
+    (the rest) via a full outer join and algebraic merge (counts add,
+    decimal sums add) — while the ORACLE computes the same aggregate
+    directly in one pass. Their hash-equality PROVES the merge is
+    lossless, which is the property incremental view maintenance /
+    nightly-rollup-plus-today pipelines depend on.
+
+    Scale note: each side is a partial-combined groupBy; the merge
+    joins aggregate-sized rows, not events. At production scale BASE is
+    a stored table and only DELTA is computed — this query is that
+    pipeline with both sides derived from the same scan. Decimal sums
+    make the merge bit-exact (double addition would not even be
+    associative).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        F.col("value").cast("decimal(25,10)").alias("v"),
+    )
+    cut = e.agg(
+        (
+            F.floor(F.min("ts_epoch") / 86400) * 86400
+            + _INC_CUTOFF_DAYS * 86400
+        ).cast("long").alias("cutoff")
+    )
+    e = e.join(F.broadcast(cut))
+
+    def side(pred, tag: str) -> DataFrame:
+        return (
+            e.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum("v").alias(f"s_{tag}"),
+            )
+        )
+
+    base = side(F.col("ts_epoch") < F.col("cutoff"), "base")
+    delta = side(F.col("ts_epoch") >= F.col("cutoff"), "delta")
+    zero = F.lit(0).cast("decimal(35,10)")
+    merged = base.join(delta, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        (
+            F.coalesce(F.col("n_base"), F.lit(0))
+            + F.coalesce(F.col("n_delta"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            (
+                F.coalesce(F.col("s_base"), zero)
+                + F.coalesce(F.col("s_delta"), zero)
+            ).cast("double"),
+            6,
+        ).alias("total_value"),
+        F.col("n_base").isNotNull().alias("had_base"),
+        F.col("n_delta").isNotNull().alias("had_delta"),
+    )
