@@ -66,6 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Naive-micros parquet arrives as TIMESTAMP_NTZ under Spark 4's
+            # inferTimestampNTZ default. The events pipeline (windows,
+            # watermarks, epoch casts) is built against TIMESTAMP: with the
+            # session timezone pinned to UTC (ensure_session_defaults) this
+            # cast reinterprets the naive value as the same UTC instant the
+            # DuckDB oracle's epoch(ts) sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
