@@ -427,3 +427,87 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= PQ_TOP_K)
     )
+
+
+# --------------------------------------------------------- semantic dedup
+
+SEMDEDUP_MIN_COS = 0.30  # within-cell cosine above this => semantic duplicate
+
+
+def _semdedup_oracle() -> str:
+    from streams_prototyping_spark.functions.similarity import _DOT_DUCK
+
+    dot = _DOT_DUCK.format(a="x.v", b="y.v")
+    return f"""
+WITH {_lloyd_ctes()},
+van AS (
+    SELECT vec_id, cell, v,
+           list_sum(list_transform(v, e -> e * e)) AS sqnorm
+    FROM afinal
+), pr AS (
+    SELECT y.vec_id AS vec_id,
+           round({dot} / (sqrt(x.sqnorm) * sqrt(y.sqnorm)), 6) AS cos_sim
+    FROM van x JOIN van y ON x.cell = y.cell AND x.vec_id < y.vec_id
+), d AS (
+    SELECT vec_id, count(*) AS n_near_below FROM pr
+    WHERE cos_sim >= {SEMDEDUP_MIN_COS} GROUP BY vec_id
+)
+SELECT van.vec_id, van.cell,
+       coalesce(d.n_near_below, CAST(0 AS BIGINT)) AS n_near_below,
+       (d.vec_id IS NULL) AS keep
+FROM van LEFT JOIN d ON d.vec_id = van.vec_id
+"""
+
+
+@register("semantic_dedup", oracle=_semdedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each trained
+    k-means cell, a vector with any LOWER-id cell-mate at cosine >=
+    {SEMDEDUP_MIN_COS} is a semantic duplicate (keep = False). The
+    keep-lowest-id policy is the deterministic stand-in for SemDeDup's
+    keep-farthest-from-centroid; the cluster-bucketed candidate shape
+    is the point.
+
+    Scale note: the pair join is keyed on cell — O(cell_size^2) per
+    cell, never a corpus cross product; in production K grows with the
+    corpus (K ~ N / target_cell_size) so per-cell pair work stays
+    bounded while the join stays an equi-join. Shares the trained
+    assignment stage with kmeans_lloyd (built once per session).
+    """
+    from streams_prototyping_spark.functions.similarity import (
+        _DOT_SPARK,
+        _SQNORM_SPARK,
+    )
+
+    a = _final_assign(spark, sf_dir).select(
+        "vec_id",
+        "cell",
+        "v",
+        F.expr(_SQNORM_SPARK.format(v="v")).alias("sqnorm"),
+    )
+    x = a.alias("x")
+    y = a.alias("y")
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="x.v", b="y.v"))
+                / (F.sqrt("x.sqnorm") * F.sqrt("y.sqnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_MIN_COS)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_near_below"))
+    )
+    return a.join(dups.withColumnRenamed("n_near_below", "nnb"), "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("nnb"), F.lit(0).cast("long")).alias("n_near_below"),
+        F.col("nnb").isNull().alias("keep"),
+    )

@@ -66,7 +66,9 @@ def load_all() -> None:
         dedup,
         dedup_pipeline,
         packing,
+        retrieval,
         similarity,
+        span_quality,
         text,
         text_transform,
         multimodal,

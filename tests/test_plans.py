@@ -174,3 +174,28 @@ def test_decontamination_joins_keyed_with_broadcast_eval(spark, sf_dir):
     assert facts.broadcast_joins >= 1  # eval fingerprint side broadcast
     plan = _plan(spark, sf_dir, "decontamination_overlap", mode="simple")
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_postings_join_keyed_query_broadcast(spark, sf_dir):
+    """BM25: the corpus-sized side joins keyed on word/doc; the query
+    side (distinct terms of a handful of docs) must broadcast, and the
+    top-k must not global-sort."""
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # partial aggregation before the (query, cand) shuffle
+    assert "HashAggregate" in plan
+
+
+def test_semantic_dedup_pair_join_is_cell_keyed(spark, sf_dir):
+    """SemDeDup pairs must be an equi-join on the k-means cell, never a
+    nested-loop over the corpus."""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_membership_join_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
