@@ -54,6 +54,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_canonical",
+    "span_dedup",
+    "semantic_dedup",
     "winnowing_fingerprint",
     "repetition_stats",
     "text_normalize",
@@ -71,6 +73,8 @@ HEADLINE = [
     "unigram_logprob",
     "collocation_pmi",
     "tfidf_cosine_pairs",
+    "bm25_topk",
+    "token_entropy",
     "kmeans_lloyd",
     "pq_encode",
     "pq_adc_topk",

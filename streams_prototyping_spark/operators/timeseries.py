@@ -1,0 +1,214 @@
+"""Time-series model operators: per-group OLS trend and linear
+gap interpolation with reconstruction-error audit.
+
+- user_value_trend: per-user ordinary-least-squares slope/intercept of
+  event value over time — the "is this metric drifting" primitive
+  behind alerting and cohort health dashboards. Closed-form OLS from
+  sufficient statistics (n, Σx, Σy, Σxy, Σx²), never an iterative fit.
+- interpolate_masked_days: linear interpolation over the daily order
+  series with every 5th day deterministically masked, reporting the
+  reconstruction error on the masked days — the gap-repair operator
+  plus its own accuracy audit in one query (a pipeline owner sees
+  exactly how trustworthy interpolated points are).
+
+Reference parity note: the reference repo (apurvam/streams-prototyping)
+has no time-series operators; these extend the engine per the
+north-star mandate (SURVEY.md Part C'').
+
+Determinism across engines: OLS sufficient statistics are EXACT —
+x is integer seconds from a fixed 2024-01-01 base (span ≤ 2.6e6 s, so
+x² ≤ 7e12 is exact in BIGINT and DOUBLE alike), Σx/Σx² accumulate as
+DECIMAL(38,0), y-sums as pre-rounded DECIMAL(28,4) — so partial-agg
+order cannot fork them; the closed-form division happens once, in
+doubles cast from identical decimals, with an identical expression
+tree on both engines. Interpolation arithmetic is a single expression
+over already-exact window values, rounded at output.
+
+Scale design (100 TB): user_value_trend is one partial-combined
+groupBy(user_id) over a narrow projection — the canonical scalable
+aggregate (sufficient statistics ARE the partial state; this is why
+closed-form OLS beats any iterative fit at scale). The interpolation
+windows run over the aggregated DAILY series (O(days) rows, thousands
+— not raw events), so the unpartitioned ORDER BY day window is a
+single small task by construction; a longer-horizon deployment
+partitions the window by year and stitches boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.registry import register
+
+X_BASE = 1_704_067_200  # epoch of 2024-01-01 00:00:00 UTC (events epoch base)
+MASK_EVERY = 5          # interpolate_masked_days: mask every 5th day
+
+_TREND_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) - {X_BASE} AS x,
+           CAST(value AS DOUBLE) AS y
+    FROM events
+), s AS (
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(x * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+    FROM pts GROUP BY user_id
+)
+SELECT user_id, n AS n_points,
+       round(86400.0 * (n * sxy - sx * sy)
+             / nullif(n * sxx - sx * sx, 0.0), 6) AS slope_per_day,
+       round((sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx)
+             / n, 6) AS intercept
+FROM s
+"""
+
+
+@register("user_value_trend", oracle=_TREND_ORACLE)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time: slope (value units
+    per day) and intercept (value at the {X_BASE} epoch base), from
+    exact sufficient statistics. Degenerate users (single point or
+    zero time variance) get NULL slope/intercept via nullif.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(X_BASE)).alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 4).cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    denom = F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return s.select(
+        "user_id",
+        n.alias("n_points"),
+        F.round(F.lit(86400.0) * slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+# ------------------------------------------------- masked-day interpolation
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+), m AS (
+    SELECT day_epoch, n_orders, total,
+           ((day_epoch // 86400) % {MASK_EVERY} = 0) AS is_masked,
+           CASE WHEN (day_epoch // 86400) % {MASK_EVERY} = 0 THEN NULL
+                ELSE total END AS obs,
+           CASE WHEN (day_epoch // 86400) % {MASK_EVERY} = 0 THEN NULL
+                ELSE day_epoch END AS obs_day
+    FROM daily
+), w AS (
+    SELECT day_epoch, n_orders, total, is_masked,
+           last_value(obs IGNORE NULLS) OVER (
+               ORDER BY day_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+           last_value(obs_day IGNORE NULLS) OVER (
+               ORDER BY day_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+           first_value(obs IGNORE NULLS) OVER (
+               ORDER BY day_epoch
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(obs_day IGNORE NULLS) OVER (
+               ORDER BY day_epoch
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+    FROM m
+)
+SELECT day_epoch, is_masked, n_orders,
+       round(total, 6) AS total,
+       round(CASE WHEN NOT is_masked THEN total
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (CAST(day_epoch - pd AS DOUBLE)
+                                         / CAST(nd - pd AS DOUBLE)) END, 6) AS filled,
+       CASE WHEN is_masked THEN
+            round(abs(CASE WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) * (CAST(day_epoch - pd AS DOUBLE)
+                                                  / CAST(nd - pd AS DOUBLE)) END
+                      - total), 6)
+            ELSE NULL END AS abs_err
+FROM w
+"""
+
+
+@register("interpolate_masked_days", oracle=_INTERP_ORACLE)
+def interpolate_masked_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the daily order-revenue series with
+    every {MASK_EVERY}th day masked, plus per-masked-day reconstruction
+    error — the gap-repair operator carrying its own accuracy audit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_epoch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    # day_epoch is always a multiple of 86400, so this division is exact
+    is_masked = ((F.col("day_epoch") / F.lit(86400)).cast("long") % MASK_EVERY) == 0
+    m = daily.select(
+        "day_epoch",
+        "n_orders",
+        "total",
+        is_masked.alias("is_masked"),
+        F.when(~is_masked, F.col("total")).alias("obs"),
+        F.when(~is_masked, F.col("day_epoch")).alias("obs_day"),
+    )
+    wp = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("day_epoch").rowsBetween(1, Window.unboundedFollowing)
+    w = m.select(
+        "day_epoch",
+        "n_orders",
+        "total",
+        "is_masked",
+        F.last("obs", ignorenulls=True).over(wp).alias("pv"),
+        F.last("obs_day", ignorenulls=True).over(wp).alias("pd"),
+        F.first("obs", ignorenulls=True).over(wn).alias("nv"),
+        F.first("obs_day", ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = (
+        F.when(~F.col("is_masked"), F.col("total"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("day_epoch") - F.col("pd")).cast("double")
+                / (F.col("nd") - F.col("pd")).cast("double")
+            )
+        )
+    )
+    return w.select(
+        "day_epoch",
+        "is_masked",
+        "n_orders",
+        F.round("total", 6).alias("total"),
+        F.round(interp, 6).alias("filled"),
+        F.when(F.col("is_masked"), F.round(F.abs(interp - F.col("total")), 6)).alias(
+            "abs_err"
+        ),
+    )

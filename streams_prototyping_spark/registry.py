@@ -56,6 +56,7 @@ def load_all() -> None:
         sql_layer,
         functions_ext,
         product_analytics,
+        timeseries,
         tpch_ext,
         analytics_ext,
     )
