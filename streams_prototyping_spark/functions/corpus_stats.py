@@ -637,3 +637,86 @@ def zipf_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ bigram LM NLL
+
+BIGRAM_ADD_K = 0.5  # add-k smoothing mass per continuation
+
+_BIGRAM_LM_ORACLE = f"""
+WITH bg AS (
+    SELECT doc_id, b.w1, b.w2
+    FROM documents, unnest({_BIGRAMS_DUCK}) AS t(b)
+), bgf AS (
+    SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, sum(c12) AS c1 FROM bgf GROUP BY w1
+), vocab AS (
+    SELECT count(DISTINCT w2) AS v FROM bgf
+), scored AS (
+    SELECT bg.doc_id,
+           -round(ln((CAST(bgf.c12 AS DOUBLE) + {BIGRAM_ADD_K})
+                     / (CAST(ctx.c1 AS DOUBLE) + {BIGRAM_ADD_K} * vocab.v)), 6)
+               AS nll
+    FROM bg
+    JOIN bgf ON bgf.w1 = bg.w1 AND bgf.w2 = bg.w2
+    JOIN ctx ON ctx.w1 = bg.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_nll,
+       round(min(nll), 6) AS min_nll,
+       round(max(nll), 6) AS max_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_nll", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-k-smoothed bigram LM — one modeling step up from
+    unigram_logprob toward the KenLM-style perplexity filter (same
+    plan shape as a 5-gram LM: n-gram count table joins + per-doc
+    aggregate). Single-word documents have no bigrams and drop out,
+    identically in both engines.
+
+    Scale note: bigram and context-count tables are partial-combined
+    aggregations of the exploded bigram stream; both lookups broadcast
+    (a truncated LM table fits in one executor — production KenLM
+    filters ship the model to workers the same way); the per-doc
+    aggregate partial-combines on doc_id. The bigram stream shuffles
+    once (its own groupBy), never again.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bgf = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bgf.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bgf.agg(F.count_distinct("w2").alias("v"))
+    nll = -F.round(
+        F.log(
+            (F.col("c12").cast("double") + F.lit(BIGRAM_ADD_K))
+            / (F.col("c1").cast("double") + F.lit(BIGRAM_ADD_K) * F.col("v"))
+        ),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(bgf), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_nll"),
+            F.round(F.min("nll"), 6).alias("min_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+    )

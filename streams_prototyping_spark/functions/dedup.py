@@ -594,3 +594,86 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+# ------------------------------------------- asymmetric containment pairs
+
+CONTAINMENT_MIN = 0.5  # max directional containment to report a pair
+
+_CONTAINMENT_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ", "
+    + _bands_cte_duck()
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b, cont_a_in_b, cont_b_in_a FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_inter,
+           CAST(len(x.shingles) AS BIGINT) AS n_a,
+           CAST(len(y.shingles) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / len(x.shingles) AS cont_a_in_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / len(y.shingles) AS cont_b_in_a
+    FROM cand c
+    JOIN shingled x ON x.doc_id = c.doc_a
+    JOIN shingled y ON y.doc_id = c.doc_b
+)
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {CONTAINMENT_MIN}
+"""
+)
+
+
+@register("ngram_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment on LSH candidates: |A∩B|/|A| and
+    |A∩B|/|B| — the sub-document duplication detector (a short doc
+    fully contained in a longer one scores near 1.0 in one direction
+    while symmetric Jaccard stays low, which is exactly the case
+    Jaccard-threshold dedup misses). Broder's containment measure,
+    reported when either direction >= {CONTAINMENT_MIN}.
+
+    Scale note: identical two-phase shape as ngram_jaccard_pairs —
+    candidates from the banded LSH self-join (keyed, O(near-dup
+    pairs)), shingle arrays moved only for candidates; at production
+    scale a containment-biased candidate generator would band on the
+    SHORTER doc's bottom-k sketch, a sketch change, not a plan change.
+    """
+    shingled = shingled_df(spark, sf_dir)
+    sigs = minhash_signatures_df(spark, sf_dir, materialize=True)
+    bands = _lsh_bands_df(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = shingled.alias("x")
+    y = shingled.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.shingles"), F.col("y.shingles")))
+    return (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_inter"),
+            F.size("x.shingles").cast("long").alias("n_a"),
+            F.size("y.shingles").cast("long").alias("n_b"),
+            (inter.cast("double") / F.size("x.shingles")).alias("cont_a_in_b"),
+            (inter.cast("double") / F.size("y.shingles")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= CONTAINMENT_MIN
+        )
+    )
