@@ -556,3 +556,145 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_base").isNotNull().alias("had_base"),
         F.col("n_delta").isNotNull().alias("had_delta"),
     )
+
+
+# ------------------------------------------------- market-basket lift
+
+MIN_CO_COUNT = 3  # pair must co-occur in >= 3 orders to be reported
+
+_COPURCHASE_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+), item AS (
+    SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY l_partkey
+), pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co_count
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING count(*) >= {MIN_CO_COUNT}
+)
+SELECT p.part_a, p.part_b, p.co_count,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       round(CAST(p.co_count * n.n_orders AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
+@register("copurchase_lift", oracle=_COPURCHASE_ORACLE)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    >= {MIN_CO_COUNT} times, scored by lift = P(a,b) / (P(a)P(b)) —
+    the association-rule primitive behind co-view/co-purchase
+    recommenders and feature-co-occurrence audits.
+
+    Scale note: the pair generator is a self-join keyed on the order
+    key, so fan-out is sum(basket_size^2) — bounded by real basket
+    sizes, never a catalog cross product (production caps or samples
+    pathological baskets first). Pair counts partial-combine; the
+    per-item counts and the 1-row order total are broadcast lookups.
+    Lift arithmetic is exact-integer products in one IEEE division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("co_count"))
+        .filter(F.col("co_count") >= MIN_CO_COUNT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co_count",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("co_count") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# -------------------------------------------- priority transition matrix
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT o_custkey, o_orderpriority,
+           lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_priority
+    FROM orders
+), t AS (
+    SELECT prev_priority AS from_priority, o_orderpriority AS to_priority,
+           count(*) AS n_transitions
+    FROM seq WHERE prev_priority IS NOT NULL
+    GROUP BY prev_priority, o_orderpriority
+), tot AS (
+    SELECT sum(n_transitions) AS n_total FROM t
+)
+SELECT from_priority, to_priority, n_transitions,
+       round(CAST(n_transitions AS DOUBLE) / tot.n_total, 6) AS frac
+FROM t CROSS JOIN tot
+"""
+
+
+@register("priority_transition_matrix", oracle=_TRANSITION_ORACLE)
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive order
+    priorities per customer (ordered by date, order-key tiebreak) —
+    the sequence-analytics primitive behind state-machine audits
+    ("do rush customers stay rush").
+
+    Scale note: one customer-keyed window pass (lag), then a
+    partial-combined aggregate over the tiny (from, to) key space and
+    a broadcast 1-row total — raw orders shuffle once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    t = (
+        seq.filter(F.col("prev_priority").isNotNull())
+        .groupBy(
+            F.col("prev_priority").alias("from_priority"),
+            F.col("o_orderpriority").alias("to_priority"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = t.agg(F.sum("n_transitions").alias("n_total"))
+    return t.crossJoin(F.broadcast(tot)).select(
+        "from_priority",
+        "to_priority",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_total"), 6
+        ).alias("frac"),
+    )

@@ -319,3 +319,39 @@ def outlier_gate_stream(events: DataFrame, thresholds: DataFrame) -> DataFrame:
     return apply_mad_gate(events, thresholds).select(
         "event_id", "event_type", "value", "robust_z", "is_outlier"
     )
+
+
+SESSION_GAP_S = 300  # 5-minute inactivity gap (same as the batch twin)
+
+
+def session_stats_stream(events: DataFrame, watermark: str = "60 seconds") -> DataFrame:
+    """Streaming twin of operators/analytic.events_session_window:
+    per-user session windows with a {SESSION_GAP_S}-second inactivity
+    gap. Unlike fixed windows, session state MERGES — a late-but-
+    in-watermark event can join two open sessions into one, which is
+    exactly the stateful behavior the batch gaps-and-islands oracle
+    cannot exercise; the convergence test proves the merge logic lands
+    on the same final sessions.
+
+    State: one row per OPEN session per user; the watermark closes and
+    evicts sessions whose gap has definitively expired, so state is
+    O(active users), not O(stream length).
+    """
+    return (
+        events.select("ts", "user_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -238,3 +238,60 @@ def test_outlier_gate_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect() if r.event_id in ids
     }
     assert got == want
+
+
+def test_session_window_stream_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming session windows (merging state) must land on the same
+    final sessions as the batch session_window over the same data."""
+    from streams_prototyping_spark.streaming.pipelines import (
+        SESSION_GAP_S,
+        session_stats_stream,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "value")
+        .filter(F.col("user_id") < 40)
+    )
+    path = _replay_dir(events, str(tmp_path / "sess_events"))
+
+    stream = create_stream(
+        spark, "sess_events", events.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    # The replay files are not time-ordered, so each micro-batch spans
+    # the full month and a short watermark would drop most input as
+    # late (session windows filter late rows even in complete mode —
+    # unlike fixed windows). The merge logic is what this test proves;
+    # a replay-spanning watermark keeps every row live. Eviction
+    # boundedness is pinned separately (tests/test_streaming_scale.py).
+    out = session_stats_stream(stream, watermark="40 days")
+    spark.catalog.clearCache()
+    tbl = _run_to_end(out, "sess_stream", "complete")
+
+    got = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 6))
+        for r in spark.table(tbl).collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {
+        (r.user_id, r.session_start): (r.n_events, round(r.sum_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
