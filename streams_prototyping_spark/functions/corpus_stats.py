@@ -720,3 +720,116 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nll"), 6).alias("max_nll"),
         )
     )
+
+
+# --------------------------------------------- count-min heavy hitters
+
+CMS_ROWS = 4      # hash rows
+CMS_WIDTH = 64    # buckets per row
+CMS_TOP_N = 20    # report the true top-N tokens with their estimates
+
+
+def _cms_bucket_spark(r: int, word: str = "word") -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('cms{r}:', {word})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_duck(r: int, word: str = "word") -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{r}:' || {word}), 1, 15) AS BIGINT) "
+        f"% {CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+    SELECT word, count(*) AS n FROM toks GROUP BY word
+), wcb AS (
+    SELECT word, n,
+           unnest([{', '.join(
+               "{'r': %d, 'bucket': %s}" % (r, _cms_bucket_duck(r))
+               for r in range(CMS_ROWS))}]) AS rb
+    FROM wc
+), cells AS (
+    SELECT rb.r AS r, rb.bucket AS bucket, sum(n) AS cell_n
+    FROM wcb GROUP BY rb.r, rb.bucket
+), topw AS (
+    SELECT word, n AS exact_n,
+           CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rnk
+    FROM wc
+    QUALIFY rnk <= {CMS_TOP_N}
+), probes AS (
+    SELECT word, exact_n, rnk,
+           unnest([{', '.join(
+               "{'r': %d, 'bucket': %s}" % (r, _cms_bucket_duck(r))
+               for r in range(CMS_ROWS))}]) AS rb
+    FROM topw
+)
+SELECT p.word, p.exact_n, p.rnk, min(c.cell_n) AS est_n,
+       min(c.cell_n) - p.exact_n AS overestimate
+FROM probes p JOIN cells c ON c.r = p.rb.r AND c.bucket = p.rb.bucket
+GROUP BY p.word, p.exact_n, p.rnk
+"""
+
+
+@register("count_min_heavy_hitters", oracle=_CMS_ORACLE)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation audited against truth:
+    a {CMS_ROWS}x{CMS_WIDTH} CMS over the token stream, then the true
+    top-{CMS_TOP_N} tokens with exact vs CMS-estimated counts (CMS
+    never underestimates; the overestimate column shows the collision
+    bias a pipeline owner sizes width against). Unlike HLL/KLL the
+    sketch is plain md5 bucketing + integer sums, so both engines
+    reproduce it bit-identically — a fully oracle-checked sketch.
+
+    Scale note: the sketch build partial-combines to {CMS_ROWS}*
+    {CMS_WIDTH} cells regardless of corpus size (THE point of a
+    sketch: mergeable O(1) state — this is the same merge a streaming
+    or cross-partition CMS does); estimation joins the tiny cell table
+    broadcast. The exact side here is the audit and in production runs
+    over a sampled slice only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("word"))
+    wc = toks.groupBy("word").agg(F.count("*").alias("n"))
+    # one row per (word, hash-row): posexplode of the 4 bucket exprs
+    buckets = F.array(
+        *[F.expr(_cms_bucket_spark(r)) for r in range(CMS_ROWS)]
+    )
+    cells = (
+        wc.select("n", F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    from pyspark.sql import Window
+
+    topw = (
+        wc.select(
+            "word",
+            F.col("n").alias("exact_n"),
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("word").asc()))
+            .cast("long")
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= CMS_TOP_N)
+    )
+    probes = topw.select(
+        "word", "exact_n", "rnk", F.posexplode(buckets).alias("r", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word", "exact_n", "rnk")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "word",
+            "exact_n",
+            "rnk",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )

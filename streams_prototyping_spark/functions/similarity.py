@@ -611,3 +611,63 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_hits.cast("double") / ANN_TOP_K, 6).alias("recall"),
         )
     )
+
+
+# ------------------------------------------- JL random projection
+
+RP_DIMS = 16  # target dimensionality (from 64)
+
+
+def _rp_sign_spark(d: int) -> str:
+    # deterministic Rademacher +/-1 entry for (out-dim d, in-dim j)
+    return (
+        f"transform(sequence(1, size(v)), j -> CASE WHEN "
+        f"CAST(conv(substring(md5(concat('rp{d}:', j)), 1, 15), 16, 10) AS BIGINT) "
+        f"% 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _rp_dim_spark(d: int) -> str:
+    return (
+        f"round(aggregate(zip_with(v, {_rp_sign_spark(d)}, (x, s) -> x * s), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(CAST({RP_DIMS} AS DOUBLE)), 6)"
+    )
+
+
+def _rp_dim_duck(d: int) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len(v) + 1), "
+        f"j -> v[j] * (CASE WHEN CAST('0x' || substr(md5('rp{d}:' || j), 1, 15) "
+        f"AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END))) "
+        f"/ sqrt(CAST({RP_DIMS} AS DOUBLE)), 6)"
+    )
+
+
+_RP_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK}
+SELECT vec_id,
+       {', '.join(f'{_rp_dim_duck(d)} AS rp_{d}' for d in range(RP_DIMS))}
+FROM vecs
+"""
+
+
+@register("random_projection_embed", oracle=_RP_ORACLE)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    to {RP_DIMS} dims via a deterministic Rademacher (+/-1) matrix
+    derived from md5 — the dimensionality-reduction step run before
+    LSH/clustering when the raw embedding is too wide to index
+    economically. The hash-derived matrix means no trained state to
+    ship: every executor (and DuckDB) regenerates the identical
+    projection from the dimension indices alone.
+
+    Scale note: pure narrow projection — {RP_DIMS} folded dot products
+    per row inside codegen, zero shuffle, zero driver state; the
+    projected table feeds the existing LSH/IVF/PQ index builds
+    unchanged.
+    """
+    vecs = _vectors(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        *[F.expr(_rp_dim_spark(d)).alias(f"rp_{d}") for d in range(RP_DIMS)],
+    )
