@@ -511,3 +511,98 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("nnb"), F.lit(0).cast("long")).alias("n_near_below"),
         F.col("nnb").isNull().alias("keep"),
     )
+
+
+# ------------------------------------------ nearest-centroid label audit
+
+_NC_SQD_DUCK = (
+    "list_sum(list_transform(range(1, len(x.v) + 1), "
+    "i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i])))"
+)
+
+_NC_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, label,
+           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT label AS c_label, list(cval ORDER BY dim) AS cv FROM (
+        SELECT label, t.dim,
+               round(CAST(sum(CAST(v[t.dim] AS DECIMAL(25,10))) AS DOUBLE)
+                     / count(*), 9) AS cval
+        FROM vecs CROSS JOIN range(1, {DIM} + 1) t(dim)
+        GROUP BY label, t.dim
+    ) GROUP BY label
+), assigned AS (
+    SELECT vec_id, label AS true_label, c_label AS pred_label FROM (
+        SELECT x.vec_id, x.label, c.c_label,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {_NC_SQD_DUCK} ASC, c.c_label ASC) AS rn
+        FROM vecs x CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+SELECT true_label, pred_label, count(*) AS n,
+       (true_label = pred_label) AS correct
+FROM assigned GROUP BY true_label, pred_label
+"""
+
+
+@register("nearest_centroid_confusion", oracle=_NC_ORACLE)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: assign every embedding to its nearest
+    LABEL centroid (decimal-exact means, the kmeans discipline) and
+    report the confusion matrix — off-diagonal mass flags mislabeled
+    or inseparable classes before anyone trains on them.
+
+    Scale note: centroid training is one partial-combined
+    (label, dim) aggregate (K*D partial rows per task, data never
+    shuffled); assignment broadcasts the K-row centroid table and
+    argmins per row via min(struct) partial aggregation — the same
+    canonical shape as the Lloyd iterations above.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("v"),
+    )
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("cval")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    j = vecs.crossJoin(F.broadcast(cent))
+    assigned = (
+        j.select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "c_label",
+            F.expr(_SQD_SPARK).alias("sqd"),
+        )
+        .groupBy("vec_id", "true_label")
+        .agg(F.min(F.struct(F.col("sqd"), F.col("c_label"))).alias("m"))
+        .select("true_label", F.col("m.c_label").alias("pred_label"))
+    )
+    return (
+        assigned.groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )

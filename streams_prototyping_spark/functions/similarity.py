@@ -671,3 +671,87 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.expr(_rp_dim_spark(d)).alias(f"rp_{d}") for d in range(RP_DIMS)],
     )
+
+
+# ------------------------------------------- contrastive hard negatives
+
+N_ANCHORS = 10       # anchors: vec_id < 10
+HARD_NEG_TOP_K = 3   # hardest negatives per anchor
+
+_HARDNEG_ORACLE = f"""
+WITH vecs AS (
+    SELECT vec_id, label,
+           {_V_DOUBLE_DUCK} AS v,
+           {_SQNORM_DUCK.format(v=_V_DOUBLE_DUCK)} AS sqnorm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v, sqnorm
+      FROM vecs WHERE vec_id < {N_ANCHORS}),
+pairs AS (
+    SELECT q.anchor_id, q.anchor_label, c.vec_id, c.label AS neg_label,
+           {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN vecs c ON c.label <> q.anchor_label
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label, cos_sim, rnk FROM (
+    SELECT anchor_id, anchor_label, vec_id, neg_label, cos_sim,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+    FROM pairs
+) WHERE rnk <= {HARD_NEG_TOP_K}
+"""
+
+
+@register("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor, the
+    {HARD_NEG_TOP_K} most-similar vectors with a DIFFERENT label — the
+    hard negatives that make a contrastive batch informative (easy
+    random negatives teach nothing; the near-miss different-label
+    neighbors are the signal).
+
+    Scale note: same plan as cosine_topk — anchors broadcast, the
+    corpus streams once, rank<=k collapses to a per-partition
+    WindowGroupLimit; at production scale the candidate set comes from
+    the ANN index first (the existing LSH/IVF path) and only
+    candidates are exact-scored, a composition not a new plan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "label",
+        F.expr(_V_DOUBLE_SPARK).alias("v"),
+        F.expr(_SQNORM_SPARK.format(v=_V_DOUBLE_SPARK)).alias("sqnorm"),
+    )
+    q = vecs.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+    )
+    pairs = vecs.join(
+        F.broadcast(q), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "neg_label",
+            "cos_sim",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= HARD_NEG_TOP_K)
+    )
