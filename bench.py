@@ -46,6 +46,10 @@ HEADLINE = [
     "window_running_sum",
     "ewma_per_user",
     "sequence_packing",
+    "user_value_trend",
+    "interpolate_masked_days",
+    "copurchase_lift",
+    "priority_transition_matrix",
     "events_session_window",
     "events_hopping_window",
     "explode_wordcount",
@@ -56,6 +60,7 @@ HEADLINE = [
     "dedup_canonical",
     "span_dedup",
     "semantic_dedup",
+    "ngram_containment_pairs",
     "winnowing_fingerprint",
     "repetition_stats",
     "text_normalize",
@@ -75,6 +80,11 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "bm25_topk",
     "token_entropy",
+    "bigram_lm_nll",
+    "count_min_heavy_hitters",
+    "random_projection_embed",
+    "hard_negative_mining",
+    "nearest_centroid_confusion",
     "kmeans_lloyd",
     "pq_encode",
     "pq_adc_topk",

@@ -199,3 +199,23 @@ def test_span_dedup_membership_join_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "span_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_probe_join_broadcasts_cells(spark, sf_dir):
+    """The 256-cell CMS table must broadcast into the probe join."""
+    plan = _plan(spark, sf_dir, "count_min_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_use_group_limit(spark, sf_dir):
+    """Anchor side broadcasts; rank<=k collapses to WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_narrow(spark, sf_dir):
+    """JL projection must be a pure scan-speed projection: no exchange."""
+    plan = _plan(spark, sf_dir, "random_projection_embed")
+    assert "Exchange" not in plan
