@@ -145,3 +145,46 @@ def test_json_stream_transport_end_to_end(spark, sf_dir, tmp_path):
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     ).first()
     assert (got.n, got.total) == (want.n, want.total) and got.n == 200
+
+
+def test_load_table_normalizes_events_ts_encodings(spark, tmp_path):
+    """The driver regenerates testdata between rounds and the events.ts
+    encoding has drifted (TIMESTAMP(NANOS) in one round, naive micros
+    read as TIMESTAMP_NTZ in the next). load_table must yield a plain
+    UTC TIMESTAMP either way — epoch casts downstream depend on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from streams_prototyping_spark.data import load_table
+
+    base = 1_704_067_200_000_000  # 2024-01-01 in micros
+    rows = {
+        "event_id": [1, 2],
+        "ts": pa.array([base, base + 61_000_000], type=pa.timestamp("us")),
+        "user_id": [7, 8],
+        "event_type": ["view", "click"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    d = tmp_path / "ntz"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = {r.event_id: r.epoch for r in df.selectExpr(
+        "event_id", "CAST(ts AS BIGINT) AS epoch").collect()}
+    assert got == {1: base // 1_000_000, 2: base // 1_000_000 + 61}
+
+    # nanos-as-long legacy encoding: same instants, same result
+    rows["ts"] = pa.array(
+        [base * 1000, (base + 61_000_000) * 1000], type=pa.timestamp("ns")
+    )
+    d2 = tmp_path / "nanos"
+    d2.mkdir()
+    pq.write_table(pa.table(rows), str(d2 / "events.parquet"))
+    df2 = load_table(spark, str(d2), "events")
+    assert isinstance(df2.schema["ts"].dataType, T.TimestampType)
+    got2 = {r.event_id: r.epoch for r in df2.selectExpr(
+        "event_id", "CAST(ts AS BIGINT) AS epoch").collect()}
+    assert got2 == got
