@@ -190,3 +190,65 @@ def test_collapse_repeats_duckdb_matches_python_reference(words):
     finally:
         con.close()
     assert got == " ".join(_collapse_ref(words))
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=10))
+def test_span_dedup_matches_python_reference(spark, tmp_path_factory, texts):
+    """Differential check of span_dedup against an independent Python
+    reference (third implementation besides Spark and the DuckDB
+    oracle): span flags, counts and the reassembled clean text must
+    agree exactly."""
+    from streams_prototyping_spark.functions.span_quality import (
+        SPAN_MIN_DOCS,
+        SPAN_W,
+        span_dedup,
+    )
+
+    tmp = tmp_path_factory.mktemp("spans")
+    docs = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    # python reference
+    def spans_of(t):
+        w = t.split(" ")
+        n = max(-(-len(w) // SPAN_W), 1)
+        return [" ".join(w[i * SPAN_W : i * SPAN_W + SPAN_W]) for i in range(n)]
+
+    span_docs = {}
+    for i, t in enumerate(texts):
+        for sp in set(spans_of(t)):
+            span_docs.setdefault(sp, set()).add(i)
+    dup = {sp for sp, ds in span_docs.items() if len(ds) >= SPAN_MIN_DOCS}
+    want = {}
+    for i, t in enumerate(texts):
+        sps = spans_of(t)
+        keep = [sp for sp in sps if sp not in dup]
+        ndup = sum(1 for sp in sps if sp in dup)
+        want[i] = (len(sps), ndup, " ".join(keep))
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.clean_text)
+        for r in span_dedup(spark, str(tmp)).collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=10))
+def test_token_entropy_bounds(spark, tmp_path_factory, texts):
+    """0 <= entropy <= ln(n_types) (uniform bound); ttr = types/tokens."""
+    from streams_prototyping_spark.functions.span_quality import token_entropy
+
+    tmp = tmp_path_factory.mktemp("entropy")
+    docs = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    for r in token_entropy(spark, str(tmp)).collect():
+        assert r.n_types <= r.n_tokens
+        assert abs(r.ttr - round(r.n_types / r.n_tokens, 6)) < 1e-9
+        assert -1e-6 <= r.token_entropy <= math.log(r.n_types) + 1e-4
