@@ -88,6 +88,7 @@ HEADLINE = [
     "kmeans_lloyd",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "decontamination_overlap",
     "domain_mixture_weights",
     "curation_pipeline_select",

@@ -606,3 +606,146 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("pred_label")).alias("correct"),
         )
     )
+
+
+# ----------------------------------------------- composed IVF-PQ search
+
+IVFPQ_NPROBE = 3  # probe the 3 nearest trained cells per query
+
+
+def _ivfpq_oracle() -> str:
+    pq_ctes = f"""subs AS (
+    SELECT vec_id, t.m,
+           v[(t.m * {SUB_DIM} + 1):(t.m * {SUB_DIM} + {SUB_DIM})] AS subvec
+    FROM vecs CROSS JOIN range(0, {M_SUB}) t(m)
+), codebook AS (
+    SELECT m, vec_id AS cw_id, subvec AS cw FROM subs WHERE vec_id < {K_PQ}
+), best AS (
+    SELECT vec_id, m, cw_id FROM (
+        SELECT p.vec_id, p.m, c.cw_id,
+               row_number() OVER (PARTITION BY p.vec_id, p.m
+                                  ORDER BY {_SUB_SQD_DUCK} ASC, c.cw_id ASC) AS rn
+        FROM subs p JOIN codebook c ON c.m = p.m
+    ) WHERE rn = 1
+), lut AS (
+    SELECT q.vec_id AS query_id, c.m, c.cw_id,
+           round({_LUT_SQD_DUCK}, 9) AS partial_d
+    FROM subs q JOIN codebook c ON c.m = q.m
+    WHERE q.vec_id < {PQ_N_QUERIES}
+)"""
+    return f"""
+WITH {_lloyd_ctes()},
+{_recenter_cte("afinal", "cfinal")},
+{pq_ctes},
+routed AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_SQD_DUCK} ASC, c.cell ASC) AS rn
+        FROM (SELECT vec_id, v FROM vecs WHERE vec_id < {PQ_N_QUERIES}) q
+        CROSS JOIN cfinal c
+    ) WHERE rn <= {IVFPQ_NPROBE}
+),
+cand AS (
+    SELECT r.query_id, a.vec_id
+    FROM routed r JOIN afinal a ON a.cell = r.cell
+    WHERE a.vec_id <> r.query_id
+),
+adc AS (
+    SELECT cd.query_id, cd.vec_id,
+           round(CAST(sum(CAST(l.partial_d AS DECIMAL(25,9))) AS DOUBLE), 6)
+               AS adc_sq_dist
+    FROM cand cd
+    JOIN best b ON b.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id AND l.m = b.m AND l.cw_id = b.cw_id
+    GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, vec_id, adc_sq_dist, rnk FROM (
+    SELECT query_id, vec_id, adc_sq_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sq_dist ASC, vec_id ASC) AS BIGINT)
+               AS rnk
+    FROM adc
+) WHERE rnk <= {PQ_TOP_K}
+"""
+
+
+@register("ivf_pq_topk", oracle=_ivfpq_oracle())
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ query path (the FAISS IndexIVFPQ shape):
+    route each query to its {IVFPQ_NPROBE} nearest TRAINED cells
+    (centroids recentred from the final Lloyd assignment), then run
+    ADC over PQ codes of vectors in the probed cells only — candidate
+    vectors outside the probed cells are never touched, and candidate
+    VECTORS are never touched at all (codes + a broadcast LUT suffice).
+
+    Scale note: this is the plan that makes billion-vector search
+    tractable — per query the work is K cell-distance rows (broadcast
+    centroids), an {M_SUB}x{K_PQ} LUT (broadcast), and a keyed join
+    over ~corpus/K * nprobe code rows; the code table shuffles on
+    vec_id once at build time (shared stage with pq_encode /
+    kmeans_lloyd). Recall tuning = nprobe, a constant, not a plan
+    change.
+    """
+    from pyspark.sql import Window
+
+    assign = _final_assign(spark, sf_dir)
+    cent = _recenter(assign)
+    q = assign.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cell", F.expr(_SQD_SPARK).alias("rsqd"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rsqd").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assign.select("vec_id", "cell")
+        .join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    subs = _pq_subs(spark, sf_dir)
+    codebook = _pq_codebook(subs)
+    lut_sqd = (
+        "aggregate(zip_with(qsub, cw, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("subvec").alias("qsub"))
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "cw_id", F.round(F.expr(lut_sqd), 9).alias("partial_d"))
+    )
+    best = _pq_best(spark, sf_dir).select("vec_id", "m", "cw_id")
+    adc = (
+        best.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cw_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("partial_d").cast("decimal(25,9)")).cast("double"), 6
+            ).alias("adc_sq_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sq_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select(
+            "query_id",
+            "vec_id",
+            "adc_sq_dist",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= PQ_TOP_K)
+    )

@@ -219,3 +219,12 @@ def test_random_projection_is_narrow(spark, sf_dir):
     """JL projection must be a pure scan-speed projection: no exchange."""
     plan = _plan(spark, sf_dir, "random_projection_embed")
     assert "Exchange" not in plan
+
+
+def test_ivf_pq_routing_and_lut_broadcast(spark, sf_dir):
+    """The composed IVF-PQ query must broadcast routing + LUT and keep
+    every join keyed — candidate vectors are never cross-joined."""
+    plan = _plan(spark, sf_dir, "ivf_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
