@@ -536,83 +536,6 @@ def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k — the evaluation harness an ANN deployment runs when tuning
 # bits/probes/cells ("measure, don't guess"). k = ANN_TOP_K.
 
-_RECALL_METHODS = {
-    "lsh": "_ANN",
-    "lsh_multiprobe": "_MULTIPROBE",
-    "ivf": "_IVF",
-    "ivf_nprobe": "_NPROBE",
-}
-
-
-def _recall_oracle() -> str:
-    import streams_prototyping_spark.functions.similarity as _self
-
-    approx_union = "\nUNION ALL\n".join(
-        f"SELECT '{name}' AS method, query_id, vec_id "
-        f"FROM ({getattr(_self, var + '_ORACLE')})"
-        for name, var in _RECALL_METHODS.items()
-    )
-    return f"""
-WITH exact AS (
-    SELECT query_id, vec_id FROM ({_TOPK_ORACLE}) WHERE rnk <= {ANN_TOP_K}
-), approx AS (
-{approx_union}
-)
-SELECT a.method, a.query_id,
-       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits,
-       round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / {ANN_TOP_K}, 6) AS recall
-FROM approx a
-LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
-GROUP BY a.method, a.query_id
-"""
-
-
-@register("ann_recall_report", oracle=_recall_oracle())
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{ANN_TOP_K} of each ANN variant (LSH, LSH+multi-probe,
-    IVF, IVF+nprobe) against the exact cosine top-{ANN_TOP_K}, per
-    query — the tuning dashboard for the bits/probes/cells trade-off.
-    Multi-probe/nprobe variants must dominate their base variants
-    (asserted in tests).
-
-    Scale note: every input reuses the family's cached index stages;
-    the ground-truth side is Q*k rows (broadcast), so the evaluation
-    costs one pass over the approximate results regardless of corpus
-    size. Evaluating on a SAMPLE of queries (here: all Q) is the
-    production pattern.
-    """
-    from streams_prototyping_spark.registry import QUERIES
-
-    method_fns = {
-        "lsh": "ann_lsh_topk",
-        "lsh_multiprobe": "ann_lsh_topk_multiprobe",
-        "ivf": "ann_ivf_topk",
-        "ivf_nprobe": "ann_ivf_topk_nprobe",
-    }
-    approx = None
-    for name, qname in method_fns.items():
-        part = QUERIES[qname](spark, sf_dir).select(
-            F.lit(name).alias("method"), "query_id", "vec_id"
-        )
-        approx = part if approx is None else approx.unionByName(part)
-    exact = (
-        cosine_topk(spark, sf_dir)
-        .filter(F.col("rnk") <= ANN_TOP_K)
-        .select("query_id", "vec_id", F.lit(1).alias("hit"))
-    )
-    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-    return (
-        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
-        .groupBy("method", "query_id")
-        .agg(
-            n_hits.cast("long").alias("n_hits"),
-            F.round(n_hits.cast("double") / ANN_TOP_K, 6).alias("recall"),
-        )
-    )
-
-
 # ------------------------------------------- JL random projection
 
 RP_DIMS = 16  # target dimensionality (from 64)

@@ -71,6 +71,7 @@ def load_all() -> None:
         similarity,
         span_quality,
         text,
+        recall,  # imports similarity AND clustering; must load after both
         text_transform,
         multimodal,
     )

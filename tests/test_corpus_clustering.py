@@ -309,7 +309,7 @@ def test_ann_recall_probing_dominates(spark, sf_dir):
     rows = registry.QUERIES["ann_recall_report"](spark, sf_dir).collect()
     by = {(r.method, r.query_id): r.recall for r in rows}
     queries = {q for m, q in by}
-    assert len(queries) == 5 and len(by) == 20
+    assert len(queries) == 5 and len(by) == 25  # 5 methods incl. ivf_pq
     for q in queries:
         assert by[("lsh_multiprobe", q)] >= by[("lsh", q)]
         assert by[("ivf_nprobe", q)] >= by[("ivf", q)]
