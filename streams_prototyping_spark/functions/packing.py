@@ -123,3 +123,116 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+
+
+# ----------------------------------------------- deterministic epoch order
+
+N_EPOCHS = 3
+
+_EPOCH_ORACLE = f"""
+WITH e AS (
+    SELECT doc_id, CAST(unnest(range(0, {N_EPOCHS})) AS BIGINT) AS epoch
+    FROM documents
+)
+SELECT doc_id, epoch,
+       CAST(row_number() OVER (
+           PARTITION BY epoch
+           ORDER BY md5('epoch' || epoch || ':' || doc_id), doc_id
+       ) AS BIGINT) AS position
+FROM e
+"""
+
+
+@register("epoch_shuffle_order", oracle=_EPOCH_ORACLE)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch training order: each epoch permutes the
+    corpus by md5('epoch{{e}}:' || doc_id) — a different but fully
+    deterministic shuffle per epoch, so a crashed run resumes on the
+    exact same order without shipping any RNG state (the data-loader
+    contract every reproducible training setup needs).
+
+    Scale note: the sort key is computed scan-side; at production scale
+    the global row_number becomes a sort on the hash key (total order
+    is inherent to the contract) executed once per epoch and written
+    out — or, cheaper, consumers range-partition directly on the hash
+    key and skip materializing positions entirely.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).select("doc_id", F.col("epoch").cast("long").alias("epoch"))
+    key = F.md5(
+        F.concat(F.lit("epoch"), F.col("epoch"), F.lit(":"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("epoch").orderBy(key, F.col("doc_id"))
+    return e.select(
+        "doc_id", "epoch", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+# ----------------------------------------------- weighted source interleave
+
+_INTERLEAVE_ORACLE = """
+WITH w AS (
+    SELECT source, round(sqrt(count(*)), 6) AS weight FROM documents GROUP BY source
+), ranked AS (
+    SELECT d.doc_id, d.source, w.weight,
+           CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+                AS BIGINT) AS src_rank
+    FROM documents d JOIN w ON w.source = d.source
+), keyed AS (
+    SELECT doc_id, source, src_rank,
+           round(src_rank / weight, 6) AS sched_key
+    FROM ranked
+)
+SELECT doc_id, source, src_rank, sched_key,
+       CAST(row_number() OVER (ORDER BY sched_key, source, doc_id) AS BIGINT)
+           AS global_pos
+FROM keyed
+"""
+
+
+@register("dataset_interleave", oracle=_INTERLEAVE_ORACLE)
+def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave: each source's documents are
+    spaced along a global schedule at intervals of 1/weight (weight =
+    sqrt(source size) — the sub-linear upsampling every mixture recipe
+    applies), so a sequential reader sees sources blended in
+    proportion instead of concatenated — the actual data-loader
+    ordering that domain_mixture_weights' ratios get compiled into.
+
+    Scale note: per-source ranks are one keyed window; the global
+    order is a sort on the schedule key (inherent to emitting a total
+    order — production writes it once per mixture revision, or
+    range-partitions consumers on sched_key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wt = d.groupBy("source").agg(
+        F.round(F.sqrt(F.count("*")), 6).alias("weight")
+    )
+    ranked = d.join(F.broadcast(wt), "source").select(
+        "doc_id",
+        "source",
+        "weight",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("long")
+        .alias("src_rank"),
+    )
+    keyed = ranked.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        F.round(F.col("src_rank") / F.col("weight"), 6).alias("sched_key"),
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        "sched_key",
+        F.row_number()
+        .over(Window.orderBy("sched_key", "source", "doc_id"))
+        .cast("long")
+        .alias("global_pos"),
+    )
