@@ -48,6 +48,9 @@ HEADLINE = [
     "sequence_packing",
     "user_value_trend",
     "interpolate_masked_days",
+    "rolling_median_daily",
+    "epoch_shuffle_order",
+    "dataset_interleave",
     "copurchase_lift",
     "priority_transition_matrix",
     "events_session_window",

@@ -212,3 +212,71 @@ def interpolate_masked_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+# ------------------------------------------------ trailing rolling median
+
+ROLL_W = 7  # trailing window (days), current day inclusive
+
+_ROLLMED_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+), w AS (
+    SELECT day_epoch, total,
+           list_sort(list(total) OVER (
+               ORDER BY day_epoch
+               ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW)) AS win
+    FROM daily
+)
+SELECT day_epoch,
+       round(total, 6) AS total,
+       CAST(len(win) AS BIGINT) AS n_window,
+       round(CASE WHEN len(win) % 2 = 1 THEN win[(len(win) + 1) // 2]
+                  ELSE (win[len(win) // 2] + win[len(win) // 2 + 1]) / 2.0 END,
+             6) AS rolling_median
+FROM w
+"""
+
+
+@register("rolling_median_daily", oracle=_ROLLMED_ORACLE)
+def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {ROLL_W}-day trailing median of daily order revenue — the
+    robust rolling smoother (a single outlier day cannot move it,
+    unlike a rolling mean). Computed by collecting the trailing window
+    into an in-row sorted array: exact, deterministic, and cheap
+    because the window is a small CONSTANT (the aggregated daily
+    series, not raw rows).
+
+    Scale note: same single-series window argument as
+    interpolate_masked_days — O(days) rows, window state O(ROLL_W);
+    a per-key variant partitions the window by the key and scales as
+    one keyed shuffle. Approximate sketches are unnecessary when the
+    window is constant-bounded; they enter only for
+    unbounded-cardinality windows (the approx_percentiles path).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_epoch")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    win = Window.orderBy("day_epoch").rowsBetween(-(ROLL_W - 1), 0)
+    arr = F.array_sort(F.collect_list("total").over(win))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return daily.select(
+        "day_epoch",
+        F.round("total", 6).alias("total"),
+        n.cast("long").alias("n_window"),
+        F.round(med, 6).alias("rolling_median"),
+    )
