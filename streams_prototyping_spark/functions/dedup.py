@@ -677,3 +677,85 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a")) >= CONTAINMENT_MIN
         )
     )
+
+
+# --------------------------------------------- simhash near-dup pairs
+
+SIMHASH_MAX_HAMMING = 2
+# pigeonhole: 3 disjoint blocks of the 16-bit fingerprint — any pair
+# within Hamming distance 2 shares at least one identical block
+_SIMHASH_BLOCKS = ((0, 5), (5, 5), (10, 6))  # (shift, width)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id, {_HASHES_DUCK} AS hashes FROM documents
+), fp AS (
+    SELECT doc_id, CAST({_simhash_duck()} AS BIGINT) AS simhash FROM hashed
+), blocks AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS b, "
+        f"(simhash // {1 << shift}) % {1 << width} AS block_key FROM fp"
+        for bi, (shift, width) in enumerate(_SIMHASH_BLOCKS))}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS fp_a,
+                    b.doc_id AS doc_b, b.simhash AS fp_b
+    FROM blocks a JOIN blocks b
+      ON a.b = b.b AND a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance
+    {SIMHASH_MAX_HAMMING}: candidates via the pigeonhole block trick
+    (3 disjoint fingerprint blocks — a pair within distance 2 must
+    agree on at least one block), then exact bit_count verification.
+    Completes the SimHash detector: fingerprinting alone
+    (simhash_fingerprint) only becomes dedup once pairs fall out.
+
+    Scale note: the same two-phase candidate shape as MinHash banding
+    — the self-join is keyed on (block, block_key), so fan-out is
+    per-bucket, never all-pairs; verification is a 1-instruction XOR
+    popcount on the 16-bit codes already in hand. The synthetic
+    word-soup corpus is genuinely homogeneous, so at 16 bits many
+    pairs really do land within distance 2 (the output is dense
+    here); production uses 64-bit fingerprints where the same plan
+    yields sparse output — a constant change, not a plan change.
+    """
+    fp = simhash_fingerprint(spark, sf_dir)
+    blocks = None
+    for bi, (shift, width) in enumerate(_SIMHASH_BLOCKS):
+        part = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(bi).alias("b"),
+            ((F.col("simhash") / F.lit(1 << shift)).cast("long")
+             % F.lit(1 << width)).alias("block_key"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
