@@ -100,6 +100,7 @@ HEADLINE = [
     "value_outliers_mad",
     "collapse_repeats",
     "lsh_bucket_stats",
+    "numeric_profile",
     "multimodal_resize",
     "doc_chunking",
     "dataset_split",

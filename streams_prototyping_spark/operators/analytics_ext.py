@@ -557,3 +557,72 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.percent_rank().over(w), 6).alias("value_pctl"),
     )
+
+
+# ----------------------------------------------------- numeric profiler
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _profile_oracle() -> str:
+    aggs = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        f"round(min({c}), 6) AS mn_{c}, round(max({c}), 6) AS mx_{c}, "
+        f"round(CAST(sum(CAST(round({c}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / count({c}), 6) AS mean_{c}"
+        for c in _PROFILE_COLS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value, "
+        f"mean_{c} AS mean_value FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH s AS (
+    SELECT count(*) AS n_rows, {aggs} FROM lineitem
+)
+{branches}
+"""
+
+
+@register("numeric_profile", oracle=_profile_oracle())
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric column profiler over lineitem (row count,
+    nulls, distinct, min/max, decimal-exact mean per column) — the
+    data-quality dashboard a pipeline runs on every new snapshot
+    before anything downstream trusts it.
+
+    Scale note: ALL columns profile in a single scan + one aggregate
+    (count/min/max/sum partial-combine; count_distinct expands
+    internally but still one pass over the data); the wide 1-row
+    result is unpivoted driver-side into the per-column report — no
+    per-column re-scan, which is what a naive profiler does N times.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.round(F.min(c), 6).alias(f"mn_{c}"),
+            F.round(F.max(c), 6).alias(f"mx_{c}"),
+            F.round(
+                F.sum(F.round(F.col(c), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(c),
+                6,
+            ).alias(f"mean_{c}"),
+        ]
+    s = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, mean_{c}"
+        for c in _PROFILE_COLS
+    )
+    return s.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, min_value, max_value, mean_value)",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value", "mean_value",
+    )
