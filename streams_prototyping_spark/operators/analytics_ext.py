@@ -626,3 +626,166 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_null", "n_distinct",
         "min_value", "max_value", "mean_value",
     )
+
+
+# ------------------------------------------- referential integrity audit
+
+_RI_ORACLE = """
+SELECT 'lineitem->orders' AS relation,
+       count(*) AS n_child,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       count(*),
+       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem->supplier',
+       count(*),
+       sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+@register("referential_integrity_audit", oracle=_RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema (lineitem ->
+    orders, orders -> customer, lineitem -> supplier) — the
+    snapshot-acceptance check that catches partial loads and broken
+    upstream joins before any query silently under-counts.
+
+    Scale note: each check is one keyed left join counted with a
+    partial-combined aggregate; parent sides small enough broadcast
+    (customer/supplier), the orders check shuffles on the join key
+    once. A real deployment runs this per ingest partition, making
+    each check a partition-local join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def check(child, child_key, parent, parent_key, name):
+        joined = child.select(F.col(child_key)).join(
+            parent.select(F.col(parent_key)),
+            F.col(child_key) == F.col(parent_key),
+            "left",
+        )
+        return joined.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(
+                F.when(F.col(parent_key).isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        ).select("relation", "n_child", "n_orphans")
+
+    return (
+        check(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(check(o, "o_custkey", F.broadcast(c), "c_custkey", "orders->customer"))
+        .unionByName(check(li, "l_suppkey", F.broadcast(s), "s_suppkey", "lineitem->supplier"))
+    )
+
+
+# ------------------------------------------------- bloom filter audit
+
+BF_BITS = 256
+BF_K = 3
+
+
+def _bf_bit_duck(k: int, name: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf{k}:' || {name}), 1, 15) AS BIGINT) % {BF_BITS}"
+    )
+
+
+def _bf_bit_spark(k: int, name: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('bf{k}:', {name})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {BF_BITS}"
+    )
+
+
+def _bloom_oracle() -> str:
+    member_bits = ", ".join(_bf_bit_duck(k, "c_name") for k in range(BF_K))
+    return f"""
+WITH members AS (
+    SELECT c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+), bloom AS (
+    SELECT DISTINCT unnest([{member_bits}]) AS bit FROM members
+), probes AS (
+    SELECT c_name, (c_mktsegment = 'BUILDING') AS is_member,
+           unnest([{member_bits}]) AS bit
+    FROM customer
+), verdict AS (
+    SELECT p.c_name, p.is_member,
+           (count(*) = sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END))
+               AS positive
+    FROM probes p LEFT JOIN bloom b ON b.bit = p.bit
+    GROUP BY p.c_name, p.is_member
+)
+SELECT count(*) AS n_probes,
+       sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+       sum(CASE WHEN positive THEN 1 ELSE 0 END) AS n_positive,
+       sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+           AS n_false_pos,
+       sum(CASE WHEN is_member AND NOT positive THEN 1 ELSE 0 END)
+           AS n_false_neg,
+       round(CAST(sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6) AS fp_rate
+FROM verdict
+"""
+
+
+@register("bloom_filter_audit", oracle=_bloom_oracle())
+def bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audited against truth: a {BF_BITS}-bit,
+    k={BF_K} filter built over one segment's customer names, probed
+    with every name; reports positives, false positives (the rate a
+    pipeline sizes m/k against) and false negatives (must be zero —
+    the Bloom guarantee, here proven not assumed). Like the CMS audit,
+    md5 bucketing makes the sketch bit-identical cross-engine, so a
+    probabilistic structure gets an exact oracle.
+
+    Scale note: the filter is O({BF_BITS}) state built by one
+    partial-combined distinct — the join-pruning sidecar shape (ship
+    the bloom, not the set); probing joins the broadcast bit set and
+    partial-combines per probe. False-negative-freedom is structural;
+    only the FP rate is data-dependent.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_name")
+    bit_arr = "array(" + ", ".join(
+        _bf_bit_spark(k, "c_name") for k in range(BF_K)
+    ) + ")"
+    bloom = (
+        members.select(F.explode(F.expr(bit_arr)).alias("bit")).distinct()
+        .select("bit", F.lit(1).alias("hit"))
+    )
+    probes = c.select(
+        "c_name",
+        (F.col("c_mktsegment") == "BUILDING").alias("is_member"),
+        F.explode(F.expr(bit_arr)).alias("bit"),
+    )
+    verdict = (
+        probes.join(F.broadcast(bloom), "bit", "left")
+        .groupBy("c_name", "is_member")
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("positive"))
+    )
+    pos = F.sum(F.when(F.col("positive"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("positive") & ~F.col("is_member"), 1).otherwise(0))
+    return verdict.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        pos.alias("n_positive"),
+        fp.alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("positive"), 1).otherwise(0)).alias(
+            "n_false_neg"
+        ),
+        F.round(
+            fp.cast("double")
+            / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )
