@@ -101,6 +101,9 @@ HEADLINE = [
     "collapse_repeats",
     "lsh_bucket_stats",
     "numeric_profile",
+    "referential_integrity_audit",
+    "bloom_filter_audit",
+    "simhash_near_pairs",
     "multimodal_resize",
     "doc_chunking",
     "dataset_split",
