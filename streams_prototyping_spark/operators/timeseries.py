@@ -280,3 +280,56 @@ def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_window"),
         F.round(med, 6).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------- day-of-week seasonality
+
+_DOW_ORACLE = """
+WITH d AS (
+    SELECT ((CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+             // 86400 + 4) % 7) AS dow,
+           o_totalprice
+    FROM orders
+), agg AS (
+    SELECT dow, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM d GROUP BY dow
+), tot AS (SELECT CAST(sum(CAST(round(revenue, 6) AS DECIMAL(25,6))) AS DOUBLE) AS total FROM agg)
+SELECT dow, n_orders,
+       round(revenue, 6) AS revenue,
+       round(revenue / n_orders, 6) AS mean_order_value,
+       round(revenue / tot.total, 6) AS revenue_share
+FROM agg CROSS JOIN tot
+"""
+
+
+@register("orders_dow_seasonality", oracle=_DOW_ORACLE)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order revenue (0=Sunday).
+    The weekday is derived arithmetically from the epoch day number
+    ((days + 4) % 7 — 1970-01-01 was a Thursday) instead of calendar
+    functions, because Spark's dayofweek (1=Sunday) and DuckDB's dow
+    (0=Sunday) disagree by convention — the epoch formula is the same
+    integer arithmetic in both engines.
+
+    Scale note: one partial-combined 7-key aggregate over a narrow
+    projection plus a broadcast 1-row total — scan-bound at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = (F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / F.lit(86400)).cast(
+        "long"
+    )
+    agg = o.groupBy(((day + 4) % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    tot = agg.agg(
+        F.sum(F.round("revenue", 6).cast("decimal(25,6)")).cast("double").alias("total")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_orders",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(F.col("revenue") / F.col("n_orders"), 6).alias("mean_order_value"),
+        F.round(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
+    )
