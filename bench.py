@@ -36,6 +36,7 @@ HEADLINE = [
     "q13_customer_distribution",
     "q21_suppliers_kept_waiting",
     "join_asof",
+    "join_asof_tolerance",
     "ksql_ctr",
     "stream_stream_join_bucketed",
     "join_broadcast_chain",

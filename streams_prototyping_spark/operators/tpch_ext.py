@@ -662,3 +662,85 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("matched_view_ts").alias("view_epoch"),
         )
     )
+
+
+# ---------------------------------------- as-of join with staleness bound
+
+ASOF_TOLERANCE_S = 600  # max feature staleness (seconds)
+
+_ASOF_TOL_ORACLE = f"""
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       (SELECT CAST(floor(epoch(max(v.ts))) AS BIGINT)
+        FROM events v
+        WHERE v.event_type = 'view'
+          AND v.user_id = c.user_id
+          AND v.ts <= c.ts
+          AND v.ts >= c.ts - INTERVAL {ASOF_TOLERANCE_S} SECONDS) AS view_epoch,
+       CAST(floor(epoch(c.ts)) AS BIGINT)
+           - (SELECT CAST(floor(epoch(max(v.ts))) AS BIGINT)
+              FROM events v
+              WHERE v.event_type = 'view'
+                AND v.user_id = c.user_id
+                AND v.ts <= c.ts
+                AND v.ts >= c.ts - INTERVAL {ASOF_TOLERANCE_S} SECONDS)
+           AS staleness_s
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a staleness bound (the feature-store contract:
+    "serve the latest feature value at or before the event, but never
+    older than {ASOF_TOLERANCE_S} s") — a too-stale match becomes NULL
+    rather than silently serving outdated state. The tolerance check
+    runs on exact microsecond timestamps (a floored-seconds comparison
+    would re-admit boundary rows the oracle excludes); only the output
+    epochs are floored.
+
+    Scale note: identical single-shuffle merge shape as join_asof —
+    the running last() carries the candidate match, and the tolerance
+    is a narrow post-filter; no range-join blow-up at any skew.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts_raw"),
+        F.when(F.col("event_type") == "view", F.lit(0)).otherwise(F.lit(1)).alias(
+            "side"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged.withColumn(
+            "matched_view_ts", F.last("view_ts_raw", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .withColumn(
+            "fresh_view_ts",
+            F.when(
+                F.col("matched_view_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_S} SECONDS"),
+                F.col("matched_view_ts"),
+            ),
+        )
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.unix_timestamp("fresh_view_ts").alias("view_epoch"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("fresh_view_ts")
+        ).alias("staleness_s"),
+    )
