@@ -698,3 +698,67 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("n_total"), 6
         ).alias("frac"),
     )
+
+
+# ------------------------------------------- inter-event gap statistics
+
+_GAP_STATS_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_s
+    FROM events
+), g AS (
+    SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(CAST(sum(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+           AS mean_gap_s,
+       round(sqrt(CAST(sum(CAST(gap_s * gap_s AS DECIMAL(38,0))) AS DOUBLE)
+                  / count(*)
+                  - (CAST(sum(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE)
+                     / count(*))
+                    * (CAST(sum(CAST(gap_s AS DECIMAL(38,0))) AS DOUBLE)
+                       / count(*))), 6) AS std_gap_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM g GROUP BY event_type
+"""
+
+
+@register("inter_event_gap_stats", oracle=_GAP_STATS_ORACLE)
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type cadence profile: the time between a user's
+    consecutive events of the same type (mean, population std, exact
+    interpolated p50/p90, max) — the arrival-process statistics behind
+    session-gap tuning, watermark sizing, and bot detection (inhumanly
+    regular gaps).
+
+    Scale note: one (user, type)-keyed window pass produces integer-
+    second gaps; all moments come from exact decimal integer sums, so
+    partial-agg order cannot fork engines; percentiles are exact
+    interpolation (Spark percentile == DuckDB quantile_cont) over the
+    per-type gap sets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    s = F.sum(F.col("gap_s").cast("decimal(38,0)")).cast("double")
+    sq = F.sum((F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)")).cast("double")
+    n = F.count(F.lit(1))
+    mean = s / n
+    return seq.groupBy("event_type").agg(
+        n.alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(sq / n - mean * mean), 6).alias("std_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
