@@ -762,3 +762,85 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
         F.max("gap_s").cast("long").alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------- negative sampling (recsys)
+
+NEG_BUCKETS = 20      # candidate pool = parts in the customer's hash bucket
+NEG_PER_CUST = 3      # negatives per customer
+NEG_CUST_LIMIT = 200  # bound the demo output: customers with custkey < 200
+
+_NEG_SAMPLE_ORACLE = f"""
+WITH purchased AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), cand AS (
+    SELECT c.c_custkey, pt.p_partkey
+    FROM customer c JOIN part pt
+      ON pt.p_partkey % {NEG_BUCKETS} = c.c_custkey % {NEG_BUCKETS}
+    WHERE c.c_custkey < {NEG_CUST_LIMIT}
+), neg AS (
+    SELECT cd.c_custkey, cd.p_partkey
+    FROM cand cd LEFT JOIN purchased pu
+      ON pu.c = cd.c_custkey AND pu.p = cd.p_partkey
+    WHERE pu.c IS NULL
+)
+SELECT c_custkey, p_partkey, rnk FROM (
+    SELECT c_custkey, p_partkey,
+           CAST(row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY md5('neg:' || c_custkey || ':' || p_partkey),
+                        p_partkey) AS BIGINT) AS rnk
+    FROM neg
+) WHERE rnk <= {NEG_PER_CUST}
+"""
+
+
+@register("negative_sample_parts", oracle=_NEG_SAMPLE_ORACLE)
+def negative_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    per customer, {NEG_PER_CUST} parts they never ordered, drawn from
+    their hash-bucket candidate pool and ranked by md5 — reproducible
+    negatives with no RNG state, the recommender counterpart of
+    hard_negative_mining.
+
+    Scale note: the full complement is quadratic and untouchable; the
+    hash-bucket equi-join bounds candidates to pool_size = parts /
+    {NEG_BUCKETS} per customer while staying a keyed join (never a
+    cross product), the purchased anti-join is keyed on (customer,
+    part), and rank<=k collapses to WindowGroupLimit. Pool coverage
+    tunes with the bucket count — a constant, not a plan change.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < NEG_CUST_LIMIT
+    ).select("c_custkey", (F.col("c_custkey") % NEG_BUCKETS).alias("bucket"))
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % NEG_BUCKETS).alias("bucket")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchased = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("pc"), F.col("l_partkey").alias("pp"))
+        .distinct()
+    )
+    cand = c.join(pt, "bucket").select("c_custkey", "p_partkey")
+    neg = cand.join(
+        purchased,
+        (F.col("c_custkey") == F.col("pc")) & (F.col("p_partkey") == F.col("pp")),
+        "left_anti",
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("neg:"), F.col("c_custkey"), F.lit(":"), F.col("p_partkey")
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(key, F.col("p_partkey"))
+    return (
+        neg.select(
+            "c_custkey",
+            "p_partkey",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= NEG_PER_CUST)
+    )
