@@ -844,3 +844,86 @@ def negative_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= NEG_PER_CUST)
     )
+
+
+# --------------------------------------------------- RFM segmentation
+
+RFM_TILES = 5
+
+_RFM_ORACLE = f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS last_epoch,
+           count(*) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+), anchored AS (
+    SELECT b.*, (SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT)
+                 FROM orders) AS anchor
+    FROM base b
+), rfm AS (
+    SELECT o_custkey,
+           (anchor - last_epoch) // 86400 AS recency_days,
+           frequency,
+           round(monetary, 6) AS monetary,
+           CAST(ntile({RFM_TILES}) OVER (
+               ORDER BY (anchor - last_epoch) // 86400 ASC, o_custkey)
+               AS BIGINT) AS r_score,
+           CAST(ntile({RFM_TILES}) OVER (
+               ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(ntile({RFM_TILES}) OVER (
+               ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+    FROM anchored
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       r_score || '-' || f_score || '-' || m_score AS segment
+FROM rfm
+"""
+
+
+@register("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    anchored at the corpus max date), frequency and decimal-exact
+    monetary value, each quintile-scored (ntile with custkey tiebreak
+    for determinism) and concatenated into the classic segment code.
+
+    Scale note: one customer-keyed aggregate, a broadcast 1-row
+    anchor, and three global ntile windows over the (already
+    aggregated) customer table — the windows sort customers, not
+    orders; a larger deployment swaps ntile for percent_rank cuts
+    computed from a broadcast quantile table to avoid the single-sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.unix_timestamp(F.max("o_orderdate")).alias("last_epoch"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "monetary"
+        ),
+    )
+    anchor = o.agg(F.unix_timestamp(F.max("o_orderdate")).alias("anchor"))
+    rec = ((F.col("anchor") - F.col("last_epoch")) / F.lit(86400)).cast("long")
+    anchored = base.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        rec.alias("recency_days"),
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = anchored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_TILES).over(wr).cast("long").alias("r_score"),
+        F.ntile(RFM_TILES).over(wf).cast("long").alias("f_score"),
+        F.ntile(RFM_TILES).over(wm).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
