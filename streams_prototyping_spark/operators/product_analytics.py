@@ -927,3 +927,74 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
     )
+
+
+# ------------------------------------------------- winsorization summary
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+_WINSOR_ORACLE = f"""
+WITH cuts AS (
+    SELECT event_type,
+           round(quantile_cont(value, {WINSOR_LO}), 6) AS lo_cut,
+           round(quantile_cont(value, {WINSOR_HI}), 6) AS hi_cut
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_values,
+       c.lo_cut, c.hi_cut,
+       sum(CASE WHEN e.value < c.lo_cut THEN 1 ELSE 0 END) AS n_clipped_low,
+       sum(CASE WHEN e.value > c.hi_cut THEN 1 ELSE 0 END) AS n_clipped_high,
+       round(CAST(sum(CAST(round(
+           CASE WHEN e.value < c.lo_cut THEN c.lo_cut
+                WHEN e.value > c.hi_cut THEN c.hi_cut
+                ELSE e.value END, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS winsorized_mean
+FROM events e JOIN cuts c ON c.event_type = e.event_type
+GROUP BY e.event_type, c.lo_cut, c.hi_cut
+"""
+
+
+@register("value_winsorize_summary", oracle=_WINSOR_ORACLE)
+def value_winsorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization audit per event type: exact p05/p95
+    cut points, how many values each tail clips, and the decimal-exact
+    winsorized mean — the clip-don't-drop robust preprocessing twin of
+    the MAD outlier gate (which drops); a pipeline compares the two
+    summaries before choosing a policy.
+
+    Scale note: cut points come from one exact-percentile aggregate
+    over each (bounded-cardinality) type group and broadcast back;
+    the clip pass is a narrow projection + partial-combined aggregate.
+    Unbounded groups would switch the cut computation to
+    approx_percentile — a one-function change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("lo_cut"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("hi_cut"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("lo_cut"), F.col("lo_cut"))
+        .when(F.col("value") > F.col("hi_cut"), F.col("hi_cut"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type", "lo_cut", "hi_cut").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.when(F.col("value") < F.col("lo_cut"), 1).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("hi_cut"), 1).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
+        F.round(
+            F.sum(F.round(clipped, 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    ).select(
+        "event_type", "n_values", "lo_cut", "hi_cut",
+        "n_clipped_low", "n_clipped_high", "winsorized_mean",
+    )
