@@ -998,3 +998,66 @@ def value_winsorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_values", "lo_cut", "hi_cut",
         "n_clipped_low", "n_clipped_high", "winsorized_mean",
     )
+
+
+# --------------------------------------------- interval concurrency count
+
+_INFLIGHT_ORACLE = """
+WITH span AS (
+    SELECT o.o_orderkey,
+           CAST(floor(epoch(date_trunc('day', o.o_orderdate))) AS BIGINT)
+               AS start_day,
+           CAST(floor(epoch(date_trunc('day', s.last_ship))) AS BIGINT) + 86400
+               AS end_day
+    FROM orders o
+    JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+          FROM lineitem GROUP BY l_orderkey) s
+      ON s.l_orderkey = o.o_orderkey
+), deltas AS (
+    SELECT start_day AS day_epoch, 1 AS delta FROM span
+    UNION ALL
+    SELECT end_day, -1 FROM span
+), net AS (
+    SELECT day_epoch, sum(delta) AS net_change FROM deltas GROUP BY day_epoch
+)
+SELECT day_epoch, net_change,
+       sum(net_change) OVER (ORDER BY day_epoch
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_orders
+FROM net
+"""
+
+
+@register("orders_in_flight", oracle=_INFLIGHT_ORACLE)
+def orders_in_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval concurrency via boundary counting: each order is open
+    from its order date until the day after its last shipment; the
+    per-day open-order count is the running sum of +1/-1 boundary
+    events — the interval-overlap pattern that answers "how many X
+    were active at time T" WITHOUT a time-spine join or an
+    interval-vs-interval range join (the quadratic formulations).
+
+    Scale note: boundary extraction is one keyed aggregate + a union
+    of two narrow projections; the net-change table is O(distinct
+    days), so the running-sum window sorts thousands of rows no
+    matter how many billions of intervals fed it. This is the
+    boundary-event trick every interval-analytics pipeline should
+    compile to.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    span = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey).select(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("start_day"),
+        (F.unix_timestamp(F.date_trunc("day", "last_ship")) + 86400).alias("end_day"),
+    )
+    deltas = span.select(
+        F.col("start_day").alias("day_epoch"), F.lit(1).alias("delta")
+    ).unionByName(
+        span.select(F.col("end_day").alias("day_epoch"), F.lit(-1).alias("delta"))
+    )
+    net = deltas.groupBy("day_epoch").agg(F.sum("delta").alias("net_change"))
+    w = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        "day_epoch", "net_change", F.sum("net_change").over(w).alias("open_orders")
+    )
