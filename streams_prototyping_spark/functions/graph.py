@@ -1,0 +1,320 @@
+"""Distributed graph primitives: star-contraction connected components
+and deterministic PageRank.
+
+`dedup_clusters` (dedup_pipeline.py) uses plain min-label propagation,
+whose round count is the component DIAMETER — fine for near-dup
+clusters (dense, diameter 2-3), wrong for long-chain graphs. The
+scale-canonical alternative is alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14): O(log n) rounds on ANY graph shape, each round two
+keyed shuffles over the current edge list. `cc_star_contraction`
+implements it on DataFrames against the same LSH candidate graph and
+is oracle-checked against the same recursive-CTE fixpoint, so both
+algorithms are proven to compute identical components.
+
+`pagerank_parts` runs a fixed 5-iteration damped PageRank over the
+co-purchase part graph. Engine determinism for an iterative float
+algorithm follows the kmeans_lloyd recipe (REFLECTION round 2): every
+per-edge contribution is rounded THEN decimal-summed (order-free
+exact), and each iteration's rank is re-rounded before use, so Spark
+and DuckDB walk bit-identical trajectories.
+
+Scale design (100 TB): both algorithms shuffle O(edges) per round with
+partial map-side combines; neither materializes anything super-linear
+in the edge list. PageRank's per-iteration state is one (node, rank)
+table persisted and released round-over-round; star contraction's edge
+list shrinks monotonically toward the star forest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table, widen
+from streams_prototyping_spark.functions.dedup import minhash_lsh_pairs_df
+from streams_prototyping_spark.functions.dedup_pipeline import _CLUSTERS_ORACLE
+from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
+
+MAX_STAR_ROUNDS = 15  # raise loudly rather than return a non-fixpoint
+
+
+# ------------------------------------- large-star / small-star CC
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a < b), no self-loops, distinct."""
+    return (
+        df.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _bidir(und: DataFrame) -> DataFrame:
+    return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _mins(und: DataFrame) -> DataFrame:
+    """(src, m) where m = min(neighbors(src) ∪ {src})."""
+    return (
+        _bidir(und)
+        .groupBy("src")
+        .agg(F.min("dst").alias("mnd"))
+        .select("src", F.least("mnd", "src").alias("m"))
+    )
+
+
+def cc_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star.
+
+    Each alternation: large-star hangs every strictly-larger neighbor
+    of u onto m(u); small-star hangs every smaller neighbor (and u)
+    onto m(u). Edges only ever rewire toward smaller ids, so per-node
+    min labels are monotone non-increasing; convergence is verified
+    EXACTLY by checking the label assignment is a fixpoint over the
+    ORIGINAL edge list (one O(edges) join), not inferred from a probe.
+    """
+
+    def build() -> DataFrame:
+        orig = _canon(
+            minhash_lsh_pairs_df(spark, sf_dir).select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        ).persist()
+        n_orig = orig.count()
+
+        docs = widen(load_table(spark, sf_dir, "documents")).select("doc_id").persist()
+
+        und = orig
+        for _ in range(MAX_STAR_ROUNDS):
+            if n_orig == 0:
+                break
+            # ---- large-star: {(v, m(u)) : v ∈ Γ(u), v > u}
+            mins = _mins(und)
+            large = _canon(
+                _bidir(und)
+                .filter(F.col("dst") > F.col("src"))
+                .join(mins, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            )
+            # ---- small-star: {(v, m(u)) : v ∈ Γ(u), v ≤ u} ∪ {(u, m(u))}
+            mins2 = _mins(large)
+            small = _canon(
+                _bidir(large)
+                .filter(F.col("dst") < F.col("src"))
+                .join(mins2, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
+            ).persist()
+            small.count()  # materialize before releasing the previous round
+            if und is not orig:
+                und.unpersist()
+            und = small
+
+            # exact fixpoint check against the ORIGINAL edges: every
+            # endpoint pair must map to the same label.
+            labels = _mins(und)
+            bad = (
+                orig.join(
+                    labels.select(F.col("src").alias("a"), F.col("m").alias("la")),
+                    orig["src"] == F.col("a"),
+                )
+                .join(
+                    labels.select(F.col("src").alias("b"), F.col("m").alias("lb")),
+                    orig["dst"] == F.col("b"),
+                )
+                .filter(F.col("la") != F.col("lb"))
+                .limit(1)
+                .count()
+            )
+            if bad == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"cc_star_contraction did not converge in {MAX_STAR_ROUNDS} rounds"
+            )
+
+        labels = _mins(und) if n_orig else und.sparkSession.createDataFrame(
+            [], "src bigint, m bigint"
+        )
+        result = (
+            docs.join(labels, docs["doc_id"] == labels["src"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("m"), F.col("doc_id")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        if und is not orig:
+            und.unpersist()
+        orig.unpersist()
+        docs.unpersist()
+        return result
+
+    return shared_stage(spark, sf_dir, "graph/cc_star", build)
+
+
+@register("cc_star_contraction", oracle=_CLUSTERS_ORACLE)
+def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash-LSH candidate graph via
+    alternating large-star/small-star contraction — the O(log n)-round
+    algorithm that replaces diameter-bounded label propagation on
+    graphs with long chains. Same output contract as `dedup_clusters`
+    (cluster_id = min doc_id of the component; singletons keep their
+    own id), checked against the same recursive-CTE oracle — the two
+    algorithms are mutually verifying.
+
+    Scale note: each round is two keyed shuffles over the CURRENT edge
+    list, which shrinks monotonically toward the star forest; the
+    convergence test is an exact O(edges) fixpoint join, not a
+    heuristic probe.
+    """
+    clusters = cc_star_df(spark, sf_dir)
+    w_cnt = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return clusters.select("doc_id", "cluster_id", w_cnt.alias("cluster_size"))
+
+
+# --------------------------------------------------------- PageRank
+
+PR_ITERS = 5
+PR_MIN_CO = 2  # co-purchase edge threshold (co_count >= 2)
+PR_SCALE = 10**9           # fixed-point: rank 1.0 == 10^9
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100       # damping 0.85 as a ratio
+PR_TELEPORT_NUM = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN  # 0.15*scale
+
+_PR_EDGES_CTE = f"""
+baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {PR_MIN_CO}
+), edges AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+), deg AS (
+    SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1
+), nn AS (
+    SELECT count(*) AS n FROM deg
+)"""
+
+
+def _pr_iter_cte(i: int) -> str:
+    prev = f"pr{i - 1}"
+    return f"""pr{i} AS (
+    SELECT e.dst AS node,
+           (({PR_TELEPORT_NUM} // min(nn.n))
+            + ({PR_DAMP_NUM} * sum(p.pr // d.degree)) // {PR_DAMP_DEN}) AS pr
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    CROSS JOIN nn
+    GROUP BY e.dst
+)"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_EDGES_CTE
+    + f",\npr0 AS (SELECT node, {PR_SCALE} // min(nn.n) AS pr"
+    " FROM deg CROSS JOIN nn GROUP BY node),\n"
+    + ",\n".join(_pr_iter_cte(i) for i in range(1, PR_ITERS + 1))
+    + f"""
+SELECT p.node AS part_key, d.degree,
+       round(CAST(p.pr AS DOUBLE) / {PR_SCALE}, 9) AS pagerank
+FROM pr{PR_ITERS} p JOIN deg d ON d.node = p.node
+"""
+)
+
+
+@register("pagerank_parts", oracle=_PAGERANK_ORACLE)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITERS}-iteration damped (0.85) PageRank over the undirected
+    co-purchase part graph (edges = part pairs bought together in >=
+    {PR_MIN_CO} orders) — graph centrality as a catalog-importance
+    score, and the repo's canonical iterative message-passing pattern
+    alongside kmeans_lloyd.
+
+    Determinism: the whole trajectory is FIXED-POINT INTEGER
+    arithmetic — ranks are bigints scaled by 1e9; contributions are
+    integer-divided by degree, summed exactly, damped as (85*sum)//100
+    — so both engines compute identical integers at every hop with no
+    float op anywhere (the kmeans decimal-sum recipe taken to its
+    limit: round-before-use becomes quantize-everything). The float
+    rank appears only at output. The ~1e-9 truncation per hop is the
+    algorithm's documented quantization, applied identically in both
+    engines; the mass deficit (ranks sum to slightly < 1) is the
+    price of bit-exactness and is irrelevant to ranking order.
+
+    Scale note: per iteration one keyed shuffle of the edge list
+    (partial-combined at the map side, integer sums) joined against
+    the O(nodes) rank table; ranks persist round-over-round with the
+    previous iteration released. Undirected edges mean in-degree ==
+    out-degree, so there is no dangling-mass term to redistribute.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= PR_MIN_CO)
+        .select("src", "dst")
+    )
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).persist()
+    n = deg.count()  # node count; also materializes edges+deg
+
+    pr = deg.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, pr["node"] == edges["src"])
+            .join(
+                deg.select(F.col("node").alias("dn"), "degree"),
+                F.col("dn") == edges["src"],
+            )
+            .select(F.col("dst"), F.expr("pr div degree").alias("c"))
+        )
+        new_pr = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (
+                    F.lit(PR_TELEPORT_NUM // n)
+                    + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
+                ).cast("long").alias("pr"),
+            )
+            .persist()
+        )
+        new_pr.count()
+        pr.unpersist(False)
+        pr = new_pr
+    out = pr.join(deg, "node").select(
+        F.col("node").alias("part_key"),
+        "degree",
+        F.round(F.col("pr").cast("double") / F.lit(float(PR_SCALE)), 9).alias(
+            "pagerank"
+        ),
+    )
+    result = out.localCheckpoint()
+    pr.unpersist()
+    deg.unpersist()
+    edges.unpersist()
+    return result

@@ -59,6 +59,7 @@ def load_all() -> None:
         timeseries,
         tpch_ext,
         analytics_ext,
+        lakehouse,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         clustering,
@@ -66,6 +67,7 @@ def load_all() -> None:
         curation,
         dedup,
         dedup_pipeline,
+        graph,
         packing,
         retrieval,
         similarity,
