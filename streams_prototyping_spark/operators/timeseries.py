@@ -333,3 +333,213 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") / F.col("n_orders"), 6).alias("mean_order_value"),
         F.round(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
     )
+
+
+# ------------------------------------ Holt double-exponential smoothing
+
+HOLT_ALPHA_NUM, HOLT_ALPHA_DEN = 5, 10   # alpha = 0.5
+HOLT_BETA_NUM, HOLT_BETA_DEN = 3, 10     # beta = 0.3
+HOLT_SCALE = 10**6                       # fixed-point: value 1.00 == 1e6 units
+
+# level update on fixed-point ints: l' = floor((5*x + 5*(l+b)) / 10)
+_HOLT_L = (
+    f"CAST(FLOOR(({HOLT_ALPHA_NUM} * {{x}} + ({HOLT_ALPHA_DEN} - {HOLT_ALPHA_NUM})"
+    f" * ({{l}} + {{b}})) / {HOLT_ALPHA_DEN}) AS BIGINT)"
+)
+# trend update: b' = floor((3*(l' - l) + 7*b) / 10)
+_HOLT_B = (
+    f"CAST(FLOOR(({HOLT_BETA_NUM} * ({{lnew}} - {{l}}) + ({HOLT_BETA_DEN} - "
+    f"{HOLT_BETA_NUM}) * {{b}}) / {HOLT_BETA_DEN}) AS BIGINT)"
+)
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * {HOLT_SCALE // 100} AS BIGINT)
+               AS xs
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT event_type, xs,
+           row_number() OVER (PARTITION BY event_type ORDER BY day_epoch) AS idx,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+), init AS (
+    SELECT s1.event_type, s1.n, s1.xs AS l, s2.xs - s1.xs AS b
+    FROM seq s1 JOIN seq s2
+      ON s2.event_type = s1.event_type AND s1.idx = 1 AND s2.idx = 2
+), step AS (
+    SELECT event_type, n, 1 AS t, l, b FROM init
+    UNION ALL
+    SELECT s.event_type, s.n, s.t + 1,
+           {_HOLT_L.format(x='d.xs', l='s.l', b='s.b')},
+           {_HOLT_B.format(lnew=_HOLT_L.format(x='d.xs', l='s.l', b='s.b'), l='s.l', b='s.b')}
+    FROM step s JOIN seq d
+      ON d.event_type = s.event_type AND d.idx = s.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(CAST(l AS DOUBLE) / {HOLT_SCALE}, 6) AS level,
+       round(CAST(b AS DOUBLE) / {HOLT_SCALE}, 6) AS trend,
+       round(CAST(l + b AS DOUBLE) / {HOLT_SCALE}, 6) AS forecast_next
+FROM step WHERE t = n
+"""
+
+
+@register("holt_smoothing_daily", oracle=_HOLT_ORACLE)
+def holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.5,
+    beta=0.3) over the daily value series per event type, emitting the
+    final state and one-step-ahead forecast — the classic short-horizon
+    forecaster one level up from `ewma_per_user` (which has no trend
+    term).
+
+    Determinism: the recurrence runs in FIXED-POINT integer arithmetic
+    (values scaled to 1e6 units; alpha/beta applied as integer ratios
+    with a shared floor-div idiom) — the same quantize-everything
+    recipe as pagerank_parts, so both engines walk identical integer
+    trajectories; floats appear only at output. The Spark side folds
+    the recurrence in-row over the time-ordered array (the ewma
+    pattern); the oracle steps the identical recurrence with a
+    recursive CTE.
+
+    Scale note: one partial-aggregated groupBy(event_type, day) over
+    raw events, then a per-type fold over O(days) elements inside
+    codegen — state per group is two bigints, the streaming twin keeps
+    exactly that in applyInPandasWithState.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * (HOLT_SCALE // 100))
+        .cast("long")
+        .alias("xs")
+    )
+    seqs = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day_epoch"), F.col("xs")))
+        ).alias("rows")
+    )
+    xs = "transform(rows, r -> r.xs)"
+    lstep = _HOLT_L.format(x="x", l="acc.l", b="acc.b")
+    fold = (
+        f"aggregate(slice({xs}, 2, size({xs}) - 1), "
+        f"named_struct('l', element_at({xs}, 1), "
+        f"'b', element_at({xs}, 2) - element_at({xs}, 1)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lstep}, "
+        f"'b', {_HOLT_B.format(lnew=lstep, l='acc.l', b='acc.b')}))"
+    )
+    return seqs.filter(F.expr(f"size({xs}) >= 2")).select(
+        "event_type",
+        F.expr(f"size({xs})").cast("long").alias("n_days"),
+        F.round(F.expr(f"CAST(({fold}).l AS DOUBLE)") / HOLT_SCALE, 6).alias("level"),
+        F.round(F.expr(f"CAST(({fold}).b AS DOUBLE)") / HOLT_SCALE, 6).alias("trend"),
+        F.round(
+            F.expr(f"CAST(({fold}).l + ({fold}).b AS DOUBLE)") / HOLT_SCALE, 6
+        ).alias("forecast_next"),
+    )
+
+
+# ------------------------------------- seasonal residual anomalies
+
+ANOM_SIGMA = 2.0  # |residual| > ANOM_SIGMA * sigma flags a day
+
+_ANOM_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+), keyed AS (
+    SELECT day_epoch, total, ((day_epoch // 86400) + 4) % 7 AS dow FROM daily
+), dow_mean AS (
+    SELECT dow,
+           round(CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS expected
+    FROM keyed GROUP BY dow
+), resid AS (
+    SELECT k.day_epoch, k.total, k.dow, m.expected,
+           CAST(CAST(k.total AS DECIMAL(18,2)) - CAST(m.expected AS DECIMAL(18,6))
+               AS DOUBLE) AS residual
+    FROM keyed k JOIN dow_mean m USING (dow)
+), sigma AS (
+    SELECT sqrt(CAST(sum(CAST(residual AS DECIMAL(19,6))
+                    * CAST(residual AS DECIMAL(19,6))) AS DOUBLE)
+                / count(*)) AS s
+    FROM resid
+)
+SELECT r.day_epoch, r.total, r.dow, r.expected,
+       round(r.residual, 6) AS residual,
+       (abs(r.residual) > {ANOM_SIGMA} * g.s) AS is_anomaly
+FROM resid r CROSS JOIN sigma g
+"""
+
+
+@register("seasonal_residual_anomalies", oracle=_ANOM_ORACLE)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly flags on the daily revenue series:
+    subtract the day-of-week mean (the dominant seasonal component),
+    then flag days whose residual exceeds {ANOM_SIGMA}x the RMS
+    residual — the additive-decomposition anomaly gate behind
+    revenue/traffic monitoring (a raw threshold would fire every
+    weekend; the deseasonalized one only on genuine outliers).
+
+    Determinism: day-of-week uses the engine-neutral epoch-day
+    arithmetic (epoch day 0 = Thursday, so +4 lands Sunday=0); the
+    dow means are decimal-summed and rounded before reuse; residuals
+    are exact decimal differences; sigma's sum of squares is an EXACT
+    decimal product of the 6-dp residuals (12-dp squares, order-free
+    exact sum); sqrt is IEEE-identical on identical
+    doubles.
+
+    Scale note: everything after the first partial-combined daily
+    rollup runs on O(days) rows; the sigma scalar broadcasts back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("day_epoch")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    keyed = daily.select(
+        "day_epoch", "total", F.expr("((day_epoch div 86400) + 4) % 7").alias("dow")
+    )
+    dow_mean = keyed.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("total").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("expected")
+    )
+    resid = keyed.join(dow_mean, "dow").select(
+        "day_epoch",
+        "total",
+        "dow",
+        "expected",
+        (
+            F.col("total").cast("decimal(18,2)")
+            - F.col("expected").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("residual"),
+    )
+    sigma = resid.agg(
+        F.sqrt(
+            F.sum(
+                F.col("residual").cast("decimal(19,6)")
+                * F.col("residual").cast("decimal(19,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return resid.crossJoin(F.broadcast(sigma)).select(
+        "day_epoch",
+        "total",
+        "dow",
+        "expected",
+        F.round("residual", 6).alias("residual"),
+        (F.abs(F.col("residual")) > F.lit(ANOM_SIGMA) * F.col("s")).alias(
+            "is_anomaly"
+        ),
+    )
