@@ -1,0 +1,365 @@
+"""Curation extensions: blocklist gating, BPE merge statistics,
+kNN label evaluation, and MinHash estimator calibration.
+
+Four operators a training-data team runs around the core dedup/quality
+pipeline:
+
+- blocklist_filter: the C4-style bad-word gate, as a *fraction*
+  threshold rather than any-hit (any-hit is a degenerate config of the
+  same query).
+- bpe_pair_counts: the inner loop of BPE tokenizer training — corpus
+  adjacent-symbol pair counts weighted by word frequency, ranked for
+  the next merge decision.
+- knn_label_eval: leave-one-out kNN classification accuracy over the
+  embedding space, computed within LSH buckets (the label-quality /
+  embedding-quality health check before training on either).
+- minhash_estimate_error: calibration of the MinHash Jaccard estimator
+  against exact shingle Jaccard on the SAME candidate pairs — the
+  report that justifies (or indicts) the k={K_PERMS} signature width.
+
+Scale design (100 TB): blocklist and BPE counting are scan + one
+partial-combined aggregation each (the blocklist broadcasts; pair
+fan-out is bounded by word length). kNN eval joins within LSH buckets
+only — never all-pairs — and reuses the persisted bucket index the ANN
+family already built. The calibration report runs on O(candidate
+pairs), which LSH banding keeps near-linear in true duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table, widen
+from streams_prototyping_spark.functions.dedup import (
+    EST_JACCARD_MIN,
+    K_PERMS,
+    minhash_lsh_pairs_df,
+    shingled_df,
+)
+from streams_prototyping_spark.functions.similarity import (
+    _BUCKETS_CTE_DUCK,
+    _COS_EXPR_DUCK,
+    _DOT_SPARK,
+    _VECTORS_CTE_DUCK,
+    _bucketed,
+)
+from streams_prototyping_spark.registry import register
+
+# ------------------------------------------------------- blocklist gate
+
+BLOCKLIST = ("slow", "dup", "stale")  # one home; SQL twin derives from it
+BLOCK_FRAC_MAX = 0.02                 # keep docs with <= 2% blocked tokens
+
+_BLOCKLIST_SQL = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+_BLOCKLIST_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_filter(words, x -> x IN ({_BLOCKLIST_SQL}))) AS BIGINT)
+           AS n_blocked,
+       round(CAST(len(list_filter(words, x -> x IN ({_BLOCKLIST_SQL}))) AS DOUBLE)
+             / len(words), 6) AS blocked_frac,
+       (CAST(len(list_filter(words, x -> x IN ({_BLOCKLIST_SQL}))) AS DOUBLE)
+             / len(words) <= {BLOCK_FRAC_MAX}) AS keep
+FROM w
+"""
+
+
+@register("blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist token gate (C4 §2.1 shape): count blocklisted tokens
+    per document and keep docs whose blocked fraction is <=
+    {BLOCK_FRAC_MAX}. The any-hit C4 policy is the threshold-0 config
+    of the same query; the fraction form survives long documents where
+    one incidental token should not nuke 10k good words.
+
+    Scale note: pure scan work — the blocklist is a literal IN-list
+    (a broadcast lookup at realistic list sizes), counting happens
+    in one codegen'd higher-order filter, no shuffle at all.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    in_list = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    n_blocked = F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({in_list}))"))
+    frac = n_blocked.cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        n_blocked.cast("long").alias("n_blocked"),
+        F.round(frac, 6).alias("blocked_frac"),
+        (frac <= BLOCK_FRAC_MAX).alias("keep"),
+    )
+
+
+# -------------------------------------------------- BPE pair counting
+
+BPE_TOP = 40  # report the top merge candidates
+
+_BPE_ORACLE = f"""
+WITH wc AS (
+    SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w
+), pairs AS (
+    SELECT substring(w, i, 2) AS pair, freq
+    FROM wc, unnest(range(1, len(w))) AS t(i)
+    WHERE len(w) >= 2
+), counted AS (
+    SELECT pair, sum(freq) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count, rnk FROM (
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+               AS rnk
+    FROM counted
+) WHERE rnk <= {BPE_TOP}
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, inner loop: adjacent character-pair
+    counts over the corpus vocabulary weighted by word frequency,
+    ranked to pick the next merge — one full round of the
+    Sennrich et al. BPE algorithm expressed as two aggregations.
+    (Successive rounds re-run the same query over the re-segmented
+    vocabulary; the counting shape — the expensive part — is
+    identical each round.)
+
+    Scale note: the corpus collapses to its VOCABULARY first (the
+    word-frequency aggregate), so pair explosion runs over distinct
+    words only — fan-out is word length, not corpus size. Both
+    aggregations partial-combine; the final top-{BPE_TOP} is a
+    single-reducer WindowGroupLimit over the tiny pair table.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.select(
+            "pair", "pair_count", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= BPE_TOP)
+    )
+
+
+# ---------------------------------------------------- kNN label eval
+
+KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+{_BUCKETS_CTE_DUCK},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v, sqnorm, bucket FROM bucketed),
+nbrs AS (
+    SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN bucketed c
+      ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM nbrs
+    ) WHERE rn <= {KNN_K}
+), votes AS (
+    SELECT t.query_id, l.label AS n_label, count(*) AS n_votes
+    FROM topk t JOIN lab l ON l.vec_id = t.vec_id
+    GROUP BY 1, 2
+), pred AS (
+    SELECT query_id, n_label AS predicted FROM (
+        SELECT query_id, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes
+    ) WHERE rn = 1
+)
+SELECT l.label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM pred p JOIN lab l ON l.vec_id = p.query_id
+GROUP BY l.label
+"""
+
+
+@register("knn_label_eval", oracle=_KNN_ORACLE)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out {KNN_K}-NN classification accuracy per label over
+    the embedding space, with neighbors drawn from the vector's LSH
+    bucket — the standard label-quality / embedding-quality health
+    check run before training a classifier on either. Low accuracy for
+    one label = that class is entangled in embedding space (or its
+    labels are noisy).
+
+    Determinism: cosine is rounded to 6 dp with vec_id tie-break for
+    the top-k; majority votes tie-break toward the smallest label.
+    Vectors whose bucket has no other member are excluded (n_eval
+    counts evaluated vectors only).
+
+    Scale note: candidate generation is the SAME keyed bucket
+    self-join as `embedding_near_dup_pairs`, reusing the persisted
+    LSH index stage; everything downstream runs on O(vectors * k)
+    rows. Exact-kNN-over-everything would be the cross product this
+    repo bans.
+    """
+    bucketed = _bucketed(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    nbrs = bucketed.join(
+        q,
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    topk = (
+        nbrs.select("query_id", "vec_id", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("query_id", "vec_id")
+    )
+    votes = (
+        topk.join(lab, "vec_id")
+        .groupBy("query_id", F.col("label").alias("n_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("n_label"))
+    pred = (
+        votes.select("query_id", "n_label", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("predicted"))
+    )
+    correct = F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.join(lab, pred["query_id"] == lab["vec_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+# ------------------------------------- MinHash estimator calibration
+
+def _minhash_err_oracle() -> str:
+    # the LSH pairs oracle already carries (doc_a, doc_b, est_jaccard)
+    # and the shingled CTE; reuse its text verbatim as a subquery.
+    from streams_prototyping_spark.functions.dedup import _LSH_PAIRS_ORACLE
+
+    inner = _LSH_PAIRS_ORACLE.strip()
+    if inner.upper().startswith("WITH"):
+        # splice: WITH <ctes> SELECT ... -> our CTE chain
+        idx = inner.rindex("SELECT")
+        ctes = inner[4:idx].strip().rstrip(",")
+        tail = inner[idx:]
+        return (
+            "WITH RECURSIVE "
+            + ctes
+            + ", pairs_est AS ("
+            + tail
+            + """), exact AS (
+    SELECT p.doc_a, p.doc_b, p.est_jaccard,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles)
+                - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+    FROM pairs_est p
+    JOIN shingled x ON x.doc_id = p.doc_a
+    JOIN shingled y ON y.doc_id = p.doc_b
+)
+SELECT est_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_exact,
+       round(CAST(sum(CAST(round(abs(est_jaccard - jaccard), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*), 6) AS mae
+FROM exact
+GROUP BY est_jaccard
+"""
+        )
+    raise AssertionError("unexpected _LSH_PAIRS_ORACLE shape")
+
+
+@register("minhash_estimate_error", oracle=_minhash_err_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair
+    (est_jaccard >= {EST_JACCARD_MIN}), compare the k={K_PERMS}
+    signature estimate against exact shingle Jaccard, grouped by the
+    (discrete, k-quantized) estimate value — the report that tells a
+    pipeline owner whether the signature width is adequate before they
+    trust the threshold (E[est] = J; spread at fixed est shrinks as
+    1/sqrt(k)).
+
+    Determinism: exact Jaccard is an int/int double division; per-pair
+    values are rounded to 6 dp then decimal-summed so group means
+    cannot fork on aggregation order.
+
+    Scale note: runs on O(candidate pairs) — the same two-phase
+    LSH-then-verify shape as ngram_jaccard_pairs, sharing its
+    persisted shingle and signature stages.
+    """
+    pairs = minhash_lsh_pairs_df(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    shingled = shingled_df(spark, sf_dir)
+    x, y = shingled.alias("x"), shingled.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.shingles"), F.col("y.shingles")))
+    union = F.size(F.col("x.shingles")) + F.size(F.col("y.shingles")) - inter
+    exact = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, F.col("y.doc_id") == F.col("doc_b"))
+        .select("est_jaccard", (inter.cast("double") / union).alias("jaccard"))
+    )
+    return exact.groupBy("est_jaccard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.round("jaccard", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_exact"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+    )

@@ -74,6 +74,7 @@ def load_all() -> None:
         span_quality,
         text,
         recall,  # imports similarity AND clustering; must load after both
+        curation_ext,
         text_transform,
         multimodal,
     )
