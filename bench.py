@@ -109,6 +109,25 @@ HEADLINE = [
     "doc_chunking",
     "dataset_split",
     "multimodal_decode",
+    # round 3: lakehouse maintenance, graph, time series, curation ext
+    "scd2_user_tier",
+    "cdc_apply_changelog",
+    "zorder_cell_stats",
+    "sliding_distinct_users",
+    "cc_star_contraction",
+    "pagerank_parts",
+    "triangle_count",
+    "holt_smoothing_daily",
+    "seasonal_residual_anomalies",
+    "rolling_corr_daily",
+    "blocklist_filter",
+    "bpe_pair_counts",
+    "knn_label_eval",
+    "minhash_estimate_error",
+    "bfs_reachability",
+    "weak_supervision_vote",
+    "stratified_kfold_assign",
+    "lang_confusion_matrix",
 ]
 
 

@@ -363,3 +363,203 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
     )
+
+
+# ------------------------------------------------ lang-ID confusion
+
+_LANG_CONF_ORACLE = """
+WITH pred AS (
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN ratio >= {en_min} THEN 'en'
+                WHEN ratio >= {enlike_min} THEN 'en-like'
+                ELSE 'unknown' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({stoplist}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ratio
+        FROM documents
+    )
+)
+SELECT labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*))
+             OVER (PARTITION BY labeled_lang), 6) AS frac_of_label
+FROM pred
+GROUP BY labeled_lang, predicted_lang
+"""
+
+
+def _lang_conf_oracle() -> str:
+    from streams_prototyping_spark.functions.text import (
+        _STOP_LIST_SQL,
+        LANG_EN_MIN,
+        LANG_ENLIKE_MIN,
+    )
+
+    return _LANG_CONF_ORACLE.format(
+        stoplist=_STOP_LIST_SQL, en_min=LANG_EN_MIN, enlike_min=LANG_ENLIKE_MIN
+    )
+
+
+@register("lang_confusion_matrix", oracle=_lang_conf_oracle())
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language-ID heuristic
+    against the gold `lang` column: per (gold, predicted) cell count
+    and within-gold-label fraction — the calibration report that turns
+    `lang_id_heuristic` from a score into a defensible filter ("at
+    this threshold we keep X% of true English and Y% of German
+    leaks through").
+
+    Scale note: one scan + one tiny two-key aggregate; the window
+    normalization runs over the O(langs²) cell table.
+    """
+    from streams_prototyping_spark.registry import QUERIES
+
+    pred = QUERIES["lang_id_heuristic"](spark, sf_dir)
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_label"
+        ),
+    )
+
+
+# --------------------------------------------- weak-supervision vote
+
+WS_MIN_WORDS_KEEP = 50   # LF_length: >= keep, [WS_MIN_WORDS_DROP, ..) abstain
+WS_MIN_WORDS_DROP = 30
+
+_WS_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ({_BLOCKLIST_SQL}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS blocked_frac
+    FROM documents
+), votes AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS v_lang,
+           CASE WHEN n_words >= {WS_MIN_WORDS_KEEP} THEN 1
+                WHEN n_words < {WS_MIN_WORDS_DROP} THEN -1 ELSE 0 END AS v_len,
+           CASE WHEN blocked_frac > {BLOCK_FRAC_MAX} THEN -1 ELSE 0 END AS v_block
+    FROM feat
+)
+SELECT doc_id,
+       CAST(CAST(v_lang = 1 AS INT) + CAST(v_len = 1 AS INT) + CAST(v_block = 1 AS INT) AS BIGINT) AS votes_keep,
+       CAST(CAST(v_lang = -1 AS INT) + CAST(v_len = -1 AS INT) + CAST(v_block = -1 AS INT) AS BIGINT) AS votes_drop,
+       CAST(CAST(v_lang = 0 AS INT) + CAST(v_len = 0 AS INT) + CAST(v_block = 0 AS INT) AS BIGINT) AS votes_abstain,
+       CASE WHEN CAST(v_lang = 1 AS INT) + CAST(v_len = 1 AS INT) + CAST(v_block = 1 AS INT)
+                 > CAST(v_lang = -1 AS INT) + CAST(v_len = -1 AS INT) + CAST(v_block = -1 AS INT) THEN 'keep'
+            WHEN CAST(v_lang = -1 AS INT) + CAST(v_len = -1 AS INT) + CAST(v_block = -1 AS INT)
+                 > CAST(v_lang = 1 AS INT) + CAST(v_len = 1 AS INT) + CAST(v_block = 1 AS INT) THEN 'drop'
+            ELSE 'review' END AS verdict,
+       (CAST(v_lang = 1 AS INT) + CAST(v_len = 1 AS INT) + CAST(v_block = 1 AS INT) > 0
+        AND CAST(v_lang = -1 AS INT) + CAST(v_len = -1 AS INT) + CAST(v_block = -1 AS INT) > 0) AS conflict
+FROM votes
+"""
+
+
+@register("weak_supervision_vote", oracle=_WS_ORACLE)
+def weak_supervision_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak supervision: three labeling functions
+    (language, length, blocklist) each vote keep/drop/abstain per
+    document; majority wins, ties go to 'review', and the conflict
+    flag marks docs where LFs disagree outright — the programmatic
+    labeling primitive for bootstrapping a quality classifier, with
+    the disagreement surface (the thing you'd route to human review
+    or a learned label model) made explicit.
+
+    Scale note: all three LFs evaluate in ONE scan (they are
+    projections of the same row); the verdict is row-local — no
+    shuffle anywhere.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    blocked_frac = (
+        F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({_BLOCKLIST_SQL}))"))
+        .cast("double")
+        / n_words
+    )
+    v_lang = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    v_len = (
+        F.when(n_words >= WS_MIN_WORDS_KEEP, 1)
+        .when(n_words < WS_MIN_WORDS_DROP, -1)
+        .otherwise(0)
+    )
+    v_block = F.when(blocked_frac > BLOCK_FRAC_MAX, -1).otherwise(0)
+    keeps = (
+        (v_lang == 1).cast("int") + (v_len == 1).cast("int") + (v_block == 1).cast("int")
+    )
+    drops = (
+        (v_lang == -1).cast("int")
+        + (v_len == -1).cast("int")
+        + (v_block == -1).cast("int")
+    )
+    abstains = (
+        (v_lang == 0).cast("int") + (v_len == 0).cast("int") + (v_block == 0).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        keeps.cast("long").alias("votes_keep"),
+        drops.cast("long").alias("votes_drop"),
+        abstains.cast("long").alias("votes_abstain"),
+        F.when(keeps > drops, "keep")
+        .when(drops > keeps, "drop")
+        .otherwise("review")
+        .alias("verdict"),
+        ((keeps > 0) & (drops > 0)).alias("conflict"),
+    )
+
+
+# -------------------------------------------- stratified k-fold CV
+
+KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH ranked AS (
+    SELECT vec_id, label,
+           row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                        AS BIGINT), vec_id
+           ) AS rn
+    FROM embeddings
+)
+SELECT vec_id, label, CAST((rn - 1) % {KFOLD_K} AS BIGINT) AS fold
+FROM ranked
+"""
+
+
+@register("stratified_kfold_assign", oracle=_KFOLD_ORACLE)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified {KFOLD_K}-fold cross-validation assignment: within
+    each label, rows are ordered by a portable hash (pseudo-random but
+    RNG-free and reproducible across engines and runs) and dealt
+    round-robin into folds — per-label fold sizes differ by at most 1,
+    which naive `hash % k` cannot guarantee on small strata.
+
+    Scale note: one window per label partition over a narrow
+    projection. For strata too large for a single partition's sort,
+    the two-level variant assigns within (label, hash-bucket) — same
+    round-robin, same balance bound per bucket.
+    """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy(
+        portable_hash64(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        ((F.row_number().over(w) - 1) % KFOLD_K).cast("long").alias("fold"),
+    )

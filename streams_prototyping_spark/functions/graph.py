@@ -318,3 +318,228 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg.unpersist()
     edges.unpersist()
     return result
+
+
+# --------------------------------------------------- triangle counting
+
+_TRI_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {PR_MIN_CO}
+), deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM und UNION ALL SELECT dst FROM und
+    ) GROUP BY node
+), oriented AS (
+    -- orient each edge from the (degree, id)-smaller endpoint to the
+    -- larger: every triangle {{a≺b≺c}} appears exactly once as
+    -- (a→b, a→c, b→c)
+    SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.src < u.dst)
+                THEN u.src ELSE u.dst END AS src,
+           CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.src < u.dst)
+                THEN u.dst ELSE u.src END AS dst
+    FROM und u
+    JOIN deg da ON da.node = u.src
+    JOIN deg db ON db.node = u.dst
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), wedges AS (
+    SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       round(3.0 * t.n_triangles / w.n_wedges, 6) AS clustering_coeff
+FROM tri t CROSS JOIN wedges w
+"""
+
+
+@register("triangle_count", oracle=_TRI_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count and clustering coefficient of the
+    co-purchase graph, via degree-ordered edge orientation (every
+    triangle counted exactly once as a≺b≺c) — the graph-density health
+    metric next to pagerank_parts, and the canonical example of taming
+    a combinatorial join: orienting by (degree, id) bounds every
+    node's out-neighborhood by O(sqrt(edges)), so the wedge join is
+    near-linear instead of quadratic on skewed degree distributions
+    (the arboricity argument behind every MapReduce triangle counter).
+
+    Scale note: two keyed self-joins over the oriented edge list; the
+    orientation step is two broadcast-able joins against the O(nodes)
+    degree table. All integer arithmetic — nothing to round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= PR_MIN_CO)
+        .select("src", "dst")
+        .persist()
+    )
+    n_edges = und.count()
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    n_nodes = deg.count()
+
+    da = deg.select(F.col("node").alias("sn"), F.col("d").alias("sd"))
+    db = deg.select(F.col("node").alias("dn"), F.col("d").alias("dd"))
+    fwd = (F.col("sd") < F.col("dd")) | (
+        (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = (
+        und.join(F.broadcast(da), F.col("sn") == F.col("src"))
+        .join(F.broadcast(db), F.col("dn") == F.col("dst"))
+        .select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    n_tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src")) & (F.col("e2.dst") > F.col("e1.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .count()
+    )
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("w")
+    ).collect()[0][0]
+    und.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_tri,
+                int(n_wedges),
+                n_edges,
+                n_nodes,
+                round(3.0 * n_tri / n_wedges, 6) if n_wedges else None,
+            )
+        ],
+        "n_triangles bigint, n_wedges bigint, n_edges bigint, n_nodes bigint, "
+        "clustering_coeff double",
+    )
+
+
+# --------------------------------------------------- bounded-hop BFS
+
+BFS_MAX_HOPS = 3
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {PR_MIN_CO}
+), edges AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+), seed AS (
+    SELECT min(src) AS node FROM edges
+), walk AS (
+    SELECT node, 0 AS hops FROM seed
+    UNION ALL
+    SELECT e.dst AS node, w.hops + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node AS part_key, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+@register("bfs_reachability", oracle=_BFS_ORACLE)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the co-purchase graph: shortest hop count
+    (<= {BFS_MAX_HOPS}) from the smallest part id in the edge set to
+    every reachable node — the "related products within N hops"
+    primitive, and the frontier-expansion pattern (iterative keyed
+    join + min-aggregate) that generalizes to any seed set.
+
+    Determinism: pure integer hop arithmetic; the seed is the minimum
+    node id (no RNG).
+
+    Scale note: each hop is one keyed join of the CURRENT FRONTIER
+    (not the full distance table) against the edge list, then a
+    min-combine — frontier size is bounded by the graph's neighborhood
+    growth, and visited nodes stop propagating (their min can't
+    improve, so re-expansion is suppressed by the frontier diff).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= PR_MIN_CO)
+        .select("src", "dst")
+    )
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    edges.count()
+
+    dist = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("hops")
+    ).persist()
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        expanded = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("hops"))
+            .distinct()
+        )
+        # new frontier = nodes not already reached at a smaller hop
+        new_frontier = expanded.join(dist, "node", "left_anti").persist()
+        n_new = new_frontier.count()
+        new_dist = dist.union(new_frontier).persist()
+        new_dist.count()
+        dist.unpersist()
+        frontier.unpersist() if frontier is not dist else None
+        dist = new_dist
+        frontier = new_frontier
+        if n_new == 0:
+            break
+    out = dist.select(
+        F.col("node").alias("part_key"), F.col("hops").cast("long").alias("hops")
+    ).localCheckpoint()
+    dist.unpersist()
+    frontier.unpersist()
+    edges.unpersist()
+    return out

@@ -68,6 +68,9 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+LANG_EN_MIN = 0.10      # stopword ratio thresholds (one home; eval reuses)
+LANG_ENLIKE_MIN = 0.03
+
 _LANG_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS words FROM documents
@@ -79,8 +82,8 @@ WITH w AS (
 )
 SELECT doc_id, labeled_lang,
        round(stop_ratio, 6) AS stop_ratio,
-       CASE WHEN stop_ratio >= 0.10 THEN 'en'
-            WHEN stop_ratio >= 0.03 THEN 'en-like'
+       CASE WHEN stop_ratio >= {LANG_EN_MIN} THEN 'en'
+            WHEN stop_ratio >= {LANG_ENLIKE_MIN} THEN 'en-like'
             ELSE 'unknown' END AS predicted_lang
 FROM scored
 """
@@ -102,8 +105,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.when(stop_ratio >= 0.10, "en")
-        .when(stop_ratio >= 0.03, "en-like")
+        F.when(stop_ratio >= LANG_EN_MIN, "en")
+        .when(stop_ratio >= LANG_ENLIKE_MIN, "en-like")
         .otherwise("unknown")
         .alias("predicted_lang"),
     )

@@ -543,3 +543,104 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# ---------------------------------------------- rolling correlation
+
+CORR_WIN = 7  # trailing days in the correlation window
+
+_ROLLCORR_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+           sum(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+               END) AS x,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+               END) AS y
+    FROM events GROUP BY 1
+), stats AS (
+    SELECT day_epoch,
+           count(*) OVER w AS n,
+           CAST(sum(x) OVER w AS DOUBLE) AS sx,
+           CAST(sum(y) OVER w AS DOUBLE) AS sy,
+           CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2))) OVER w
+               AS DOUBLE) AS sxx,
+           CAST(sum(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) OVER w
+               AS DOUBLE) AS syy,
+           CAST(sum(CAST(x AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) OVER w
+               AS DOUBLE) AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day_epoch ROWS BETWEEN {CORR_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT day_epoch, CAST(n AS BIGINT) AS n_days,
+       round(sx, 2) AS x_sum, round(sy, 2) AS y_sum,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+       END AS corr7
+FROM stats
+"""
+
+
+@register("rolling_corr_daily", oracle=_ROLLCORR_ORACLE)
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {CORR_WIN}-day Pearson correlation between daily view
+    spend and daily purchase spend — the "are these metrics still
+    coupled" drift monitor (a decoupling day is a leading incident
+    indicator that neither series' own anomaly gate sees).
+
+    Determinism: the five sufficient statistics (Σx, Σy, Σx², Σy²,
+    Σxy) accumulate as EXACT decimals inside the window frame (2-dp
+    inputs, 4-dp products), so the closed-form correlation is computed
+    from identical doubles in both engines; zero-variance windows emit
+    NULL identically. Same sufficient-statistics-as-state design as
+    user_value_trend, pushed into a sliding frame.
+
+    Scale note: raw events partial-aggregate to O(days) rows before
+    any window; the unpartitioned ORDER BY day frame runs on that tiny
+    series (a year is 365 rows), partitioned by year at longer
+    horizons.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value").cast("decimal(18,2)"))
+            .otherwise(dec0)
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+            ).otherwise(dec0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(-(CORR_WIN - 1), 0)
+    xd = F.col("x").cast("decimal(19,2)")
+    yd = F.col("y").cast("decimal(19,2)")
+    stats = daily.select(
+        "day_epoch",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(xd * xd).over(w).cast("double").alias("sxx"),
+        F.sum(yd * yd).over(w).cast("double").alias("syy"),
+        F.sum(xd * yd).over(w).cast("double").alias("sxy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(var_x) * F.sqrt(var_y)
+    )
+    return stats.select(
+        "day_epoch",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("sx", 2).alias("x_sum"),
+        F.round("sy", 2).alias("y_sum"),
+        F.when((var_x <= 0) | (var_y <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(corr, 6))
+        .alias("corr7"),
+    )

@@ -355,3 +355,89 @@ def session_stats_stream(events: DataFrame, watermark: str = "60 seconds") -> Da
             "sum_value",
         )
     )
+
+
+# --------------------------------------------- Holt level+trend KTable
+
+_HOLT_STATE_SCHEMA = "l long, b long, n long"
+_HOLT_OUT_SCHEMA = (
+    "event_type string, n_days long, level double, trend double, "
+    "forecast_next double"
+)
+
+
+def _holt_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-type Holt recurrence over day order. IDENTICAL fixed-point
+    integer arithmetic to the batch fold in holt_smoothing_daily
+    (operators/timeseries.py): values arrive as 1e6-scaled bigints,
+    Python's // is exact floor division, so the streaming state
+    converges bit-for-bit to the batch result — no float tolerance
+    needed in the convergence test."""
+    from streams_prototyping_spark.operators.timeseries import (
+        HOLT_ALPHA_DEN,
+        HOLT_ALPHA_NUM,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        HOLT_SCALE,
+    )
+
+    if state.exists:
+        l, b, n = state.get
+    else:
+        l, b, n = 0, 0, 0
+    pdf = pd.concat(list(batches))
+    if len(pdf):
+        pdf = pdf.sort_values(["day_epoch"])
+        for x in pdf["xs"].astype(int):
+            x = int(x)
+            if n == 0:
+                l, b = x, 0  # level seed; trend seeds on the next obs
+            else:
+                if n == 1:
+                    b = x - l  # trend seed (b1 = x2 - x1), then update
+                l_new = (
+                    HOLT_ALPHA_NUM * x + (HOLT_ALPHA_DEN - HOLT_ALPHA_NUM) * (l + b)
+                ) // HOLT_ALPHA_DEN
+                b = (
+                    HOLT_BETA_NUM * (l_new - l) + (HOLT_BETA_DEN - HOLT_BETA_NUM) * b
+                ) // HOLT_BETA_DEN
+                l = l_new
+            n += 1
+        state.update((int(l), int(b), int(n)))
+    scale = float(HOLT_SCALE)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_days": [n],
+            "level": [round(l / scale, 6)],
+            "trend": [round(b / scale, 6)],
+            "forecast_next": [round((l + b) / scale, 6)],
+        }
+    )
+
+
+def holt_stateful_stream(daily: DataFrame) -> DataFrame:
+    """Streaming twin of holt_smoothing_daily: the level+trend
+    recurrence as a continuously-updated KTable over a stream of
+    (event_type, day_epoch, xs) daily-total rows (the windowed-agg
+    stage feeds this in a two-stage deployment; tests replay the
+    batch daily stage as files).
+
+    State is three integers per event type — the fixed-point design
+    makes streaming-vs-batch convergence EXACT, the property float
+    state (ewma_stateful_stream) can only assert within tolerance.
+
+    Scale note: one state row per key; per-key day-ordered delivery
+    required, as with every recurrence in this file.
+    """
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _holt_update,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

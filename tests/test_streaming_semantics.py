@@ -326,3 +326,71 @@ def test_ewma_stateful_stream_converges_to_batch_fold(spark, sf_dir, tmp_path):
         for r in registry.QUERIES["ewma_per_user"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_holt_stateful_stream_converges_exactly(spark, sf_dir, tmp_path):
+    """The streaming Holt state (fixed-point integers) must equal the
+    batch fold BIT-FOR-BIT — no float tolerance — regardless of
+    micro-batch boundaries. This is the payoff of the quantized
+    recurrence: streaming/batch parity becomes exact equality."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streams_prototyping_spark import registry
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.operators.timeseries import HOLT_SCALE
+    from streams_prototyping_spark.streaming.pipelines import holt_stateful_stream
+
+    registry.load_all()
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * (HOLT_SCALE // 100))
+            .cast("long")
+            .alias("xs")
+        )
+    )
+    rows = daily.orderBy("day_epoch", "event_type").collect()
+    path = str(tmp_path / "holt_daily")
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(rows[i * third : (i + 1) * third], daily.schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        holt_stateful_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_stream")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got: dict[str, tuple] = {}
+    for r in spark.table("holt_stream").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev[0]:
+            got[r["event_type"]] = (
+                r["n_days"],
+                r["level"],
+                r["trend"],
+                r["forecast_next"],
+            )
+    want = {
+        r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_next"])
+        for r in registry.QUERIES["holt_smoothing_daily"](spark, sf_dir).collect()
+    }
+    assert got == want  # exact equality, by fixed-point design
