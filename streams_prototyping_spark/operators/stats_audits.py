@@ -1,0 +1,610 @@
+"""Statistical audit operators: deterministic sketches and evaluation
+statistics a pipeline owner runs over production tables.
+
+Each operator is a fully oracle-checked statistic (no rows-only
+checks): where the classic formulation uses engine-specific RNG or
+float folds, the implementation is restructured so BOTH engines
+compute bit-identical results (portable md5 hashing, decimal sums,
+round-before-use transcendentals — the round-2/3 determinism recipe).
+
+- hll_distinct_audit: a REAL HyperLogLog (m=64 registers) built from
+  portable md5 bits, audited against the exact distinct count. Like
+  count_min_heavy_hitters this makes the sketch itself hash-checkable
+  by the driver, not just a bounds twin: register selection and the
+  leading-zero rank are derived from disjoint substrings of one md5,
+  and the leading-zero count is computed from the HEX STRING (strip
+  leading '0's + a 4-case nibble table), so no engine-specific bit
+  intrinsics are involved.
+- roc_auc_value_purchase: EXACT ROC AUC (Mann-Whitney rank-sum with
+  midrank tie handling) of `value` as a predictor of purchase events.
+- calibration_bins: reliability table for a min-max-normalized score
+  vs the purchase label (mean predicted vs empirical rate per decile
+  bin) — the ECE table a team reads next to the AUC.
+- changepoint_daily_revenue: cumulative-deviation change-point scan
+  over the daily revenue series, all in integer cents (fixed-point —
+  no float drift anywhere in the trajectory).
+- benford_first_digit: first-significant-digit distribution of order
+  totals vs the Benford expectation with per-digit chi-square terms.
+- equidepth_value_histogram: exact equi-depth (by-count) decile
+  histogram of l_extendedprice, assigned BY VALUE so the only window
+  runs over the distinct-value table, never the raw rows.
+- aa_split_audit: hash users into two arms (the A/A experiment that
+  validates the splitter itself) and compare conversion rates with a
+  two-proportion pooled z statistic.
+
+Reference parity: the reference (apurvam/streams-prototyping, 408 Java
+LoC) has no statistics layer; these extend the engine for the
+LLM-pipeline mandate (SURVEY.md Part C). The aggregate-state shapes,
+however, are exactly the reference's partial-fold model
+(Aggregations.java:100-129): HLL registers and CMS cells are mergeable
+partial states, the same way its (sum,sum,count) CSV string is.
+
+Scale design (100 TB):
+- hll_distinct_audit: the sketch is a 64-cell max-aggregate — the
+  mergeable O(1) state that survives any partitioning (map-side
+  partial max per register, one 64-row shuffle). The exact side is
+  the audit; production estimates from the sketch alone.
+- roc_auc / calibration: group-by-score first, so the ranking window
+  runs over DISTINCT score values (bounded domain: 2-dp money), not
+  rows. For unbounded-cardinality scores the same plan runs over
+  rounded scores (the calibration view is inherently binned anyway).
+- changepoint: the window runs over the O(days) aggregated series.
+- equidepth: boundaries from the distinct-value cumulative table;
+  unbounded domains would swap in approx_percentile boundaries
+  (the sketch path exists: approx_percentiles).
+- aa_split: one user-keyed aggregate + one global fold. No shuffle
+  beyond the groupBy(user) that conversion attribution needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.registry import register
+
+# --------------------------------------------------------- HyperLogLog
+
+HLL_M = 64  # registers (p = 6)
+# alpha_64 = 0.7213 / (1 + 1.079/64), rounded once, shared by both engines
+HLL_ALPHA = 0.709340955
+
+
+def _hll_rho_sql(tail: str) -> str:
+    """Leading-zero rank (rho) of a 15-hex-char (60-bit) string, as
+    portable SQL over a column named ``tail``: 4 bits per stripped
+    leading '0' plus a 4-case table for the first non-zero nibble.
+    An all-zero tail has rank 61 (all 60 bits zero + 1)."""
+    stripped = f"regexp_replace({tail}, '^0+', '')"
+    return (
+        f"CASE WHEN length({stripped}) = 0 THEN 61 "
+        f"ELSE 4 * (15 - length({stripped})) + "
+        f"(CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1 "
+        f"WHEN nib >= 2 THEN 2 ELSE 3 END) + 1 END"
+    )
+
+
+_HLL_ORACLE = f"""
+WITH u AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid
+    FROM events WHERE user_id IS NOT NULL
+), h AS (
+    SELECT CAST('0x' || substr(md5('hll:' || uid), 1, 15) AS BIGINT) % {HLL_M} AS reg,
+           substr(md5('hll:' || uid), 16, 15) AS tail
+    FROM u
+), n AS (
+    SELECT reg, tail,
+           CAST('0x' || substr(regexp_replace(tail, '^0+', '') || '1', 1, 1) AS INT) AS nib
+    FROM h
+), r AS (
+    SELECT reg, max({_hll_rho_sql('tail')}) AS rho FROM n GROUP BY reg
+), s AS (
+    SELECT count(*) AS n_present,
+           CAST(sum(CAST(power(2.0, -rho) AS DECIMAL(38,25))) AS DOUBLE) AS pow_present
+    FROM r
+), e AS (
+    SELECT CAST({HLL_M} AS BIGINT) AS m,
+           CAST(n_present AS BIGINT) AS nonzero_registers,
+           CAST({HLL_M} - n_present AS BIGINT) AS empty_registers,
+           round({HLL_ALPHA} * {HLL_M * HLL_M} /
+                 (pow_present + ({HLL_M} - n_present) * 1.0), 4) AS raw_est
+    FROM s
+), x AS (
+    SELECT count(DISTINCT user_id) AS exact_distinct
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT m, nonzero_registers, empty_registers, raw_est,
+       CASE WHEN raw_est <= 2.5 * {HLL_M} AND empty_registers > 0
+            THEN round({HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / empty_registers), 4)
+            ELSE raw_est END AS est,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs((CASE WHEN raw_est <= 2.5 * {HLL_M} AND empty_registers > 0
+                       THEN round({HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / empty_registers), 4)
+                       ELSE raw_est END) - exact_distinct) / exact_distinct, 4)
+           AS rel_err
+FROM e, x
+"""
+
+
+def hll_reg_rho(df: DataFrame, uid_col: str = "uid") -> DataFrame:
+    """Per-row (reg, rho) HLL projection over a string id column —
+    the ONE definition both the batch audit and the streaming sketch
+    twin use (single-sourced constants, round-2 lesson). Register
+    index and leading-zero rank come from disjoint substrings of one
+    md5; rho is computed from the hex string (strip '0's + nibble
+    table), so no engine bit intrinsics are involved."""
+    h = df.select(
+        F.expr(
+            f"CAST(conv(substring(md5(concat('hll:', {uid_col})), 1, 15), 16, 10) AS BIGINT) % {HLL_M}"
+        ).alias("reg"),
+        F.expr(f"substring(md5(concat('hll:', {uid_col})), 16, 15)").alias("tail"),
+    )
+    n = h.select(
+        "reg",
+        "tail",
+        F.expr(
+            "CAST(conv(substring(concat(regexp_replace(tail, '^0+', ''), '1'), 1, 1), 16, 10) AS INT)"
+        ).alias("nib"),
+    )
+    return n.select("reg", F.expr(_hll_rho_sql("tail")).alias("rho"))
+
+
+@register("hll_distinct_audit", oracle=_HLL_ORACLE)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch audited against
+    the exact count. See module docstring; the sketch state is the
+    64-row (register, max-rho) table — the canonical mergeable shape
+    (same partial-fold model as the reference's aggregate state,
+    Aggregations.java:100-129, re-expressed as a distributed max).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # distinct() is a speed-only optimization: register max is
+    # idempotent under duplicates (the property the streaming twin
+    # relies on to skip dedup state entirely)
+    u = ev.select(F.col("user_id").cast("string").alias("uid")).distinct()
+    r = hll_reg_rho(u).groupBy("reg").agg(F.max("rho").alias("rho"))
+    s = r.agg(
+        F.count("*").alias("n_present"),
+        F.expr(
+            "CAST(sum(CAST(power(2.0, -rho) AS DECIMAL(38,25))) AS DOUBLE)"
+        ).alias("pow_present"),
+    )
+    e = s.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.col("n_present").cast("long").alias("nonzero_registers"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("empty_registers"),
+        F.round(
+            F.lit(HLL_ALPHA)
+            * F.lit(HLL_M * HLL_M)
+            / (F.col("pow_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0)),
+            4,
+        ).alias("raw_est"),
+    )
+    x = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    est = F.when(
+        (F.col("raw_est") <= 2.5 * HLL_M) & (F.col("empty_registers") > 0),
+        F.round(
+            F.lit(HLL_M)
+            * F.log(F.lit(float(HLL_M)) / F.col("empty_registers")),
+            4,
+        ),
+    ).otherwise(F.col("raw_est"))
+    return (
+        e.crossJoin(F.broadcast(x))  # both sides are 1 row
+        .select(
+            "m",
+            "nonzero_registers",
+            "empty_registers",
+            "raw_est",
+            est.alias("est"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------- exact AUC
+
+_AUC_ORACLE = """
+WITH g AS (
+    SELECT value AS score, count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+    FROM events GROUP BY value
+), w AS (
+    SELECT score, n, pos,
+           sum(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM g
+), s AS (
+    SELECT CAST(sum(pos) AS BIGINT) AS npos,
+           CAST(sum(n) - sum(pos) AS BIGINT) AS nneg,
+           sum(CAST(pos AS DECIMAL(28,1)) * CAST(cum_n - n AS DECIMAL(28,1))
+               + CAST(pos AS DECIMAL(28,1)) * CAST(n + 1 AS DECIMAL(28,1)) / 2)
+               AS pos_rank_sum
+    FROM w
+)
+SELECT npos, nneg, auc, round(2 * auc - 1, 6) AS gini
+FROM (
+    SELECT npos, nneg,
+           round(CAST(pos_rank_sum - CAST(npos AS DECIMAL(28,1)) * CAST(npos + 1 AS DECIMAL(28,1)) / 2
+                      AS DOUBLE)
+                 / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc
+    FROM s
+) t
+"""
+
+
+@register("roc_auc_value_purchase", oracle=_AUC_ORACLE)
+def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of `value` as a ranking score for purchase
+    events, via the Mann-Whitney rank-sum identity with midrank tie
+    handling: group rows by score first so the ranking window runs
+    over DISTINCT scores (bounded 2-dp domain), then
+    AUC = (sum of positive midranks - npos(npos+1)/2) / (npos*nneg).
+    Rank sums accumulate in DECIMAL(28,1) (midranks have .5
+    granularity), so partial-agg order cannot fork engines.
+
+    Scale: one keyed aggregate (map-side combined) + one window over
+    the distinct-score table + a scalar fold. For genuinely
+    continuous scores the same plan runs over round(score, k) —
+    which only merges ties, and the midrank formula already handles
+    ties exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("value").alias("score")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos"),
+    )
+    w = g.withColumn(
+        "cum_n",
+        F.sum("n").over(
+            Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = w.agg(
+        F.sum("pos").cast("long").alias("npos"),
+        (F.sum("n") - F.sum("pos")).cast("long").alias("nneg"),
+        F.sum(
+            F.col("pos").cast("decimal(28,1)") * (F.col("cum_n") - F.col("n")).cast("decimal(28,1)")
+            + F.col("pos").cast("decimal(28,1)") * (F.col("n") + 1).cast("decimal(28,1)") / 2
+        ).alias("pos_rank_sum"),
+    )
+    auc = F.round(
+        (
+            F.col("pos_rank_sum")
+            - F.col("npos").cast("decimal(28,1)") * (F.col("npos") + 1).cast("decimal(28,1)") / 2
+        ).cast("double")
+        / (F.col("npos").cast("double") * F.col("nneg").cast("double")),
+        6,
+    )
+    return s.select("npos", "nneg", auc.alias("auc"), F.round(2 * auc - 1, 6).alias("gini"))
+
+
+# -------------------------------------------------- calibration table
+
+_CAL_ORACLE = """
+WITH b AS (
+    SELECT min(value) AS minv, max(value) AS maxv FROM events
+), p AS (
+    SELECT least(CAST(floor((value - minv) / (maxv - minv) * 10) AS INT), 9) AS bin,
+           round((value - minv) / (maxv - minv), 9) AS prob,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+    FROM events, b
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(label) AS BIGINT) AS pos,
+       round(CAST(sum(CAST(prob AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS mean_pred,
+       round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate,
+       round(abs(round(CAST(sum(CAST(prob AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+                 - round(CAST(sum(label) AS DOUBLE) / count(*), 6)), 6) AS gap
+FROM p GROUP BY bin
+"""
+
+
+@register("calibration_bins", oracle=_CAL_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table: min-max-normalize `value`
+    into a [0,1] pseudo-probability, bin into deciles, and compare
+    mean predicted probability vs empirical purchase rate per bin —
+    the table behind an ECE number / reliability diagram. Per-bin
+    probability means are decimal sums of round(prob, 9) so
+    accumulation order cannot fork engines.
+
+    Scale: the min/max bounds row broadcasts (1 row); binning is a
+    narrow projection; one 10-group aggregate. No shuffle beyond the
+    10-key agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("minv"), F.max("value").alias("maxv"))
+    prob = (F.col("value") - F.col("minv")) / (F.col("maxv") - F.col("minv"))
+    p = ev.crossJoin(F.broadcast(b)).select(
+        F.least(F.floor(prob * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(prob, 9).alias("prob"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    mean_pred = F.round(
+        F.sum(F.col("prob").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+    )
+    pos_rate = F.round(F.sum("label").cast("double") / F.count("*"), 6)
+    return p.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        mean_pred.alias("mean_pred"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.abs(mean_pred - pos_rate), 6).alias("gap"),
+    )
+
+
+# ------------------------------------------- change-point (CUSUM scan)
+
+_CHANGEPOINT_ORACLE = """
+WITH d AS (
+    SELECT o_orderdate AS day,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_orderdate
+), m AS (
+    SELECT sum(cents) // count(*) AS mean_cents FROM d
+), c AS (
+    SELECT day, cents,
+           sum(cents - mean_cents) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dev
+    FROM d, m
+)
+SELECT day, cents, cum_dev,
+       CAST(abs(cum_dev) = max(abs(cum_dev)) OVER () AS BOOLEAN) AS is_peak
+FROM c
+"""
+
+
+@register("changepoint_daily_revenue", oracle=_CHANGEPOINT_ORACLE)
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-deviation change-point scan over daily revenue: the
+    day where |cumsum(daily - mean)| peaks is the classic CUSUM
+    change-point estimate. The whole trajectory is integer cents
+    (round-3 fixed-point recipe — no float op between days), so both
+    engines compute identical integers by construction.
+
+    Scale: raw orders collapse to O(days) rows in one partial-combined
+    aggregate; every window after that runs over the daily series.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    m = d.agg(F.expr("sum(cents) DIV count(*)").alias("mean_cents"))
+    c = d.crossJoin(F.broadcast(m)).withColumn(
+        "cum_dev",
+        F.sum(F.col("cents") - F.col("mean_cents")).over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return c.select(
+        "day",
+        "cents",
+        "cum_dev",
+        (
+            F.abs(F.col("cum_dev"))
+            == F.max(F.abs(F.col("cum_dev"))).over(
+                Window.partitionBy()
+            )
+        ).alias("is_peak"),
+    )
+
+
+# ------------------------------------------------------- Benford audit
+
+# round(log10(1 + 1/d), 6) for d in 1..9, precomputed once so both
+# engines share the identical constants (no engine log10 in the path)
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+_BENFORD_CASE = "CAST(CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD.items()
+) + " END AS DOUBLE)"
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+    FROM orders WHERE o_totalprice >= 1
+), g AS (
+    SELECT digit, count(*) AS n, sum(count(*)) OVER () AS total FROM d GROUP BY digit
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+       {_BENFORD_CASE} AS exp_share,
+       round(pow(CAST(n AS DOUBLE) - total * ({_BENFORD_CASE}), 2)
+             / (total * ({_BENFORD_CASE})), 6) AS chi2_term
+FROM g
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic synthetic-data / fraud smell
+    test. Expected shares are literals precomputed once (no engine
+    log10 in the path); per-digit chi-square terms let the reader
+    form the test statistic at any digit subset.
+
+    Scale: one 9-group aggregate over a narrow projection; the
+    window total runs over 9 rows.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    g = (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    exp_share = F.expr(_BENFORD_CASE)
+    return g.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.round(
+            F.pow(F.col("n").cast("double") - F.col("total") * exp_share, 2)
+            / (F.col("total") * exp_share),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# -------------------------------------------- equi-depth histogram
+
+_EQUIDEPTH_ORACLE = """
+WITH g AS (
+    SELECT l_extendedprice AS price, count(*) AS cnt FROM lineitem GROUP BY l_extendedprice
+), w AS (
+    SELECT price, cnt,
+           sum(cnt) OVER (ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER () AS total
+    FROM g
+)
+SELECT CAST((cum - cnt) * 10 // total AS INT) AS bin,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_values,
+       min(price) AS lo, max(price) AS hi,
+       round(CAST(sum(cnt) AS DOUBLE) / max(total), 6) AS share
+FROM w GROUP BY bin
+"""
+
+
+@register("equidepth_value_histogram", oracle=_EQUIDEPTH_ORACLE)
+def equidepth_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile histogram of l_extendedprice, assigned
+    BY VALUE: each distinct price belongs wholly to the bin its first
+    row falls in ((cum-cnt)*10 div total), so ties never straddle
+    bins and the ranking window runs over the DISTINCT-value table,
+    not the raw rows — the shape that survives 100x (2-dp money has a
+    bounded distinct domain; truly unbounded domains swap these exact
+    boundaries for the approx_percentiles sketch, already registered).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = g.select(
+        "price",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        w.groupBy(
+            F.expr("CAST((cum - cnt) * 10 DIV total AS INT)").alias("bin")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_values"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+            F.round(F.sum("cnt").cast("double") / F.max("total"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------- A/A split audit
+
+_AA_ORACLE = """
+WITH u AS (
+    SELECT CAST('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+               AS arm,
+           max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+               AS converted
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+), s AS (
+    SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS c0,
+           sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS c1
+    FROM u
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+            ELSE round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                       / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                              * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                              * (1.0 / n0 + 1.0 / n1)), 4) END AS z_stat,
+       CAST(abs(n0 - n1) * 10 <= (n0 + n1) AS BOOLEAN) AS balance_ok
+FROM s
+"""
+
+
+@register("aa_split_audit", oracle=_AA_ORACLE)
+def aa_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A experiment audit: hash users into two arms with the
+    portable hash (the same deterministic splitter dataset_split
+    uses), attribute a conversion flag per user, and compare arm
+    conversion rates with the pooled two-proportion z statistic. On a
+    healthy splitter |z| is small and arm sizes are balanced — this
+    is the query that validates the experiment infrastructure before
+    any real A/B test is trusted.
+
+    Scale: one user-keyed aggregate (the attribution shuffle) then a
+    scalar fold; sqrt/division run on identical doubles in both
+    engines and the z statistic is rounded at output.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(conv(substring(md5(concat('arm:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("converted"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    rate0 = F.col("c0").cast("double") / F.col("n0")
+    rate1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")),
+        F.lit(0.0),
+    ).otherwise(
+        F.round(
+            (rate0 - rate1)
+            / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+            4,
+        )
+    )
+    return s.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(rate0, 6).alias("rate0"),
+        F.round(rate1, 6).alias("rate1"),
+        z.alias("z_stat"),
+        (F.abs(F.col("n0") - F.col("n1")) * 10 <= (F.col("n0") + F.col("n1"))).alias(
+            "balance_ok"
+        ),
+    )

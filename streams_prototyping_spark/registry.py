@@ -60,6 +60,7 @@ def load_all() -> None:
         tpch_ext,
         analytics_ext,
         lakehouse,
+        stats_audits,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         clustering,

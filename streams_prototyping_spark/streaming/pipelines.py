@@ -441,3 +441,55 @@ def holt_stateful_stream(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_registers_stream(ids: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: the register table of
+    operators/stats_audits.hll_distinct_audit maintained continuously
+    over an id stream. The per-row (reg, rho) projection is the SAME
+    function the batch audit uses (stats_audits.hll_reg_rho), so the
+    streaming registers converge EXACTLY (integer equality) to the
+    batch sketch — no tolerance needed.
+
+    Two properties make this the canonical streaming sketch:
+    - state is 64 rows FOREVER with no watermark: the key domain is
+      fixed (register index) and max() is the sketch's merge operator,
+      so state cannot grow with the stream; and
+    - no dedup state is needed: register max is idempotent under
+      duplicate ids, so the unbounded distinct-tracking problem that
+      makes exact streaming COUNT(DISTINCT) unscalable simply never
+      appears. This is THE reason pipelines sketch distincts.
+
+    Input: a streaming DataFrame with a string `uid` column.
+    """
+    from streams_prototyping_spark.operators.stats_audits import hll_reg_rho
+
+    return hll_reg_rho(ids).groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def count_min_cells_stream(tokens: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch: the 4x64 cell table of
+    count_min_heavy_hitters maintained continuously over a token
+    stream. Cells are the same md5 buckets as the batch sketch
+    (corpus_stats._cms_bucket_spark), and streaming counts of
+    individual tokens sum to exactly the batch word-count sums, so
+    convergence is exact integer equality.
+
+    State: CMS_ROWS*CMS_WIDTH rows forever — like the HLL twin, a
+    fixed-domain keyed aggregate whose state size is the sketch
+    width, independent of stream length. Estimation (min over rows)
+    happens at read time against the materialized cell table.
+
+    Input: a streaming DataFrame with a string `word` column.
+    """
+    from streams_prototyping_spark.functions.corpus_stats import (
+        CMS_ROWS,
+        _cms_bucket_spark,
+    )
+
+    buckets = F.array(*[F.expr(_cms_bucket_spark(r)) for r in range(CMS_ROWS)])
+    return (
+        tokens.select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )

@@ -295,3 +295,73 @@ def test_session_window_stream_converges_to_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_hll_registers_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming HLL registers must equal the batch sketch EXACTLY
+    (integers): same hll_reg_rho projection, max() merge across
+    micro-batches. Also pins the no-dedup property — the replay
+    contains duplicate uids and the registers still match the
+    distinct-side batch sketch."""
+    from streams_prototyping_spark.operators.stats_audits import hll_reg_rho
+    from streams_prototyping_spark.streaming.pipelines import hll_registers_stream
+
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("uid"))
+    )
+    path = _replay_dir(ids, str(tmp_path / "ids"))
+
+    stream = create_stream(
+        spark, "ids", ids.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(hll_registers_stream(stream), "hll_stream", "complete")
+    got = {(r.reg, r.rho) for r in spark.table(tbl).collect()}
+
+    batch = (
+        hll_reg_rho(spark.read.parquet(path).distinct())
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    want = {(r.reg, r.rho) for r in batch.collect()}
+    assert got == want
+    assert len(got) <= 64  # bounded state, no watermark needed
+
+
+def test_count_min_cells_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CMS cells must equal the batch sketch's cells exactly:
+    counting tokens one-by-one across micro-batches sums to the batch
+    word-count-per-bucket sums."""
+    from streams_prototyping_spark.functions.corpus_stats import (
+        CMS_ROWS,
+        CMS_WIDTH,
+        _cms_bucket_spark,
+    )
+    from streams_prototyping_spark.streaming.pipelines import count_min_cells_stream
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .limit(5000)
+    )
+    path = _replay_dir(toks, str(tmp_path / "toks"))
+
+    stream = create_stream(
+        spark, "toks", toks.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(count_min_cells_stream(stream), "cms_stream", "complete")
+    got = {(r.r, r.bucket): r.cell_n for r in spark.table(tbl).collect()}
+
+    buckets = F.array(*[F.expr(_cms_bucket_spark(r)) for r in range(CMS_ROWS)])
+    batch = (
+        spark.read.parquet(path)
+        .select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    want = {(r.r, r.bucket): r.cell_n for r in batch.collect()}
+    assert got == want
+    assert len(got) <= CMS_ROWS * CMS_WIDTH  # bounded sketch state
