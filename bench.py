@@ -128,6 +128,18 @@ HEADLINE = [
     "weak_supervision_vote",
     "stratified_kfold_assign",
     "lang_confusion_matrix",
+    # round 4: statistical audits, sketches, trend tests, distribution stats
+    "hll_distinct_audit",
+    "roc_auc_value_purchase",
+    "calibration_bins",
+    "changepoint_daily_revenue",
+    "benford_first_digit",
+    "equidepth_value_histogram",
+    "aa_split_audit",
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "kl_divergence_sources",
+    "vocab_coverage_curve",
 ]
 
 

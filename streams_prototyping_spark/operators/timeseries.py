@@ -644,3 +644,188 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(corr, 6))
         .alias("corr7"),
     )
+
+
+# ------------------------------------------ Mann-Kendall trend test
+
+_MK_DAILY = """
+    SELECT date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS di,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+"""
+
+_MK_ORACLE = f"""
+WITH d AS ({_MK_DAILY}
+), p AS (
+    SELECT CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+    FROM d a JOIN d b ON b.di > a.di
+), s AS (
+    SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+           (SELECT count(*) FROM d) AS n
+    FROM p
+), t AS (
+    SELECT coalesce(sum(tp * (tp - 1) * (2 * tp + 5)), 0) AS tie_term
+    FROM (SELECT count(*) AS tp FROM d GROUP BY cents) g WHERE tp > 1
+), v AS (
+    SELECT s.n, s.s_stat,
+           (s.n * (s.n - 1) * (2 * s.n + 5) - t.tie_term) AS var18
+    FROM s, t
+)
+SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+       round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+       CASE WHEN s_stat > 0 THEN round((s_stat - 1) / sqrt(var18 / 18.0), 4)
+            WHEN s_stat < 0 THEN round((s_stat + 1) / sqrt(var18 / 18.0), 4)
+            ELSE 0.0 END AS z_stat,
+       CASE WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                       WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                       ELSE 0.0 END) > 1.96 THEN 'increasing'
+            WHEN (CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                       WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                       ELSE 0.0 END) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue in integer cents keyed by day index — the
+    shared fixed-point series the non-parametric trend tests run on."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01")).alias("di")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+
+
+@register("mann_kendall_trend", oracle=_MK_ORACLE)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test over daily revenue:
+    S = sum of sign(x_j - x_i) over ordered day pairs, tie-corrected
+    variance, continuity-corrected z. The whole trajectory is integer
+    (cents, signs, 18*Var) until the final sqrt of an identical
+    double, so engines cannot fork (round-3 fixed-point recipe).
+
+    Scale note: the pairwise join runs over the AGGREGATED daily
+    series (O(days) rows — bounded by calendar span, not corpus
+    size), so the O(days^2) pair fan-out is a constant-size broadcast
+    nested-loop by construction, exactly like join_theta_residual.
+    Raw orders collapse in one partial-combined aggregate first.
+    """
+    d = _daily_cents(spark, sf_dir)
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(F.broadcast(b), F.col("b.di") > F.col("a.di")).select(
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = p.agg(F.sum("sgn").cast("long").alias("s_stat")).crossJoin(
+        F.broadcast(d.agg(F.count("*").alias("n")))
+    )
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count("*").alias("tp"))
+        .filter(F.col("tp") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tp") * (F.col("tp") - 1) * (2 * F.col("tp") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    v = s.crossJoin(F.broadcast(ties)).withColumn(
+        "var18",
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            F.round((F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0), 4),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.round((F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0), 4),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z_raw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        "s_stat",
+        F.round(F.col("var18").cast("double") / 18, 6).alias("var_s"),
+        z.alias("z_stat"),
+        F.when(z_raw > 1.96, "increasing")
+        .when(z_raw < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+# ------------------------------------------------- Theil-Sen slope
+
+_TS_ORACLE = """
+WITH d AS (
+    SELECT date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) // 7 AS wk,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), p AS (
+    SELECT round(CAST(b.cents - a.cents AS DOUBLE) / (b.wk - a.wk) / 100, 9) AS slope
+    FROM d a JOIN d b ON b.wk > a.wk
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 6) AS median_slope_per_week,
+       round(quantile_cont(slope, 0.25), 6) AS q1_slope,
+       round(quantile_cont(slope, 0.75), 6) AS q3_slope
+FROM p
+"""
+
+
+@register("theil_sen_slope", oracle=_TS_ORACLE)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over WEEKLY revenue: the
+    median of all pairwise slopes (dollars/week), with the IQR as the
+    spread report — the outlier-resistant complement to
+    user_value_trend's OLS (a single anomalous week cannot move the
+    median slope). Weekly, not daily, deliberately: day-of-week
+    seasonality (orders_dow_seasonality measures it) contaminates
+    daily pairwise slopes, and the weekly series also bounds the
+    O(n^2) pair set at ~sqrt the daily size (59k vs 2.9M pairs over
+    the test span — measured 25 s -> sub-second for the exact
+    percentile fold). Slopes are rounded to 9 dp at definition so
+    both engines take the exact quantiles of identical value sets
+    (Spark `percentile` == DuckDB `quantile_cont` interpolation);
+    all three quantiles come from ONE percentile(array) buffer.
+
+    Scale note: pairs are formed over the O(weeks) aggregated series
+    (see mann_kendall_trend) — cost is bounded by calendar span;
+    corpus size only affects the initial partial-combined aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(to_date(o_orderdate), DATE '2024-01-01') DIV 7"
+        ).alias("wk")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(F.broadcast(b), F.col("b.wk") > F.col("a.wk")).select(
+        F.round(
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.wk") - F.col("a.wk"))
+            / 100,
+            9,
+        ).alias("slope")
+    )
+    q = p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile("slope", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+    )
+    return q.select(
+        "n_pairs",
+        F.round(F.col("qs")[1], 6).alias("median_slope_per_week"),
+        F.round(F.col("qs")[0], 6).alias("q1_slope"),
+        F.round(F.col("qs")[2], 6).alias("q3_slope"),
+    )

@@ -78,4 +78,5 @@ def load_all() -> None:
         curation_ext,
         text_transform,
         multimodal,
+        distribution_stats,
     )

@@ -146,3 +146,68 @@ def test_equidepth_window_over_distinct_values(spark, sf_dir):
     assert simple.rindex("HashAggregate") > simple.index("Window")
     facts = plan_facts(df)
     assert not facts.has_python
+
+
+# ------------------------------------- trend tests & distribution stats
+
+
+def test_mann_kendall_consistency(spark, sf_dir):
+    row = registry.QUERIES["mann_kendall_trend"](spark, sf_dir).collect()[0]
+    assert row.var_s > 0
+    max_s = row.n_days * (row.n_days - 1) // 2
+    assert -max_s <= row.s_stat <= max_s
+    assert row.trend in {"increasing", "decreasing", "no_trend"}
+    # z and trend agree
+    if row.trend == "no_trend":
+        assert abs(row.z_stat) <= 1.97
+
+
+def test_theil_sen_quantiles_ordered(spark, sf_dir):
+    row = registry.QUERIES["theil_sen_slope"](spark, sf_dir).collect()[0]
+    assert row.q1_slope <= row.median_slope_per_week <= row.q3_slope
+    # n weeks -> n*(n-1)/2 pairs: recover n and check integrality
+    import math
+
+    n = (1 + math.isqrt(1 + 8 * row.n_pairs)) // 2
+    assert n * (n - 1) // 2 == row.n_pairs
+
+
+def test_kl_divergence_nonnegative_and_partitions(spark, sf_dir):
+    rows = registry.QUERIES["kl_divergence_sources"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # KL >= 0 up to the 12-dp term rounding
+        assert r.kl_vs_corpus >= -1e-6
+        assert 0 < r.vocab_words <= r.n_tokens
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["vocab_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.top_k,
+    )
+    assert [r.top_k for r in rows] == [10, 30, 100, 300, 1000, 3000, 10000]
+    for a, b in zip(rows, rows[1:]):
+        assert a.coverage <= b.coverage
+        assert a.tokens_covered <= b.tokens_covered
+    assert rows[-1].coverage <= 1.0
+    # once k >= vocab, coverage is exactly 1
+    full = [r for r in rows if r.top_k >= r.vocab_size]
+    for r in full:
+        assert r.coverage == 1.0
+
+
+def test_kl_join_small_sides_broadcast(spark, sf_dir):
+    """The per-source totals and corpus-total sides must broadcast;
+    no cartesian beyond the 1-row total fold."""
+    facts = plan_facts(registry.QUERIES["kl_divergence_sources"](spark, sf_dir))
+    assert facts.broadcast_joins >= 2
+    assert not facts.has_python
+
+
+def test_coverage_window_over_vocab_only(spark, sf_dir):
+    from streams_prototyping_spark.plans.introspect import explain_str
+
+    df = registry.QUERIES["vocab_coverage_curve"](spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.rindex("HashAggregate") > simple.index("Window")
