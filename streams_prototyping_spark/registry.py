@@ -61,6 +61,7 @@ def load_all() -> None:
         analytics_ext,
         lakehouse,
         stats_audits,
+        hypothesis_tests,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         clustering,
