@@ -80,4 +80,5 @@ def load_all() -> None:
         text_transform,
         multimodal,
         distribution_stats,
+        feature_eng,
     )
