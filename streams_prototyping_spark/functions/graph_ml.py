@@ -1,0 +1,367 @@
+"""Graph-ML operators over the co-purchase graph: link prediction,
+bounded k-core decomposition, and the degree-distribution health
+profile — extending the graph family (cc_star_contraction,
+pagerank_parts, triangle_count) with the analysis layer.
+
+- jaccard_link_prediction: common-neighbor Jaccard scores for
+  NON-adjacent node pairs at distance 2 — the classic link-prediction
+  baseline (Liben-Nowell & Kleinberg). All-integer sufficient
+  statistics (|common|, degrees), global top-20 with id tie-breaks.
+- k_core_decomposition: nodes of the 3-core via synchronous peeling,
+  bounded at {KCORE_ROUNDS} rounds (the distributed-peeling round
+  budget), with an honest `converged` flag computed from the final
+  state rather than assumed.
+- degree_distribution: degree histogram plus the log-log OLS slope
+  (power-law exponent estimate) — the skew profile that predicts
+  which graph joins need salting.
+
+Reference parity: no graph surface in the reference (408 Java LoC);
+SURVEY.md Part C″ extension. Edge build matches triangle_count
+(`functions/graph.py:366`): co-purchase edges with >= {PR_MIN_CO}
+shared orders.
+
+Scale design (100 TB):
+- link prediction: the wedge join fans out per CENTER node as
+  deg^2/2; at production scale hub centers are thresholded or
+  down-sampled (documented cap) — here the co-purchase degree cap
+  keeps it exact. The candidate anti-join and degree joins are keyed.
+- k-core: each peel round is one degree fold + one semi-join filter
+  over a SHRINKING edge list, persisted per round (the cc_star
+  pattern); rounds are bounded, state is O(edges).
+- degree distribution: two keyed folds; the OLS fit runs over
+  O(distinct degrees) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.functions.graph import PR_MIN_CO
+from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+LINKPRED_TOP = 20
+
+_UND_SQL = f"""
+baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {PR_MIN_CO}
+)"""
+
+
+def copurchase_und_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) co-purchase edge list, shared per session
+    so the three graph-ml operators build it once."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = baskets.alias("a"), baskets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .agg(F.count(F.lit(1)).alias("co"))
+            .filter(F.col("co") >= PR_MIN_CO)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+
+    return shared_stage(spark, sf_dir, "graph_ml/und", build)
+
+
+def _bidir(und: DataFrame) -> DataFrame:
+    return und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+# ------------------------------------------------- link prediction
+
+_LINKPRED_ORACLE = f"""
+WITH {_UND_SQL},
+adj AS (
+    SELECT src, dst FROM und
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM und
+), deg AS (
+    SELECT src AS node, count(*) AS d FROM adj GROUP BY src
+), wedge AS (
+    SELECT a1.dst AS a, a2.dst AS c, count(*) AS cn
+    FROM adj a1 JOIN adj a2
+      ON a1.src = a2.src AND a1.dst < a2.dst
+    GROUP BY 1, 2
+), cand AS (
+    SELECT w.a, w.c, w.cn
+    FROM wedge w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM und e WHERE e.src = w.a AND e.dst = w.c
+    )
+), scored AS (
+    SELECT cand.a AS node_a, cand.c AS node_b,
+           CAST(cand.cn AS BIGINT) AS common_neighbors,
+           CAST(da.d AS BIGINT) AS deg_a, CAST(dc.d AS BIGINT) AS deg_b,
+           CAST(cand.cn AS DOUBLE) / (da.d + dc.d - cand.cn) AS jac
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg dc ON dc.node = cand.c
+)
+SELECT node_a, node_b, common_neighbors, deg_a, deg_b,
+       round(jac, 6) AS jaccard
+FROM scored
+ORDER BY jac DESC, node_a, node_b
+LIMIT {LINKPRED_TOP}
+"""
+
+
+@register("jaccard_link_prediction", oracle=_LINKPRED_ORACLE)
+def jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LINKPRED_TOP} predicted links: non-adjacent pairs at
+    distance 2 ranked by neighborhood Jaccard |Γa∩Γc| / |Γa∪Γc|.
+    Sufficient statistics are integers; the ranking division is one
+    deterministic double per pair with id tie-breaks.
+
+    Scale note: the wedge join is keyed on the center node (deg^2
+    fan-out per center — hub thresholds apply at production scale,
+    see module docstring); the existing-edge removal is a keyed
+    anti-join; TakeOrdered keeps {LINKPRED_TOP} rows.
+    """
+    und = copurchase_und_df(spark, sf_dir)
+    adj = _bidir(und)
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedge = (
+        a1.join(
+            a2,
+            (F.col("a1.src") == F.col("a2.src"))
+            & (F.col("a1.dst") < F.col("a2.dst")),
+        )
+        .groupBy(F.col("a1.dst").alias("a"), F.col("a2.dst").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        und,
+        (wedge["a"] == und["src"]) & (wedge["c"] == und["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("deg_a"))
+    dc = deg.select(F.col("node").alias("nc"), F.col("d").alias("deg_b"))
+    scored = (
+        cand.join(F.broadcast(da), F.col("na") == F.col("a"))
+        .join(F.broadcast(dc), F.col("nc") == F.col("c"))
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("c").alias("node_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jac").desc(), "node_a", "node_b")
+        .limit(LINKPRED_TOP)
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------ k-core
+
+def _kcore_round_sql(r: int) -> str:
+    prev = "und" if r == 0 else f"e{r - 1}"
+    # AS MATERIALIZED: DuckDB would otherwise inline each CTE into its
+    # 3 use sites, expanding the unrolled peel to 3^rounds base scans
+    return f"""
+d{r} AS MATERIALIZED (
+    SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM {prev} UNION ALL SELECT dst FROM {prev}
+    ) GROUP BY node
+), keep{r} AS MATERIALIZED (
+    SELECT node FROM d{r} WHERE d >= {KCORE_K}
+), e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM {prev} e
+    JOIN keep{r} ka ON ka.node = e.src
+    JOIN keep{r} kb ON kb.node = e.dst
+)"""
+
+
+_KCORE_ORACLE = (
+    f"WITH {_UND_SQL},\n"
+    + ",\n".join(_kcore_round_sql(r).strip() for r in range(KCORE_ROUNDS))
+    + f""",
+fdeg AS (
+    SELECT node, count(*) AS core_degree FROM (
+        SELECT src AS node FROM e{KCORE_ROUNDS - 1}
+        UNION ALL SELECT dst FROM e{KCORE_ROUNDS - 1}
+    ) GROUP BY node
+), conv AS (
+    SELECT CASE WHEN count(*) = 0 THEN true ELSE false END AS converged
+    FROM fdeg WHERE core_degree < {KCORE_K}
+)
+SELECT f.node, CAST(f.core_degree AS BIGINT) AS core_degree, c.converged
+FROM fdeg f CROSS JOIN conv c
+"""
+)
+
+
+@register("k_core_decomposition", oracle=_KCORE_ORACLE)
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph by synchronous peeling,
+    bounded at {KCORE_ROUNDS} rounds: each round drops nodes with
+    degree < {KCORE_K} and the edges touching them. The `converged`
+    flag reports whether the final state is a true fixpoint (no
+    surviving node below {KCORE_K}) — honest bounded iteration, the
+    same contract as bfs_reachability's hop bound.
+
+    Scale note: each round is one degree fold plus two keyed
+    semi-joins over a SHRINKING edge list, eagerly localCheckpoint'ed
+    per round (lineage truncation — the round plan references the edge
+    list three times, so an untruncated plan grows 3^rounds). State
+    never exceeds O(current edges).
+    """
+
+    def build() -> DataFrame:
+        edges = copurchase_und_df(spark, sf_dir)
+        for _ in range(KCORE_ROUNDS):
+            deg = (
+                edges.select(F.col("src").alias("node"))
+                .unionAll(edges.select(F.col("dst").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.where(F.col("d") >= KCORE_K).select("node")
+            ka = keep.select(F.col("node").alias("ka"))
+            kb = keep.select(F.col("node").alias("kb"))
+            # localCheckpoint (eager) truncates lineage each round —
+            # the round plan references `edges` three times, so without
+            # truncation the logical plan grows 3^rounds
+            edges = (
+                edges.join(ka, F.col("ka") == F.col("src"))
+                .join(kb, F.col("kb") == F.col("dst"))
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+        fdeg = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        conv = fdeg.agg(
+            (
+                F.count(F.when(F.col("core_degree") < KCORE_K, 1)) == 0
+            ).alias("converged")
+        )
+        return (
+            fdeg.crossJoin(F.broadcast(conv))
+            .select(
+                "node",
+                F.col("core_degree").cast("long").alias("core_degree"),
+                "converged",
+            )
+            .localCheckpoint()
+        )
+
+    return shared_stage(spark, sf_dir, "graph_ml/kcore", build)
+
+
+# ----------------------------------------------- degree distribution
+
+_DEGDIST_ORACLE = f"""
+WITH {_UND_SQL},
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM und UNION ALL SELECT dst FROM und
+    ) GROUP BY node
+), hist AS (
+    SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d
+), pts AS (
+    SELECT degree, n_nodes,
+           round(ln(CAST(degree AS DOUBLE)), 8) AS lx,
+           round(ln(CAST(n_nodes AS DOUBLE)), 8) AS ly
+    FROM hist
+), s AS (
+    SELECT count(*) AS k,
+           CAST(sum(CAST(lx AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(ly AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(lx * lx, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(lx * ly, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT p.degree, CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(s.k AS BIGINT) AS n_points,
+       round((s.k * s.sxy - s.sx * s.sy) / (s.k * s.sxx - s.sx * s.sx), 6)
+           AS loglog_slope
+FROM pts p CROSS JOIN s
+"""
+
+
+@register("degree_distribution", oracle=_DEGDIST_ORACLE)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph with the log-log OLS
+    slope (power-law exponent estimate ~ -alpha) on every row — the
+    skew health profile that predicts which graph joins need salting.
+    Log points are round-before-use; OLS sums are decimal folds.
+
+    Scale note: two keyed folds (node degree, then histogram); the
+    regression runs over O(distinct degrees) rows — tens, at any
+    corpus size.
+    """
+    und = copurchase_und_df(spark, sf_dir)
+    deg = (
+        _bidir(und)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    pts = hist.select(
+        "degree",
+        "n_nodes",
+        F.round(F.log(F.col("degree").cast("double")), 8).alias("lx"),
+        F.round(F.log(F.col("n_nodes").cast("double")), 8).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("lx").cast("decimal(18,8)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(18,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return pts.crossJoin(F.broadcast(s)).select(
+        "degree",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("k").cast("long").alias("n_points"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("loglog_slope"),
+    )

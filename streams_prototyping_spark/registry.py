@@ -81,4 +81,6 @@ def load_all() -> None:
         multimodal,
         distribution_stats,
         feature_eng,
+        retrieval_eval,
+        graph_ml,
     )
