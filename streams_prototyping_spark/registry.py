@@ -62,6 +62,7 @@ def load_all() -> None:
         lakehouse,
         stats_audits,
         hypothesis_tests,
+        timeseries_ext,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         clustering,
