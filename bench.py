@@ -140,6 +140,25 @@ HEADLINE = [
     "theil_sen_slope",
     "kl_divergence_sources",
     "vocab_coverage_curve",
+    # round 5: hypothesis tests, feature eng, retrieval eval, graph ML,
+    # time-series diagnostics
+    "welch_ttest_value",
+    "ks_test_two_sample",
+    "spearman_corr_value_hour",
+    "kmv_set_cardinality",
+    "poisson_bootstrap_ci",
+    "target_encoding_loo",
+    "psi_drift_report",
+    "feature_hash_onehot",
+    "importance_downsample",
+    "ndcg_at_k",
+    "rrf_fusion_topk",
+    "jaccard_link_prediction",
+    "k_core_decomposition",
+    "degree_distribution",
+    "acf_daily_revenue",
+    "forecast_backtest_snaive",
+    "event_type_markov",
 ]
 
 

@@ -1,0 +1,312 @@
+"""Corpus mining operators: keyword extraction, cross-source
+vocabulary geometry, and the vocabulary-growth law — the
+corpus-understanding layer next to the token statistics and Zipf
+health checks.
+
+- rake_keywords: RAKE (Rapid Automatic Keyword Extraction, Rose 2010)
+  word scores: candidate phrases are maximal stopword-free runs;
+  word score = degree/frequency where degree sums the lengths of the
+  phrases containing the word. Top-25, all-integer statistics.
+- source_vocab_overlap: pairwise vocabulary Jaccard AND overlap
+  (Szymkiewicz-Simpson) coefficients between sources — the corpus
+  mixing matrix that decides whether two sources are near-duplicates
+  at the vocabulary level.
+- heaps_law_fit: Heaps' law exponent (V ~ K * n^beta) from the
+  cumulative vocabulary-vs-tokens curve in doc_id order, fitted by
+  log-log OLS — the growth forecast that sizes tokenizer vocab and
+  dedup state ahead of a 100x corpus scale-up.
+
+Reference parity: no text surface in the reference (408 Java LoC);
+SURVEY.md Part C″ extension, sharing EN_STOPWORDS with the lang-id
+heuristic (`functions/text.py:67`).
+
+Scale design (100 TB):
+- rake: the phrase-id running count partitions BY DOCUMENT (state
+  bounded by doc length); phrase stats fold on (doc, phrase) keys and
+  word stats on word keys — no global window until the 25-row top-k
+  (TakeOrdered via rank-filter over the word-stat table, which is
+  vocabulary-sized, not corpus-sized).
+- vocab overlap: the pair join is keyed on word over the DISTINCT
+  (source, word) table; with S sources each posting list fans out at
+  most S(S-1)/2 — bounded by the source count, not the corpus.
+- heaps: first-seen trick (min doc per word) turns cumulative
+  distinct into one fold + one running sum over O(docs) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQL
+from streams_prototyping_spark.registry import register
+
+RAKE_TOP = 25
+
+
+# --------------------------------------------------------------- RAKE
+
+_RAKE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), flagged AS (
+    SELECT doc_id, word, pos,
+           CASE WHEN word IN ({_STOP_LIST_SQL}) THEN 1 ELSE 0 END AS is_stop
+    FROM toks
+), phrased AS (
+    SELECT doc_id, word, is_stop,
+           sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+    FROM flagged
+), members AS (
+    SELECT doc_id, phrase_id, word FROM phrased WHERE is_stop = 0
+), plen AS (
+    SELECT doc_id, phrase_id, word,
+           count(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+    FROM members
+), wstat AS (
+    SELECT word, count(*) AS freq, sum(phrase_len) AS degree
+    FROM plen GROUP BY word
+)
+SELECT word, CAST(freq AS BIGINT) AS freq, CAST(degree AS BIGINT) AS degree,
+       round(CAST(degree AS DOUBLE) / freq, 6) AS rake_score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT wstat.*,
+           row_number() OVER (
+               ORDER BY CAST(degree AS DOUBLE) / freq DESC, word) AS rnk
+    FROM wstat
+) WHERE rnk <= {RAKE_TOP}
+"""
+
+
+@register("rake_keywords", oracle=_RAKE_ORACLE)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scores over the corpus: phrases are maximal
+    stopword-free runs; score(word) = degree/freq where degree sums
+    the lengths of phrases containing the word (a word that always
+    appears inside long collocations outranks one of equal frequency
+    appearing alone). Top-{RAKE_TOP} with word tie-breaks; every
+    statistic is an integer until the final division.
+
+    Scale note: see module docstring — per-doc windows, keyed folds,
+    vocabulary-sized rank window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    flagged = toks.withColumn(
+        "is_stop", F.when(F.col("word").isin(*EN_STOPWORDS), 1).otherwise(0)
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    phrased = flagged.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    members = phrased.where(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "word"
+    )
+    plen = members.withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    wstat = plen.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("phrase_len").alias("degree")
+    )
+    score = F.col("degree").cast("double") / F.col("freq")
+    ranked = wstat.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(score.desc(), F.col("word")))
+    )
+    return ranked.where(F.col("rnk") <= RAKE_TOP).select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("degree").cast("long").alias("degree"),
+        F.round(score, 6).alias("rake_score"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+# ------------------------------------------------- vocabulary overlap
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH vocab AS (
+    SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+), vsize AS (
+    SELECT source, count(*) AS v FROM vocab GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+    FROM vocab a JOIN vocab b
+      ON a.word = b.word AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(va.v AS BIGINT) AS vocab_a, CAST(vb.v AS BIGINT) AS vocab_b,
+       round(CAST(i.inter AS DOUBLE) / (va.v + vb.v - i.inter), 6) AS jaccard,
+       round(CAST(i.inter AS DOUBLE) / least(va.v, vb.v), 6) AS overlap_coef
+FROM inter i
+JOIN vsize va ON va.source = i.source_a
+JOIN vsize vb ON vb.source = i.source_b
+"""
+
+
+@register("source_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard and Szymkiewicz-Simpson overlap
+    between sources — the vocabulary-level mixing matrix (high overlap
+    coefficient with asymmetric sizes = one source is a sublanguage of
+    the other, a dedup/contamination smell Jaccard alone hides).
+
+    Scale note: the pair join is keyed on word over the distinct
+    (source, word) vocabulary table; fan-out per word is bounded by
+    the source count squared, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word")).distinct()
+    )
+    vsize = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "word")
+    b = vocab.select(F.col("source").alias("source_b"), F.col("word").alias("wb"))
+    inter = (
+        a.join(b, (F.col("word") == F.col("wb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = vsize.select(F.col("source").alias("sa"), F.col("v").alias("vocab_a"))
+    vb = vsize.select(F.col("source").alias("sb"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), F.col("sa") == F.col("source_a"))
+        .join(F.broadcast(vb), F.col("sb") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("vocab_a"), F.col("vocab_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+# ------------------------------------------------------- Heaps' law
+
+_HEAPS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+), first_seen AS (
+    SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY word
+), new_words AS (
+    SELECT first_doc AS doc_id, count(*) AS n_new FROM first_seen GROUP BY first_doc
+), curve AS (
+    SELECT p.doc_id,
+           sum(p.n_toks) OVER (ORDER BY p.doc_id) AS tokens_cum,
+           sum(coalesce(w.n_new, 0)) OVER (ORDER BY p.doc_id) AS vocab_cum
+    FROM per_doc p LEFT JOIN new_words w ON w.doc_id = p.doc_id
+), pts AS (
+    SELECT doc_id, tokens_cum, vocab_cum,
+           round(ln(CAST(tokens_cum AS DOUBLE)), 8) AS lx,
+           round(ln(CAST(vocab_cum AS DOUBLE)), 8) AS ly
+    FROM curve WHERE vocab_cum > 0
+), s AS (
+    SELECT count(*) AS k,
+           CAST(sum(CAST(lx AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(ly AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(lx * lx, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(lx * ly, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+    FROM pts
+)
+SELECT CAST(s.k AS BIGINT) AS n_points,
+       (SELECT CAST(max(tokens_cum) AS BIGINT) FROM curve) AS total_tokens,
+       (SELECT CAST(max(vocab_cum) AS BIGINT) FROM curve) AS total_vocab,
+       round((s.k * s.sxy - s.sx * s.sy) / (s.k * s.sxx - s.sx * s.sx), 6)
+           AS heaps_beta,
+       round((s.sy - ((s.k * s.sxy - s.sx * s.sy)
+                      / (s.k * s.sxx - s.sx * s.sx)) * s.sx) / s.k, 6)
+           AS heaps_ln_k
+FROM s
+"""
+
+
+@register("heaps_law_fit", oracle=_HEAPS_ORACLE)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * n^beta over the cumulative
+    vocabulary-vs-tokens curve in doc_id order: beta (and ln K) by
+    log-log OLS — forecasts vocabulary (and dedup/tokenizer state) at
+    a 100x corpus scale-up. Cumulative distinct uses the first-seen
+    trick: one min-fold per word, then a running sum over O(docs).
+
+    Scale note: no expanding-frame distinct anywhere; the curve table
+    is O(docs) and the fit is a 1-row epilogue.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    first_seen = toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_words = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(wcum).alias("tokens_cum"),
+            F.sum("n_new").over(wcum).alias("vocab_cum"),
+        )
+    )
+    pts = curve.where(F.col("vocab_cum") > 0).select(
+        "tokens_cum",
+        "vocab_cum",
+        F.round(F.log(F.col("tokens_cum").cast("double")), 8).alias("lx"),
+        F.round(F.log(F.col("vocab_cum").cast("double")), 8).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("lx").cast("decimal(18,8)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(18,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    tot = curve.agg(
+        F.max("tokens_cum").cast("long").alias("total_tokens"),
+        F.max("vocab_cum").cast("long").alias("total_vocab"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "heaps_ln_k"
+        ),
+    )

@@ -84,4 +84,5 @@ def load_all() -> None:
         feature_eng,
         retrieval_eval,
         graph_ml,
+        text_mining,
     )
