@@ -493,3 +493,64 @@ def count_min_cells_stream(tokens: DataFrame) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_n"))
     )
+
+
+_MARKOV_OUT_SCHEMA = "user_id long, prev_type string, next_type string, n long"
+_MARKOV_STATE_SCHEMA = "last_type string"
+
+
+def _markov_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition extraction: state is ONLY the last event
+    type (one string per user forever); each micro-batch emits the
+    transition counts observed inside it, chaining across the batch
+    boundary through the saved last type. Rows sort by (ts, event_id)
+    — the same unique-id tie-break as the batch operator."""
+    last = state.get[0] if state.exists else None
+    pdf = pd.concat(list(batches))
+    counts: dict[tuple, int] = {}
+    if len(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t in pdf["event_type"]:
+            if last is not None:
+                k = (last, t)
+                counts[k] = counts.get(k, 0) + 1
+            last = t
+        state.update((str(last),))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(counts),
+            "prev_type": [k[0] for k in counts],
+            "next_type": [k[1] for k in counts],
+            "n": list(counts.values()),
+        }
+    )
+
+
+def markov_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of event_type_markov's transition extraction:
+    per-user last-event state (one string per key — the minimal
+    sequence-model state) emitting per-batch transition DELTAS; the
+    global matrix is a read-time aggregate over the emitted deltas,
+    exactly as the CMS/HLL twins estimate at read time.
+
+    Convergence is exact integer equality: summing all emitted deltas
+    per (prev, next) reproduces the batch transition counts for any
+    micro-batch slicing, because the chained state carries the
+    boundary transition that a per-batch lag() would drop.
+
+    Scale note: state is one string per user; emission is
+    O(observed transitions) per batch. Order-sensitivity contract is
+    the same as ewma_stateful_stream (per-key event-time-ordered
+    delivery).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _markov_update,
+        outputStructType=_MARKOV_OUT_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
