@@ -1,0 +1,166 @@
+"""Selection-under-constraints operators: the Pareto frontier
+(skyline) and one-pass weighted sampling — the pieces a curation
+pipeline uses to pick 'best' rows when 'best' is multi-objective or
+probabilistic.
+
+- pareto_frontier_parts: the skyline of the part catalog (minimize
+  retail price, maximize size): a part survives iff nothing is
+  cheaper-and-at-least-as-big or same-price-and-bigger. Computed with
+  ONE range-frame window over price (the sort-and-sweep skyline
+  algorithm), not the naive O(n^2) dominance self-join.
+- weighted_sample_es: Efraimidis-Spirakis one-pass weighted sampling
+  without replacement (k largest u^(1/w), realized as ln(u)/w keys):
+  the distributed reservoir — every row gets a deterministic
+  hash-derived key, TakeOrdered keeps k, and the union of partition
+  top-ks is exact. RNG-free like every sampler in this engine.
+
+Reference parity: no selection surface in the reference (408 Java
+LoC); SURVEY.md Part C″ extension.
+
+Scale design (100 TB):
+- skyline: one shuffle to order by price; the sweep is a range-frame
+  window (running max of size over strictly-cheaper rows). For the
+  2-objective case this is exactly linear after the sort; higher
+  dimensions would tile by grid cells first (documented seam).
+- weighted sampling: per-row key projection (hash + ln, map-side),
+  then TakeOrdered(k) — O(k) state per partition, O(k * partitions)
+  merge, no global sort, single scan. This is why ES-sampling (not
+  inverse-CDF resampling) is the weighted sampler that scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.functions.portable_hash import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+from streams_prototyping_spark.registry import register
+
+_POW2_60 = float(1 << 60)
+ES_K = 64
+
+
+# ------------------------------------------------- Pareto frontier
+
+_PARETO_ORACLE = """
+WITH p AS (
+    SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part
+), swept AS (
+    SELECT p.*,
+           max(p_size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+           max(p_size) OVER (PARTITION BY price_cents) AS best_same_price
+    FROM p
+)
+SELECT p_partkey, round(CAST(price_cents AS DOUBLE) / 100.0, 2) AS price,
+       p_size
+FROM swept
+WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+  AND p_size >= best_same_price
+"""
+
+
+@register("pareto_frontier_parts", oracle=_PARETO_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog: minimize price, maximize size.
+    Dominated iff some part is strictly cheaper with >= size, or same
+    price with strictly larger size (equal points both survive —
+    strict Pareto dominance). Sort-and-sweep: one integer range-frame
+    window, no dominance self-join.
+
+    Scale note: one range shuffle on price; the sweep window is a
+    running max. Linear after the sort at any scale; >2 objectives
+    would pre-tile by grid cell (documented seam).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_same = Window.partitionBy("price_cents")
+    swept = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same_price"),
+    )
+    return swept.where(
+        (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
+        & (F.col("p_size") >= F.col("best_same_price"))
+    ).select(
+        "p_partkey",
+        F.round(F.col("price_cents").cast("double") / 100.0, 2).alias("price"),
+        "p_size",
+    )
+
+
+# ------------------------------- Efraimidis-Spirakis weighted sample
+
+_ES_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, source, n_chars,
+           CAST({portable_hash64_sql("'es:' || CAST(doc_id AS VARCHAR)")} + 1
+                AS DOUBLE) / {_POW2_60!r} AS u
+    FROM documents WHERE n_chars > 0
+), keyed AS (
+    -- round BEFORE ranking: a 1-ulp ln() disagreement between libms
+    -- must not flip the order near the k-th key; ties break on doc_id
+    SELECT doc_id, source, n_chars,
+           round(ln(u) / n_chars, 12) AS es_key
+    FROM w
+)
+SELECT doc_id, source, n_chars, es_key,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT keyed.*, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+    FROM keyed
+) WHERE rnk <= {ES_K}
+"""
+
+
+@register("weighted_sample_es", oracle=_ES_ORACLE)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    keep the {ES_K} documents with the largest u^(1/w) keys
+    (equivalently largest ln(u)/w — monotone transform, avoids pow
+    underflow), w = n_chars, u a portable hash-uniform in (0, 1].
+    Inclusion probability is proportional to weight; the sample is
+    deterministic and reproducible across engines and runs.
+
+    Scale note: the key is a map-side projection; TakeOrdered keeps
+    {ES_K} rows per partition then merges O(k * partitions) on the
+    driver — the one-pass distributed reservoir. No shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        portable_hash64(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(_POW2_60)
+    # round BEFORE ranking (1-ulp ln() cross-engine safety; doc_id ties)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("es_key"),
+    )
+    ranked = keyed.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))),
+    )
+    return ranked.where(F.col("rnk") <= ES_K).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "es_key",
+        F.col("rnk").cast("long").alias("rnk"),
+    )

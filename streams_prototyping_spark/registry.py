@@ -63,6 +63,7 @@ def load_all() -> None:
         stats_audits,
         hypothesis_tests,
         timeseries_ext,
+        selection_ops,
     )
     from streams_prototyping_spark.functions import (  # noqa: F401
         clustering,
