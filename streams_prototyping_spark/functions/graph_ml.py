@@ -37,8 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streams_prototyping_spark.data import load_table
-from streams_prototyping_spark.functions.graph import PR_MIN_CO
+
+from streams_prototyping_spark.functions.graph import PR_MIN_CO, copurchase_und_df
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
 
@@ -58,30 +58,8 @@ baskets AS (
 )"""
 
 
-def copurchase_und_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (src < dst) co-purchase edge list, shared per session
-    so the three graph-ml operators build it once."""
-
-    def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem")
-        baskets = li.select("l_orderkey", "l_partkey").distinct()
-        a, b = baskets.alias("a"), baskets.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-            )
-            .agg(F.count(F.lit(1)).alias("co"))
-            .filter(F.col("co") >= PR_MIN_CO)
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-
-    return shared_stage(spark, sf_dir, "graph_ml/und", build)
+# the canonical co-purchase edge list is the stage shared by the whole
+# graph family — built once per (session, sf) in functions/graph.py
 
 
 def _bidir(und: DataFrame) -> DataFrame:
