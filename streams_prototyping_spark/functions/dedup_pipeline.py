@@ -159,7 +159,7 @@ def dedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         return result
 
-    return shared_stage(spark, sf_dir, "dedup/clusters", build)
+    return shared_stage(spark, sf_dir, "dedup/clusters", build, persist=False)
 
 
 @register("dedup_clusters", oracle=_CLUSTERS_ORACLE)

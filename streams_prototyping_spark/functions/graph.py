@@ -155,7 +155,7 @@ def cc_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.unpersist()
         return result
 
-    return shared_stage(spark, sf_dir, "graph/cc_star", build)
+    return shared_stage(spark, sf_dir, "graph/cc_star", build, persist=False)
 
 
 @register("cc_star_contraction", oracle=_CLUSTERS_ORACLE)
@@ -213,7 +213,7 @@ def copurchase_und_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    return shared_stage(spark, sf_dir, "graph/copurchase_und", build)
+    return shared_stage(spark, sf_dir, "graph/copurchase_und", build, persist=False)
 
 
 _PR_EDGES_CTE = f"""
@@ -519,7 +519,8 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_dist = dist.union(new_frontier).persist()
         new_dist.count()
         dist.unpersist()
-        frontier.unpersist() if frontier is not dist else None
+        if frontier is not dist:
+            frontier.unpersist()
         dist = new_dist
         frontier = new_frontier
         if n_new == 0:

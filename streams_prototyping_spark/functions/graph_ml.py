@@ -262,7 +262,7 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    return shared_stage(spark, sf_dir, "graph_ml/kcore", build)
+    return shared_stage(spark, sf_dir, "graph_ml/kcore", build, persist=False)
 
 
 # ----------------------------------------------- degree distribution

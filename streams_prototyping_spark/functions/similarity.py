@@ -113,13 +113,25 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        pairs.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= TOP_K)
+    return _topk_per_query(pairs, TOP_K)
+
+
+def _topk_per_query(pairs, k: int):
+    """Per-query top-k rank filter shared by every similarity variant:
+    row_number over (query_id, cos_sim desc, vec_id) — the vec_id
+    tie-break keeps results deterministic across engines. Plans as a
+    WindowGroupLimit: each input partition pre-prunes to its local
+    top-k before the keyed exchange, so only O(k) rows per (partition,
+    query) shuffle regardless of candidate count."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
     )
+    return pairs.select(
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= k)
 
 
 # ------------------------------------------------------------------ LSH / ANN
@@ -215,13 +227,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        pairs.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= ANN_TOP_K)
-    )
+    return _topk_per_query(pairs, ANN_TOP_K)
 
 
 _NEAR_DUP_ORACLE = f"""
@@ -381,13 +387,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        pairs.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= ANN_TOP_K)
-    )
+    return _topk_per_query(pairs, ANN_TOP_K)
 
 
 # ------------------------------------------------------------- multi-probe
@@ -457,13 +457,7 @@ def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        pairs.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= ANN_TOP_K)
-    )
+    return _topk_per_query(pairs, ANN_TOP_K)
 
 
 _NPROBE_ORACLE = f"""
@@ -521,13 +515,7 @@ def ann_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        pairs.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(w).cast("long").alias("rnk")
-        )
-        .filter(F.col("rnk") <= ANN_TOP_K)
-    )
+    return _topk_per_query(pairs, ANN_TOP_K)
 
 
 # ----------------------------------------------------- recall evaluation

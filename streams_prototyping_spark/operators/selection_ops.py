@@ -138,9 +138,12 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inclusion probability is proportional to weight; the sample is
     deterministic and reproducible across engines and runs.
 
-    Scale note: the key is a map-side projection; TakeOrdered keeps
-    {ES_K} rows per partition then merges O(k * partitions) on the
-    driver — the one-pass distributed reservoir. No shuffle at all.
+    Scale note: the key is a map-side projection; WindowGroupLimit
+    prunes each partition to its local top-{ES_K} before the global
+    row_number rank, so the single-partition exchange that the global
+    ORDER BY window requires moves only ~k rows per input partition —
+    not the table. (A true TakeOrderedAndProject via orderBy().limit(k)
+    would avoid the exchange entirely but loses the rnk column.)
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     u = (

@@ -64,8 +64,10 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
-        # local mode: keep the UI off and the driver light
+        # local mode: keep the UI off and the driver light; progress bars
+        # off so harness stdout tails stay parseable (BENCH_r02 lesson)
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()

@@ -40,9 +40,19 @@ def _is_live(df: DataFrame, spark: SparkSession) -> bool:
 
 
 def shared_stage(
-    spark: SparkSession, sf_dir: str, tag: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build: Callable[[], DataFrame],
+    persist: bool = True,
 ) -> DataFrame:
-    """Persisted stage, built at most once per (sf_dir, tag) per session."""
+    """Persisted stage, built at most once per (sf_dir, tag) per session.
+
+    Builders whose result is already materialized (e.g. they end with
+    ``localCheckpoint()`` for lineage truncation after an iterative
+    fixpoint) pass ``persist=False`` so the data isn't held twice —
+    once as checkpointed RDD blocks and again in the SQL cache.
+    """
     key = (sf_dir, tag)
     cached = _CACHE.get(key)
     if cached is not None:
@@ -50,7 +60,9 @@ def shared_stage(
             return cached
         # stale entry from a stopped/foreign session: drop it
         _CACHE.pop(key, None)
-    df = build().persist()
+    df = build()
+    if persist:
+        df = df.persist()
     _CACHE[key] = df
     return df
 

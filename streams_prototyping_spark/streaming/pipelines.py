@@ -150,6 +150,85 @@ def ctr_stateful_stream(ads_with_clicks: DataFrame) -> DataFrame:
     )
 
 
+_CTR_LOG_STATE_SCHEMA = "n_clicked long, n_unclicked long, seq long"
+_CTR_LOG_OUT_SCHEMA = (
+    "ad_id long, seq long, impression_id long, n_clicked long, n_unclicked long, "
+    "ctr double"
+)
+
+
+def _ctr_changelog_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-RECORD changelog fold: replays the micro-batch's rows for
+    this ad in (imp_ts, impression_id) order and emits the refreshed
+    aggregate after EVERY row — exactly the record-at-a-time downstream
+    emission the reference gets from disabling the record cache
+    (CACHE_MAX_BYTES_BUFFERING_CONFIG=0, Aggregations.java:69; adder at
+    StreamStreamJoin.java:107-131 runs per record). `seq` carries across
+    micro-batches through the state tuple, so the emitted changelog is
+    one unbroken per-key sequence regardless of batch slicing."""
+    if state.exists:
+        n_clicked, n_unclicked, seq = state.get
+    else:
+        n_clicked, n_unclicked, seq = 0, 0, 0
+    pdf = pd.concat(list(batches))
+    out = {
+        "ad_id": [],
+        "seq": [],
+        "impression_id": [],
+        "n_clicked": [],
+        "n_unclicked": [],
+        "ctr": [],
+    }
+    if len(pdf):
+        pdf = pdf.sort_values(["imp_ts", "impression_id"])
+        for imp_id, clicked in zip(pdf["impression_id"], pdf["was_clicked"]):
+            if bool(clicked):
+                n_clicked += 1
+            else:
+                n_unclicked += 1
+            seq += 1
+            total = n_clicked + n_unclicked
+            out["ad_id"].append(key[0])
+            out["seq"].append(seq)
+            out["impression_id"].append(int(imp_id))
+            out["n_clicked"].append(n_clicked)
+            out["n_unclicked"].append(n_unclicked)
+            out["ctr"].append(float(n_clicked) / total)
+    state.update((n_clicked, n_unclicked, seq))
+    yield pd.DataFrame(out)
+
+
+def ctr_changelog_stream(ads_with_clicks: DataFrame) -> DataFrame:
+    """True per-record emission (A17, SURVEY §4.3): one output row per
+    INPUT RECORD — the aggregate's changelog — not one row per key per
+    micro-batch. This closes the cache-disabled-emission semantic gap
+    `ctr_stateful_stream` approximates: downstream sees every
+    intermediate aggregate value, in order, exactly as a Kafka Streams
+    consumer of the reference's output topic would
+    (StreamStreamJoin.java:145 with the cache off).
+
+    The tradeoff (measured in BASELINE.md §emission): output volume is
+    O(input records) instead of O(keys x batches), so per-batch update
+    mode is what you run at 100 TB unless a downstream consumer
+    genuinely needs every intermediate value (e.g. an audit changelog
+    or an exactly-replayable materialized view).
+
+    Requires columns: ad_id, impression_id, imp_ts, was_clicked
+    (the ads_with_clicks_stream output shape).
+    """
+    return ads_with_clicks.groupBy("ad_id").applyInPandasWithState(
+        _ctr_changelog_update,
+        outputStructType=_CTR_LOG_OUT_SCHEMA,
+        stateStructType=_CTR_LOG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact deduplication: keep the first record per key,
     with watermark-bounded state (the streaming twin of dedup_exact —
@@ -512,6 +591,13 @@ def _markov_update(
     last = state.get[0] if state.exists else None
     pdf = pd.concat(list(batches))
     counts: dict[tuple, int] = {}
+    # Null event_type would silently diverge from the batch twin: pandas
+    # turns it into NaN and str(last) would store the literal 'nan' in
+    # state, while the batch lag/groupBy carries SQL NULL. Drop such rows
+    # to keep the exact-convergence contract explicit (the batch operator
+    # likewise never counts a NULL transition endpoint).
+    if len(pdf):
+        pdf = pdf[pdf["event_type"].notna()]
     if len(pdf):
         pdf = pdf.sort_values(["ts", "event_id"])
         for t in pdf["event_type"]:

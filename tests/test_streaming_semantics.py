@@ -394,3 +394,156 @@ def test_holt_stateful_stream_converges_exactly(spark, sf_dir, tmp_path):
         for r in registry.QUERIES["holt_smoothing_daily"](spark, sf_dir).collect()
     }
     assert got == want  # exact equality, by fixed-point design
+
+
+def test_per_record_changelog_emission(spark, tmp_path):
+    """A17 closed (VERDICT r2 item 3): ctr_changelog_stream emits ONE
+    update per INPUT RECORD — the reference's cache-disabled changelog
+    (Aggregations.java:69) — not one per key per micro-batch. Replays
+    7 joined records across 3 micro-batches (one batch carries 3 rows
+    of the same ad, the case per-batch update mode collapses) and
+    checks the full emitted sequence."""
+    import datetime as dt
+
+    from streams_prototyping_spark.streaming.pipelines import ctr_changelog_stream
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "ad_id long, impression_id long, imp_ts timestamp, was_clicked boolean"
+
+    def rows(*specs):
+        return [
+            (ad, imp, base + dt.timedelta(seconds=s), bool(c))
+            for (ad, imp, s, c) in specs
+        ]
+
+    path = str(tmp_path / "awc")
+    files = [
+        rows((7, 1, 0, True), (7, 2, 5, False), (9, 3, 6, True)),
+        # 3 records of ad 7 in ONE batch: update mode would emit 1 row,
+        # the changelog must emit 3
+        rows((7, 4, 10, False), (7, 5, 11, False), (7, 6, 12, True)),
+        rows((9, 7, 20, False)),
+    ]
+    spark.createDataFrame(files[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        ctr_changelog_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ctr_changelog")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    for f in files[1:]:
+        spark.createDataFrame(f, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    q.stop()
+
+    out = spark.table("ctr_changelog").collect()
+    n_input = sum(len(f) for f in files)
+    assert len(out) == n_input, "exactly one emitted update per input record"
+
+    by_ad: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.ad_id, r.seq)):
+        by_ad.setdefault(r.ad_id, []).append(r)
+    # seq is unbroken across the micro-batch boundary
+    assert [r.seq for r in by_ad[7]] == [1, 2, 3, 4, 5]
+    assert [r.seq for r in by_ad[9]] == [1, 2]
+    # the changelog replays the exact per-record fold (imp_ts order)
+    assert [(r.n_clicked, r.n_unclicked) for r in by_ad[7]] == [
+        (1, 0), (1, 1), (1, 2), (1, 3), (2, 3)
+    ]
+    assert [r.impression_id for r in by_ad[7]] == [1, 2, 4, 5, 6]
+    # final changelog row == the batch aggregate (convergence)
+    last = by_ad[7][-1]
+    assert (last.n_clicked, last.n_unclicked, last.ctr) == (2, 3, 2 / 5)
+
+
+def test_stream_stream_join_state_eviction(spark, tmp_path):
+    """SURVEY Part C' item 2, pinned (VERDICT r2 item 5): once both
+    watermarks pass an impression's join window, (a) the null-extended
+    left row emits EXACTLY once, and (b) the state row is evicted, so a
+    late matching click is dropped rather than producing a second
+    (matched) result — Kafka Streams 1.1 would emit both (eager
+    duplicates); we implement the declared SQL semantics."""
+    import datetime as dt
+
+    from streams_prototyping_spark.streaming.pipelines import ads_with_clicks_stream
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    imp_schema = "impression_id long, user_id long, ad_id long, imp_ts timestamp"
+    clk_schema = "c_user_id long, click_ts timestamp, click_id long"
+    imp_path, clk_path = str(tmp_path / "imp"), str(tmp_path / "clk")
+
+    # batch 1: imp 1 (user 100) will never match; imp 2 (user 200)
+    # matches click 501 inside the +/-60 s window
+    spark.createDataFrame(
+        [(1, 100, 11, ts(0)), (2, 200, 22, ts(5))], imp_schema
+    ).coalesce(1).write.mode("overwrite").parquet(imp_path)
+    spark.createDataFrame([(200, ts(10), 501)], clk_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(clk_path)
+
+    imp = spark.readStream.schema(imp_schema).parquet(imp_path)
+    clk = spark.readStream.schema(clk_schema).parquet(clk_path)
+    joined = ads_with_clicks_stream(imp, clk, watermark="10 seconds")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("awc_evict")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: advance BOTH watermarks far past imp 1's window
+    # (watermark = 500-10 = 490 >> 0+60) -> imp 1's state is evictable
+    spark.createDataFrame([(3, 300, 33, ts(500))], imp_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(imp_path)
+    spark.createDataFrame([(300, ts(500), 502)], clk_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(clk_path)
+    q.processAllAvailable()
+
+    # batch 3: a LATE click for imp 1 — event time inside the join
+    # window (t=30), but the click watermark is already at ~490
+    spark.createDataFrame([(100, ts(30), 503)], clk_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(clk_path)
+    q.processAllAvailable()
+    # one more batch so any state-cleanup output flushes
+    spark.createDataFrame([(4, 400, 44, ts(600))], imp_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(imp_path)
+    spark.createDataFrame([(400, ts(600), 504)], clk_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(clk_path)
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+
+    rows_imp1 = [
+        r for r in spark.table("awc_evict").collect() if r.impression_id == 1
+    ]
+    # exactly ONE result for the unmatched impression: null-extended,
+    # emitted after the watermark closed its window; the late click 503
+    # was dropped (state evicted), not joined
+    assert len(rows_imp1) == 1, rows_imp1
+    assert rows_imp1[0].click_id is None and rows_imp1[0].was_clicked is False
+    all_clicks = {
+        r.click_id for r in spark.table("awc_evict").collect() if r.click_id
+    }
+    assert 503 not in all_clicks
+    # and the join's state is bounded: far fewer rows than a
+    # retain-everything buffer (imp 1/2 + old clicks must be gone)
+    state = (progress or {}).get("stateOperators") or []
+    if state:
+        assert state[0]["numRowsTotal"] <= 4, state[0]
