@@ -589,21 +589,18 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- Poisson(1) bootstrap
 
 BOOT_B = 32
-# Poisson(1) CDF cut points, rounded once; shared literals in both engines.
-_POIS_CDF = (
-    0.3678794412,
-    0.7357588823,
-    0.9196986029,
-    0.9810118431,
-    0.9963401532,
-    0.9994058151,
-    0.9999167588,
-)
+# Poisson(1) CDF cut points quantized to 16-bit integers (round(cdf *
+# 65536)): the weight compare becomes integer-vs-integer, and one md5
+# (128 bits) yields EIGHT independent 16-bit uniforms, so each row
+# needs only BOOT_B/8 = 4 hashes instead of 32 — an 8x cut in the
+# dominant per-row cost. Quantization shifts each cell probability by
+# < 2^-16, irrelevant for a bootstrap and identical in both engines.
+_POIS_CDF_U16 = (24109, 48219, 60273, 64292, 65296, 65497, 65531)
 
 _BOOT_W_SQL = (
     "CASE "
     + " ".join(
-        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+        f"WHEN u16 < {t} THEN {i}" for i, t in enumerate(_POIS_CDF_U16)
     )
     + " ELSE 7 END"
 )
@@ -617,8 +614,10 @@ WITH reps AS (
     CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
 ), uu AS (
     SELECT b, cents,
-           CAST({portable_hash64_sql("'boot' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")} AS DOUBLE)
-               / {_POW2_60!r} AS u
+           CAST('0x' || substr(
+                    md5('boot' || CAST(b // 8 AS VARCHAR) || ':'
+                        || CAST(o_orderkey AS VARCHAR)),
+                    1 + 4 * (b % 8), 4) AS BIGINT) AS u16
     FROM reps
 ), wt AS (
     SELECT b, cents, {_BOOT_W_SQL} AS w FROM uu
@@ -661,32 +660,41 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Outputs the point estimate plus replicate mean/SE/min/max — the
     spread IS the sampling-uncertainty audit.
 
-    Scale note: the B-fold explode is map-side (explode of a constant
-    sequence, no shuffle before the 32-group fold); per-replicate
-    state is one (weighted sum, weight count) pair. B multiplies scan
-    CPU, not shuffle volume.
+    Scale note: the B-fold explode is map-side (posexplode of a
+    per-row weight array, no shuffle before the 32-group fold);
+    per-replicate state is one (weighted sum, weight count) pair.
+    Hashing happens BEFORE the explode — 4 md5s per input row, each
+    sliced into eight 16-bit uniforms — so B multiplies only the cheap
+    integer-compare work, not the hash cost.
     """
     o = load_table(spark, sf_dir, "orders")
-    reps = o.select(
-        "o_orderkey",
+    # Two-step select on purpose: the Generate (posexplode) node keeps
+    # the hash projection as its own operator, so each md5 is computed
+    # ONCE per row; folding the hashes into the posexplode projection
+    # would re-evaluate the md5 inside every one of the 32 array
+    # elements (measured 4x slower — codegen CSE does not reach into
+    # array element expressions).
+    hashed = o.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        *[
+            F.md5(
+                F.concat(F.lit(f"boot{k}:"), F.col("o_orderkey").cast("string"))
+            ).alias(f"h{k}")
+            for k in range(BOOT_B // 8)
+        ],
     )
-    u = (
-        portable_hash64(
-            F.concat(
-                F.lit("boot"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("o_orderkey").cast("string"),
-            )
-        ).cast("double")
-        / F.lit(_POW2_60)
-    ).alias("u")
-    uu = reps.select("b", "cents", u)
+    u16s = F.array(
+        *[
+            F.conv(
+                F.substring(F.col(f"h{b // 8}"), 1 + 4 * (b % 8), 4), 16, 10
+            ).cast("int")
+            for b in range(BOOT_B)
+        ]
+    )
+    uu = hashed.select("cents", F.posexplode(u16s).alias("b", "u16"))
     w = F.lit(7)
-    for i in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(F.col("u") < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    for i in range(len(_POIS_CDF_U16) - 1, -1, -1):
+        w = F.when(F.col("u16") < F.lit(_POIS_CDF_U16[i]), F.lit(i)).otherwise(w)
     wt = uu.select("b", "cents", w.alias("w"))
     per = wt.groupBy("b").agg(
         F.round(
