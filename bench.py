@@ -159,6 +159,12 @@ HEADLINE = [
     "acf_daily_revenue",
     "forecast_backtest_snaive",
     "event_type_markov",
+    # round 3b: linear algebra, salting demo, BPE loop
+    "embedding_covariance",
+    "pca_power_iteration",
+    "ols_value_normal_eq",
+    "salted_skew_join",
+    "bpe_learn_merges",
 ]
 
 

@@ -563,3 +563,143 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         ((F.row_number().over(w) - 1) % KFOLD_K).cast("long").alias("fold"),
     )
+
+
+# -------------------------------------------------- BPE merge learning
+
+BPE_ROUNDS = 5
+BPE_VOCAB = 200  # train over the top-N vocabulary (deterministic cut)
+
+
+def _bpe_round_cte(r: int) -> str:
+    prev = f"seq{r - 1}"
+    return f"""pr{r} AS (
+    SELECT ' ' || arr[i] || ' ' || arr[i + 1] || ' ' AS pair, freq
+    FROM (SELECT string_split(trim(seq), ' ') AS arr, freq FROM {prev}),
+         unnest(range(1, len(arr))) AS t(i)
+), top{r} AS (
+    SELECT pair, replace(trim(pair), ' ', '') AS merged,
+           CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM pr{r} GROUP BY pair
+    ORDER BY sum(freq) DESC, pair LIMIT 1
+), seq{r} AS (
+    SELECT replace(seq, (SELECT pair FROM top{r}),
+                   ' ' || (SELECT merged FROM top{r}) || ' ') AS seq, freq
+    FROM {prev}
+)"""
+
+
+_BPE_MERGES_ORACLE = (
+    f"""
+WITH wc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+    ORDER BY freq DESC, w LIMIT {BPE_VOCAB}
+), seq0 AS (
+    SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS seq, freq
+    FROM wc
+),
+"""
+    + ",\n".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, trim(pair) AS pair, merged, pair_freq FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+@register("bpe_learn_merges", oracle=_BPE_MERGES_ORACLE)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-table learning (Sennrich et al.), {BPE_ROUNDS}
+    rounds: segment the top-{BPE_VOCAB} vocabulary into characters,
+    then repeatedly (a) count adjacent symbol pairs weighted by word
+    frequency, (b) pick the most frequent pair (ties break
+    lexicographically), (c) re-segment every word by merging that pair.
+    Output: the learned merge table (round, pair, merged, pair_freq) —
+    what a tokenizer trainer actually ships. bpe_pair_counts covers one
+    counting round; this runs the whole loop with real re-segmentation.
+
+    Sequences carry sentinel spaces and pairs match as ' a b ' so a
+    pair can never match across a token boundary ('aa b' vs 'a ab').
+    Adjacent overlapping occurrences (' a a a ') merge left-to-right
+    non-overlapping — replace() semantics, identical in both engines
+    (the remainder merges in a later round, as in streaming BPE
+    trainers).
+
+    Scale note: the corpus collapses to its vocabulary FIRST (one
+    partial-combined word count); every round then works on
+    {BPE_VOCAB} rows — per-round cost is corpus-independent, and the
+    per-round top-1 is a TakeOrdered over a pair table bounded by
+    total vocabulary characters. Each round's 1-row merge decision
+    broadcast-joins into the re-segmentation (no driver round-trip in
+    the plan; localCheckpoint truncates the per-round lineage).
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(BPE_VOCAB)
+    )
+    seq = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint()
+    merge_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("seq")), " ")
+        pairs = seq.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.concat(F.lit(" "), a, F.lit(" "), b, F.lit(" ")),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+            .orderBy(F.col("pair_freq").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "pair",
+                F.replace(F.trim(F.col("pair")), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "pair_freq",
+            )
+            .localCheckpoint()
+        )
+        merge_rows.append(top)
+        seq = (
+            seq.crossJoin(F.broadcast(top.select("pair", "merged")))
+            .select(
+                F.replace(
+                    F.col("seq"),
+                    F.col("pair"),
+                    F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = merge_rows[0]
+    for t in merge_rows[1:]:
+        out = out.union(t)
+    return out.select(
+        F.col("round").cast("long").alias("round"),
+        F.trim(F.col("pair")).alias("pair"),
+        "merged",
+        "pair_freq",
+    )

@@ -793,3 +793,62 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
         .filter(F.col("pos") < 5)
     )
+
+
+# ------------------------------------------------- salted skew join demo
+
+SALT_BUCKETS = 8
+
+_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting, demonstrated end-to-end: the fact side gets a
+    deterministic salt in [0, {SALT_BUCKETS}), the dimension side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) — splitting any single hot key's rows across
+    {SALT_BUCKETS} reducers. The oracle is the UNSALTED join, so the
+    hash-match proves salting is result-invariant (the property that
+    lets you apply it to any skewed equi-join without re-validating
+    semantics).
+
+    Scale note: this is the MANUAL skew remedy for engines/versions
+    where AQE skew-join splitting can't engage (e.g. the skewed side
+    feeds a downstream partitioning AQE must preserve —
+    tests/test_skew.py shows that case). Cost: dimension rows x
+    {SALT_BUCKETS} replication, bounded by the dim being the small
+    side. Salt derives from xxhash64 of the fact's unique key — no RNG,
+    so retries/speculative tasks see identical salts (a nondeterministic
+    salt breaks exactly-once under task retry).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    dim = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    # join ON (salt AND key) so the shuffle partitions on the composite
+    joined = fact.join(
+        dim,
+        (fact["salt"] == dim["salt"]) & (fact["l_orderkey"] == dim["o_orderkey"]),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

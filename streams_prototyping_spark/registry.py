@@ -86,4 +86,5 @@ def load_all() -> None:
         retrieval_eval,
         graph_ml,
         text_mining,
+        linalg,
     )
