@@ -165,6 +165,10 @@ HEADLINE = [
     "ols_value_normal_eq",
     "salted_skew_join",
     "bpe_learn_merges",
+    "label_prop_communities",
+    "mahalanobis_outliers",
+    "histogram_quantile_audit",
+    "dp_noise_audit",
 ]
 
 

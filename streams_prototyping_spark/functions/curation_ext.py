@@ -703,3 +703,66 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_freq",
     )
+
+
+# -------------------------------------------------- DP noise audit
+
+DP_EPSILON = 0.5  # per-release budget; scale b = 1/eps
+
+
+_DP_ORACLE = f"""
+WITH cnt AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+    FROM events GROUP BY event_type
+), u AS (
+    SELECT event_type, true_n,
+           CAST('0x' || substr(md5('dp:' || event_type), 1, 15) AS BIGINT)
+               / 1152921504606846976.0 - 0.5 AS ctr
+    FROM cnt
+)
+SELECT event_type, true_n,
+       round(true_n + (-1.0 / {DP_EPSILON!r})
+             * sign(ctr) * ln(1.0 - 2.0 * abs(ctr)), 4) AS noisy_n,
+       round(abs((-1.0 / {DP_EPSILON!r})
+             * sign(ctr) * ln(1.0 - 2.0 * abs(ctr))), 4) AS abs_noise,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon
+FROM u
+"""
+
+
+@register("dp_noise_audit", oracle=_DP_ORACLE)
+def dp_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release, audit view: per-event-type
+    counts plus Laplace(1/epsilon) noise drawn by INVERSE-CDF over a
+    portable hash uniform — no RNG, so the release is reproducible
+    across engines and retries (nondeterministic noise re-drawn on a
+    task retry silently doubles the privacy spend; hash-keyed noise is
+    how production DP systems pin one draw per release key). The audit
+    emits true and noisy counts side by side — the calibration view you
+    keep INSIDE the trust boundary; only noisy_n leaves it.
+
+    Scale note: one partial-combined count + a map-side noise
+    expression. ln() is within 1 ulp in both engines; the 4 dp round
+    absorbs it (the weighted_sample_es precedent).
+    """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    ctr = (
+        portable_hash64(F.concat(F.lit("dp:"), F.col("event_type"))).cast("double")
+        / F.lit(float(1 << 60))
+        - 0.5
+    )
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(ctr)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(ctr))
+    )
+    return cnt.select(
+        "event_type",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

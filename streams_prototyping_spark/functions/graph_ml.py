@@ -343,3 +343,90 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loglog_slope"),
     )
+
+
+# ----------------------------------------------- label propagation
+
+LP_ROUNDS = 3
+
+
+def _lp_round_cte(t: int) -> str:
+    prev = f"lab{t - 1}"
+    return f"""nl{t} AS (
+    SELECT e.dst AS node, l.community, count(*) AS c
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    GROUP BY 1, 2
+), lab{t} AS (
+    SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, community) AS rn
+        FROM nl{t}
+    ) WHERE rn = 1
+)"""
+
+
+_LP_ORACLE = (
+    f"WITH {_UND_SQL},\n"
+    + """edges AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+), lab0 AS (
+    SELECT src AS node, src AS community FROM edges GROUP BY src
+),
+"""
+    + ",\n".join(_lp_round_cte(t) for t in range(1, LP_ROUNDS + 1))
+    + f"""
+SELECT CAST(l.node AS BIGINT) AS part_key,
+       CAST(l.community AS BIGINT) AS community,
+       CAST(s.sz AS BIGINT) AS community_size
+FROM lab{LP_ROUNDS} l
+JOIN (SELECT community, count(*) AS sz FROM lab{LP_ROUNDS} GROUP BY 1) s
+  ON s.community = l.community
+"""
+)
+
+
+@register("label_prop_communities", oracle=_LP_ORACLE)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation ({LP_ROUNDS} fixed rounds) over
+    the co-purchase graph: every node starts as its own community and
+    each round adopts the most frequent label among its neighbors
+    (ties -> smallest label, so the trajectory is deterministic and
+    cross-engine identical — the usual random tie-break is what makes
+    vanilla LPA non-reproducible). Emits (node, community,
+    community_size) — the communities detector, where
+    cc_star_contraction only finds connectivity.
+
+    Scale note: each round is one keyed edge join + per-node majority
+    (a groupBy + WindowGroupLimit top-1) — the same shuffle shape as
+    one PageRank iteration, O(edges) per round with bounded rounds;
+    per-round localCheckpoint truncates lineage exactly as the
+    cc_star/k-core loops do.
+    """
+    und = copurchase_und_df(spark, sf_dir)
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    lab = edges.groupBy("src").agg(F.lit(0)).select(
+        F.col("src").alias("node"), F.col("src").alias("community")
+    )
+    for _ in range(LP_ROUNDS):
+        prev = lab.select(F.col("node").alias("lnode"), "community")
+        nl = (
+            edges.join(prev, edges["src"] == prev["lnode"])
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("community"))
+        lab = (
+            nl.select("node", "community", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    sizes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
+    return lab.join(sizes, "community").select(
+        F.col("node").cast("long").alias("part_key"),
+        F.col("community").cast("long").alias("community"),
+        F.col("sz").cast("long").alias("community_size"),
+    )

@@ -333,3 +333,96 @@ def ols_value_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "ols_moments_tmp"
     mom.createOrReplaceTempView(view)
     return spark.sql(_OLS_DET_SELECT.format(src=view))
+
+
+# ---------------------------------------------------- Mahalanobis outliers
+
+MAHA_THRESHOLD = 104.0  # ~ chi2_{64}.ppf(0.999): flag the extreme tail
+
+
+_MAHA_ORACLE = f"""
+WITH x AS (
+    SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS xi
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range({EMB_DIM})) AS i)
+), st AS (
+    SELECT i,
+           round(CAST(sum(CAST(round(xi, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                 / count(*), 8) AS mean_v,
+           count(*) AS n,
+           CAST(sum(CAST(round(xi * xi, 10) AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+    FROM x GROUP BY i
+), v AS (
+    SELECT i, mean_v,
+           round(sxx / n - mean_v * mean_v, 8) AS var_v
+    FROM st
+), terms AS (
+    SELECT x.vec_id,
+           CAST(round((x.xi - v.mean_v) * (x.xi - v.mean_v) / v.var_v, 8)
+                AS DECIMAL(28,8)) AS term
+    FROM x JOIN v ON v.i = x.i
+)
+SELECT vec_id,
+       round(CAST(sum(term) AS DOUBLE), 6) AS maha_sq,
+       (round(CAST(sum(term) AS DOUBLE), 6) > {MAHA_THRESHOLD!r}) AS is_outlier
+FROM terms GROUP BY vec_id
+"""
+
+
+@register("mahalanobis_outliers", oracle=_MAHA_ORACLE)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector squared Mahalanobis distance under the DIAGONAL
+    covariance model (sum over dims of (x-mean)²/var) with a
+    chi-square tail cutoff — the embedding-store outlier gate
+    (corrupt encodes, wrong-modality rows, adversarial inserts) that
+    runs before vectors enter the ANN index. Diagonal on purpose: the
+    full-matrix distance needs the inverse covariance (driver-side
+    numpy, not oracle-checkable); the diagonal form catches
+    per-dimension scale anomalies and stays one scan + two keyed
+    reductions at any corpus size.
+
+    Per-dimension terms round at 8 dp then sum in decimal, so the
+    score is bit-identical cross-engine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "xi"),
+    )
+    st = x.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("xi"), 8).cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("xi") * F.col("xi"), 10).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    v = st.select(
+        "i",
+        "mean_v",
+        F.round(
+            F.col("sxx") / F.col("n") - F.col("mean_v") * F.col("mean_v"), 8
+        ).alias("var_v"),
+    )
+    terms = x.join(F.broadcast(v), "i").select(
+        "vec_id",
+        F.round(
+            (F.col("xi") - F.col("mean_v"))
+            * (F.col("xi") - F.col("mean_v"))
+            / F.col("var_v"),
+            8,
+        )
+        .cast("decimal(28,8)")
+        .alias("term"),
+    )
+    score = F.round(F.sum("term").cast("double"), 6)
+    return terms.groupBy("vec_id").agg(
+        score.alias("maha_sq"),
+        (score > MAHA_THRESHOLD).alias("is_outlier"),
+    )

@@ -608,3 +608,105 @@ def aa_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ok"
         ),
     )
+
+
+# ------------------------------------- mergeable histogram quantile audit
+
+HQ_BIN_CENTS = 5000  # $50 equi-width bins — the mergeable sketch state
+HQ_QUANTILES = (0.5, 0.9, 0.99)
+
+_HQ_QLIST = ", ".join(repr(q) for q in HQ_QUANTILES)
+
+_HQ_ORACLE = f"""
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+    FROM orders
+), bins AS (
+    SELECT cents // {HQ_BIN_CENTS} AS bin, count(*) AS cnt
+    FROM c GROUP BY 1
+), cum AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin) AS cum
+    FROM bins
+), nn AS (SELECT count(*) AS n FROM c),
+qs AS (
+    SELECT q, CAST(ceil(q * nn.n) AS BIGINT) AS target
+    FROM (SELECT unnest([{_HQ_QLIST}]) AS q) CROSS JOIN nn
+), est AS (
+    SELECT q.q, q.target,
+           round((b.bin * {HQ_BIN_CENTS}
+                  + {HQ_BIN_CENTS} * CAST(q.target - (b.cum - b.cnt) AS DOUBLE)
+                    / b.cnt) / 100.0, 4) AS est_value
+    FROM qs q JOIN cum b
+      ON b.cum >= q.target AND b.cum - b.cnt < q.target
+), ranked AS (
+    SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c
+)
+SELECT CAST(e.q AS DOUBLE) AS q, e.est_value,
+       round(r.cents / 100.0, 4) AS exact_value,
+       round(abs(e.est_value - round(r.cents / 100.0, 4)), 4) AS abs_err
+FROM est e JOIN ranked r ON r.rn = e.target
+"""
+
+
+@register("histogram_quantile_audit", oracle=_HQ_ORACLE)
+def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE equi-width histogram sketch (bin ->
+    count, ${HQ_BIN_CENTS}-cent bins over order value), linearly
+    interpolated within the containing bin, audited against the exact
+    type-1 quantiles — the trade a pipeline actually makes when
+    per-group exact sorts stop fitting (histogram state merges
+    associatively across partitions/days; exact ranks don't).
+
+    Scale note: the sketch is one partial-combined groupBy over
+    O(bins) state; the exact side (global row_number) exists only as
+    the audit and is the part you DROP at 100 TB. Integer bin
+    arithmetic end-to-end: the estimate is deterministic cross-engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    bins = c.groupBy((F.col("cents") / HQ_BIN_CENTS).cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+    qs = (
+        spark.createDataFrame([(q,) for q in HQ_QUANTILES], "q double")
+        .crossJoin(F.broadcast(n))
+        .select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"))
+    )
+    est = qs.join(
+        cum,
+        (F.col("cum") >= F.col("target")) & (F.col("cum") - F.col("cnt") < F.col("target")),
+    ).select(
+        "q",
+        "target",
+        F.round(
+            (
+                F.col("bin") * HQ_BIN_CENTS
+                + HQ_BIN_CENTS
+                * (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double")
+                / F.col("cnt")
+            )
+            / 100.0,
+            4,
+        ).alias("est_value"),
+    )
+    ranked = c.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("rn"),
+    )
+    exact = F.round(F.col("cents") / 100.0, 4)
+    return est.join(ranked, est["target"] == ranked["rn"]).select(
+        "q",
+        "est_value",
+        exact.alias("exact_value"),
+        F.round(F.abs(F.col("est_value") - exact), 4).alias("abs_err"),
+    )
