@@ -837,9 +837,13 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = o.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
     ).withColumn("salt", F.col("salt").cast("long"))
-    # join ON (salt AND key) so the shuffle partitions on the composite
+    # join ON (salt AND key) so the shuffle partitions on the composite;
+    # shuffle_hash hint because salting only has an effect on a SHUFFLE
+    # join — at sf0.01 Catalyst would broadcast the replicated dim and
+    # silently skip the very exchange the demo exists to split
+    # (tests/test_plans.py pins the no-broadcast shape)
     joined = fact.join(
-        dim,
+        dim.hint("shuffle_hash"),
         (fact["salt"] == dim["salt"]) & (fact["l_orderkey"] == dim["o_orderkey"]),
         "inner",
     )

@@ -640,3 +640,21 @@ def markov_transitions_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histogram_bins_stream(cents: DataFrame, bin_cents: int = 5000) -> DataFrame:
+    """Streaming twin of histogram_quantile_audit's sketch state:
+    equi-width bin counts over a stream of integer-cents values. The
+    histogram is the ASSOCIATIVE quantile state — per-batch counts sum
+    to the batch histogram for any micro-batch slicing, so read-time
+    interpolation gives the same estimates as the batch audit; state is
+    O(bins), no watermark needed (same bounded-state argument as the
+    CMS/HLL twins).
+
+    Input: a streaming DataFrame with a long `cents` column.
+    """
+    return (
+        cents.select((F.col("cents") / bin_cents).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -228,3 +228,25 @@ def test_ivf_pq_routing_and_lut_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_salted_join_actually_shuffles(spark, sf_dir):
+    """The salting demo is only meaningful on a shuffle join: pin that
+    the replicated dim does NOT broadcast (the shuffle_hash hint) and
+    nothing cartesians — the composite (salt, key) equi-join shape."""
+    from streams_prototyping_spark.plans.introspect import plan_facts
+
+    facts = plan_facts(registry.QUERIES["salted_skew_join"](spark, sf_dir))
+    assert facts.broadcast_joins == 0, facts.summary
+    assert not facts.has_cartesian
+    assert facts.shuffles >= 2  # fact and replicated-dim exchanges
+
+
+def test_pca_iterations_stay_broadcast(spark, sf_dir):
+    """Power iteration joins dim^2 rows to a broadcast 64-row vector;
+    a shuffle per iteration would be the wrong plan at any scale."""
+    from streams_prototyping_spark.plans.introspect import plan_facts
+
+    facts = plan_facts(registry.QUERIES["pca_power_iteration"](spark, sf_dir))
+    assert not facts.has_cartesian
+    assert facts.sort_merge_joins == 0, facts.summary

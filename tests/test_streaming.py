@@ -365,3 +365,33 @@ def test_count_min_cells_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
     want = {(r.r, r.bucket): r.cell_n for r in batch.collect()}
     assert got == want
     assert len(got) <= CMS_ROWS * CMS_WIDTH  # bounded sketch state
+
+
+def test_histogram_bins_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming histogram sketch == batch sketch, cell by cell (the
+    mergeable-state property histogram_quantile_audit's scale story
+    rests on), replayed across micro-batches."""
+    from streams_prototyping_spark.operators.stats_audits import HQ_BIN_CENTS
+    from streams_prototyping_spark.streaming.pipelines import histogram_bins_stream
+
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    path = _replay_dir(cents, str(tmp_path / "cents"))
+    stream = create_stream(
+        spark, "cents", cents.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(
+        histogram_bins_stream(stream, HQ_BIN_CENTS), "hist_stream", "complete"
+    )
+    got = {r.bin: r.cnt for r in spark.table(tbl).collect()}
+    batch = (
+        spark.read.parquet(path)
+        .select((F.col("cents") / HQ_BIN_CENTS).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {r.bin: r.cnt for r in batch.collect()}
+    assert got == want and len(got) > 3
