@@ -169,6 +169,7 @@ HEADLINE = [
     "mahalanobis_outliers",
     "histogram_quantile_audit",
     "dp_noise_audit",
+    "point_in_range_join",
 ]
 
 

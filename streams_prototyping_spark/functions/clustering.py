@@ -749,3 +749,20 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= PQ_TOP_K)
     )
+
+
+def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF centroid table (cell, cv) after N_ITERS Lloyd
+    updates — the artifact a production deployment persists and ships
+    to serving/streaming consumers (see ivf_assign_stream, which loads
+    it once and assigns arriving vectors statelessly)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(N_ITERS):
+        cent = _recenter(_assign(vecs, cent))
+    return cent

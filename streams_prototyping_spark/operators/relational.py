@@ -13,7 +13,7 @@ Each query carries scale notes where the plan shape matters at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
@@ -855,4 +855,92 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("revenue"),
+    )
+
+
+# -------------------------------------------- point-in-range bucketed join
+
+RANGE_BANDS = 10
+RANGE_BUCKET_CENTS = 100_000  # $1000 replication buckets
+
+_RANGE_BANDS_SQL = f"""
+dv AS (
+    SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), ranked AS (
+    SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+           count(*) OVER () AS n
+    FROM dv
+), bands AS (
+    SELECT ((rn - 1) * {RANGE_BANDS}) // n AS band,
+           min(cents) AS lo, max(cents) AS hi
+    FROM ranked GROUP BY 1
+)"""
+
+_RANGE_ORACLE = f"""
+WITH {_RANGE_BANDS_SQL}
+SELECT CAST(b.band AS BIGINT) AS band,
+       CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM lineitem l
+JOIN bands b
+  ON CAST(round(l.l_extendedprice * 100) AS BIGINT) BETWEEN b.lo AND b.hi
+GROUP BY 1, 2, 3
+"""
+
+
+@register("point_in_range_join", oracle=_RANGE_ORACLE)
+def point_in_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join at scale: lineitem prices against ten
+    equi-depth, variable-width order-price bands. The naive plan is a
+    nested-loop/theta join (every point against every range); the
+    scalable plan — used here — REPLICATES each range over the
+    fixed-width buckets it covers (explode of a sequence), buckets each
+    point once, and equi-joins on the bucket with the BETWEEN as a
+    residual. Shuffle is keyed, fan-out is range-width/bucket-width per
+    range, and each point meets only ranges sharing its bucket. The
+    oracle is the direct BETWEEN join, proving the rewrite exact
+    (bands are disjoint, so no post-join dedup is needed).
+
+    The same rewrite serves IP-to-geo ranges, time-interval joins, and
+    genomic interval overlap — the general interval-join recipe when
+    neither side broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dv = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).distinct()
+    ranked = dv.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bands = ranked.groupBy(
+        ((F.col("rn") - 1) * RANGE_BANDS / F.col("n")).cast("long").alias("band")
+    ).agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bands_rep = bands.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / RANGE_BUCKET_CENTS).cast("long"),
+                (F.col("hi") / RANGE_BUCKET_CENTS).cast("long"),
+            )
+        ),
+    )
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+    ).withColumn("bucket", (F.col("v") / RANGE_BUCKET_CENTS).cast("long"))
+    joined = pts.join(
+        bands_rep,
+        (pts["bucket"] == bands_rep["bucket"])
+        & (pts["v"] >= bands_rep["lo"])
+        & (pts["v"] <= bands_rep["hi"]),
+    )
+    return joined.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price_dec").cast("double").alias("total_price"),
     )

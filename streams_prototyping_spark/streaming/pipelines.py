@@ -658,3 +658,40 @@ def histogram_bins_stream(cents: DataFrame, bin_cents: int = 5000) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ivf_assign_stream(vecs: DataFrame, centroids_pdf: "pd.DataFrame") -> DataFrame:
+    """Streaming IVF index maintenance: assign each ARRIVING vector to
+    its nearest trained centroid — the ingest half of a continuously
+    growing vector index (the batch side trains centroids, see
+    clustering.trained_centroids; the stream routes new vectors into
+    cells so ANN search sees them without retraining).
+
+    Stateless by design: the trained centroid matrix (K x dim — bytes)
+    is captured once at pipeline build and shipped to every Python
+    worker; each Arrow batch is a pure map, so there is NO streaming
+    state to bound — the correct shape for unbounded vector ingest
+    (a groupBy-argmin formulation would accrete one state row per
+    vec_id forever).
+
+    Input stream schema: (vec_id long, v array<double>). centroids_pdf
+    columns: cell (long), cv (list[float]) — e.g.
+    ``trained_centroids(spark, sf_dir).toPandas()``.
+    """
+    import numpy as np
+
+    cpd = centroids_pdf.sort_values("cell")  # argmin first-hit = lowest cell
+    C = np.stack(cpd["cv"].to_numpy())
+    cells = cpd["cell"].to_numpy()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells[d.argmin(axis=1)]}
+            )
+
+    return vecs.mapInPandas(assign, "vec_id long, cell long")

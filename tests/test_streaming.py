@@ -395,3 +395,36 @@ def test_histogram_bins_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
     )
     want = {r.bin: r.cnt for r in batch.collect()}
     assert got == want and len(got) > 3
+
+
+def test_ivf_assign_stream_matches_batch_assignment(spark, sf_dir, tmp_path):
+    """Streamed vectors route to the SAME cells as the batch trained
+    assignment (kmeans_final_assign) — the index-maintenance contract:
+    a vector ingested via the stream is searchable in exactly the cell
+    batch retraining would have put it in."""
+    from streams_prototyping_spark.functions.clustering import (
+        _final_assign,
+        trained_centroids,
+    )
+    from streams_prototyping_spark.streaming.pipelines import ivf_assign_stream
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    path = _replay_dir(vecs, str(tmp_path / "vecs"))
+    cent_pdf = trained_centroids(spark, sf_dir).toPandas()
+
+    stream = create_stream(
+        spark, "vecs", vecs.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(
+        ivf_assign_stream(stream, cent_pdf), "ivf_assign_stream", "append"
+    )
+    got = {r.vec_id: r.cell for r in spark.table(tbl).collect()}
+    want = {
+        r.vec_id: r.cell
+        for r in _final_assign(spark, sf_dir).select("vec_id", "cell").collect()
+    }
+    assert got == want and len(got) >= 400
