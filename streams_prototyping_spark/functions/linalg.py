@@ -259,6 +259,105 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, sf_dir, "linalg/pca_top_component", build)
 
 
+# ---------------------------------------------------- OLS via normal equations
+
+# Exact integer moments (hour/dow are small ints, value snapped to
+# cents) are cast to DOUBLE before the determinant arithmetic: the
+# 3x3 Cramer determinants reach ~1e27, past both int64 and exact-double
+# integer range, but IEEE double +,-,* are correctly rounded and both
+# engines evaluate the SAME expression tree, so the results are
+# bit-identical; beta relative error ~1e-15 vanishes at the 8 dp round.
+_OLS_DET_SELECT = """
+SELECT CAST(n AS BIGINT) AS n,
+       round(det0 / det, 8) AS beta0_cents,
+       round(det1 / det, 8) AS beta1_cents,
+       round(det2 / det, 8) AS beta2_cents,
+       round(1.0 - (syy - (det0 / det) * sy
+                        - (det1 / det) * sx1y
+                        - (det2 / det) * sx2y)
+                 / (syy - sy * sy / n), 6) AS r_squared
+FROM (
+    SELECT n, sy, sx1y, sx2y, syy,
+           n * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+           sy * (sx11 * sx22 - sx12 * sx12)
+             - sx1 * (sx1y * sx22 - sx12 * sx2y)
+             + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+           n * (sx1y * sx22 - sx12 * sx2y)
+             - sy * (sx1 * sx22 - sx12 * sx2)
+             + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+           n * (sx11 * sx2y - sx1y * sx12)
+             - sx1 * (sx1 * sx2y - sx1y * sx2)
+             + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+    FROM {src}
+)
+"""
+
+_OLS_ORACLE = (
+    """
+WITH feat AS (
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS x1,
+           ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS x2,
+           CAST(round(value * 100) AS BIGINT) AS yc
+    FROM events
+), mom AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x1) AS DOUBLE) AS sx1,
+           CAST(sum(x2) AS DOUBLE) AS sx2,
+           CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+           CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+           CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+           CAST(sum(yc) AS DOUBLE) AS sy,
+           CAST(sum(x1 * yc) AS DOUBLE) AS sx1y,
+           CAST(sum(x2 * yc) AS DOUBLE) AS sx2y,
+           CAST(sum(yc * yc) AS DOUBLE) AS syy
+    FROM feat
+)
+"""
+    + _OLS_DET_SELECT.format(src="mom")
+)
+
+
+@register("ols_value_normal_eq", oracle=_OLS_ORACLE)
+def ols_value_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS — value(cents) ~ hour-of-day + day-of-week +
+    intercept — solved exactly by normal equations + Cramer's rule.
+    The nine sufficient moments are exact integer sums; the 3x3 solve
+    runs in IEEE double over the identical expression tree in both
+    engines (see module note), betas rounded at 8 dp, R-squared at 6.
+
+    Scale note: model training as ONE map-side-combinable aggregation
+    — no gradient loop, no collect, shuffle of exactly one moment row
+    per partition; the same pattern extends to any feature count whose
+    normal matrix fits in a row (the closed-form regime; beyond ~100s
+    of features switch to L-BFGS driver-side). Epoch-arithmetic
+    features sidestep the Spark/DuckDB dow() convention split (the
+    orders_dow_seasonality trick).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        ((F.unix_timestamp("ts") / F.lit(3600)).cast("long") % 24).alias("x1"),
+        (((F.unix_timestamp("ts") / F.lit(86400)).cast("long") + 4) % 7).alias("x2"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    mom = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("yc")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("yc")).cast("double").alias("sx2y"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
+    )
+    view = "ols_moments_tmp"
+    mom.createOrReplaceTempView(view)
+    return spark.sql(_OLS_DET_SELECT.format(src=view))
+
+
 # ---------------------------------------------------- Mahalanobis outliers
 
 MAHA_THRESHOLD = 104.0  # ~ chi2_{64}.ppf(0.999): flag the extreme tail
