@@ -170,6 +170,7 @@ HEADLINE = [
     "histogram_quantile_audit",
     "dp_noise_audit",
     "point_in_range_join",
+    "naive_bayes_confusion",
 ]
 
 

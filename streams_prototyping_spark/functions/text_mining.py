@@ -310,3 +310,136 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_ln_k"
         ),
     )
+
+
+# ------------------------------------------------ naive Bayes train + eval
+
+_NB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source, w
+    FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) WHERE w <> ''
+), vocab AS (
+    SELECT DISTINCT w FROM toks
+), vn AS (SELECT count(*) AS v FROM vocab),
+src AS (
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_toks
+    FROM toks GROUP BY source
+), total AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+cnt AS (
+    SELECT w, source, count(*) AS c FROM toks GROUP BY w, source
+), lik AS (
+    SELECT v.w, s.source,
+           round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                    / (s.n_toks + vn.v)), 8) AS lnl
+    FROM vocab v
+    CROSS JOIN src s
+    CROSS JOIN vn
+    LEFT JOIN cnt c ON c.w = v.w AND c.source = s.source
+), prior AS (
+    SELECT s.source,
+           round(ln(CAST(s.n_docs AS DOUBLE) / t.n), 8) AS lnp
+    FROM src s CROSS JOIN total t
+), scored AS (
+    SELECT t.doc_id, t.source AS actual_source, l.source AS cand,
+           CAST(sum(CAST(l.lnl AS DECIMAL(20,8))) AS DOUBLE)
+               + max(p.lnp) AS score
+    FROM toks t
+    JOIN lik l ON l.w = t.w
+    JOIN prior p ON p.source = l.source
+    GROUP BY 1, 2, 3
+), pred AS (
+    SELECT doc_id, actual_source, cand AS predicted_source
+    FROM (
+        SELECT doc_id, actual_source, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT actual_source, predicted_source, count(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register("naive_bayes_confusion", oracle=_NB_ORACLE)
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes source classifier, trained AND evaluated
+    distributed: Laplace-smoothed per-source word log-likelihoods plus
+    doc-count log-priors, each document scored against all candidate
+    sources and argmax'd (ties -> lexicographically first source), the
+    resubstitution confusion matrix as output. The third member of the
+    train-a-model-in-SQL family (ols_value_normal_eq: regression,
+    kmeans_lloyd: clustering, this: classification) — NB is the
+    classical fast quality/domain classifier over web-scale corpora.
+
+    Determinism: ln() terms round at 8 dp then sum as exact decimals,
+    so scores are order-independent and cross-engine identical; exact
+    score ties fall to the source-name tie-break in both engines.
+
+    Scale note: the model (vocab x sources likelihood grid + priors)
+    is vocabulary-sized and BROADCAST; scoring is a map-side join over
+    the token stream + one (doc, candidate) partial-combined fold.
+    Candidate fan-out multiplies tokens by |sources| — with many
+    classes you shard candidates or prune by prior, same plan shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    vocab = toks.select("w").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).alias("v"))
+    src = toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    total = toks.agg(F.countDistinct("doc_id").alias("n"))
+    cnt = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c"))
+    lik = (
+        vocab.crossJoin(src.select("source", "n_toks"))
+        .crossJoin(F.broadcast(vn))
+        .join(cnt, ["w", "source"], "left")
+        .select(
+            "w",
+            "source",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_toks") + F.col("v"))
+                ),
+                8,
+            ).alias("lnl"),
+        )
+    )
+    prior = src.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("n")), 8).alias("lnp"),
+    )
+    model = lik.join(prior, "source").select(
+        "w", F.col("source").alias("cand"), "lnl", "lnp"
+    )
+    scored = (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("doc_id", F.col("source").alias("actual_source"), "cand")
+        .agg(
+            (
+                F.sum(F.col("lnl").cast("decimal(20,8)")).cast("double")
+                + F.max("lnp")
+            ).alias("score")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = (
+        scored.select(
+            "doc_id", "actual_source", "cand", F.row_number().over(w_rank).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+    )
+    return pred.groupBy(
+        "actual_source", F.col("cand").alias("predicted_source")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
