@@ -1,6 +1,6 @@
 """Distributed linear algebra over the embeddings / events tables.
 
-Three operators a training-data pipeline runs on its embedding store
+Four operators a training-data pipeline runs on its embedding store
 that none of the similarity family covers:
 
 - embedding_covariance: the dim x dim covariance matrix as rows — the
@@ -9,18 +9,22 @@ that none of the similarity family covers:
   iteration ON the covariance rows — deterministic cross-engine via
   per-iteration decimal rounding (the pagerank/Holt fixed-point trick
   applied to eigenvectors).
+- mahalanobis_outliers: per-vector distance under the diagonal
+  covariance model — the embedding-store corruption gate.
 - ols_value_normal_eq: multivariate OLS (two features + intercept) by
   exact normal equations + Cramer's rule — closed-form model training
   as a single distributed aggregation.
 
 Scale design: the covariance reduction is the only part that touches
-the corpus — a map-side double-explode (NO join, no shuffle of vector
-rows) into a dim²-group partial aggregate, so 100 TB of embeddings
-shuffle only dim² partial sums per partition. Power iteration then
-works on dim² rows (a few KB at dim=64); at production scale you would
-collect that matrix and call numpy.linalg.eigh on the driver — the SQL
-iteration here exists because it is exactly reproducible in both
-engines, which numpy eigensolvers are not.
+the corpus — a single nested-transform generator emits each row's
+upper-triangle products map-side (NO join, no shuffle of vector rows)
+into a dim²-group partial aggregate, so 100 TB of embeddings shuffle
+only ~dim²/2 partial sums per partition; the result is a shared
+persisted stage (consumed by covariance/PCA alike). Power iteration
+then works on dim² rows (a few KB at dim=64); at production scale you
+would collect that matrix and call numpy.linalg.eigh on the driver —
+the SQL iteration here exists because it is exactly reproducible in
+both engines, which numpy eigensolvers are not.
 
 No reference counterpart (the reference has no numeric-array surface
 at all — SURVEY §2 Part C); this is north-star extension surface.
