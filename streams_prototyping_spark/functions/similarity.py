@@ -530,12 +530,20 @@ RP_DIMS = 16  # target dimensionality (from 64)
 
 
 def _rp_sign_spark(d: int) -> str:
-    # deterministic Rademacher +/-1 entry for (out-dim d, in-dim j)
-    return (
-        f"transform(sequence(1, size(v)), j -> CASE WHEN "
-        f"CAST(conv(substring(md5(concat('rp{d}:', j)), 1, 15), 16, 10) AS BIGINT) "
-        f"% 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    # Deterministic Rademacher +/-1 row for out-dim d, PRE-EVALUATED
+    # into a literal array: the matrix is constant across rows, but as
+    # an inline md5 expression Spark re-hashed 16x64 times PER ROW
+    # (sequence(1, size(v)) defeats constant folding — measured ~3 s at
+    # sf0.1 for what is a narrow projection). portable_hash64_py is the
+    # same md5 formula the DuckDB oracle still evaluates inline, so the
+    # signs are identical by construction.
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64_py
+
+    signs = (
+        "1.0D" if portable_hash64_py(f"rp{d}:{j}") % 2 == 0 else "-1.0D"
+        for j in range(1, 65)
     )
+    return "array(" + ", ".join(signs) + ")"
 
 
 def _rp_dim_spark(d: int) -> str:
@@ -569,13 +577,15 @@ def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from md5 — the dimensionality-reduction step run before
     LSH/clustering when the raw embedding is too wide to index
     economically. The hash-derived matrix means no trained state to
-    ship: every executor (and DuckDB) regenerates the identical
-    projection from the dimension indices alone.
+    ship: the +/-1 rows are regenerated from the dimension indices by
+    the same md5 formula in Python (plan literals, ~1 KB) and in the
+    DuckDB oracle (inline) — identical by construction.
 
     Scale note: pure narrow projection — {RP_DIMS} folded dot products
-    per row inside codegen, zero shuffle, zero driver state; the
-    projected table feeds the existing LSH/IVF/PQ index builds
-    unchanged.
+    per row inside codegen, zero shuffle, zero runtime hashing (the
+    constant sign matrix is baked into the plan; as an inline md5
+    expression it re-hashed 1024x per row); the projected table feeds
+    the existing LSH/IVF/PQ index builds unchanged.
     """
     vecs = _vectors(spark, sf_dir)
     return vecs.select(

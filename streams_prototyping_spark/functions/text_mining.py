@@ -344,11 +344,13 @@ cnt AS (
     SELECT s.source,
            round(ln(CAST(s.n_docs AS DOUBLE) / t.n), 8) AS lnp
     FROM src s CROSS JOIN total t
+), tf AS (
+    SELECT doc_id, source, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3
 ), scored AS (
     SELECT t.doc_id, t.source AS actual_source, l.source AS cand,
-           CAST(sum(CAST(l.lnl AS DECIMAL(20,8))) AS DOUBLE)
+           CAST(sum(CAST(l.lnl AS DECIMAL(20,8)) * t.tf) AS DOUBLE)
                + max(p.lnp) AS score
-    FROM toks t
+    FROM tf t
     JOIN lik l ON l.w = t.w
     JOIN prior p ON p.source = l.source
     GROUP BY 1, 2, 3
@@ -423,12 +425,16 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = lik.join(prior, "source").select(
         "w", F.col("source").alias("cand"), "lnl", "lnp"
     )
+    # score on (doc, word, tf) instead of the raw token stream: the
+    # candidate fan-out then multiplies distinct doc-words, not tokens
+    tf = toks.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
-        toks.join(F.broadcast(model), "w")
+        tf.join(F.broadcast(model), "w")
         .groupBy("doc_id", F.col("source").alias("actual_source"), "cand")
         .agg(
             (
-                F.sum(F.col("lnl").cast("decimal(20,8)")).cast("double")
+                F.sum(F.col("lnl").cast("decimal(20,8)") * F.col("tf"))
+                .cast("double")
                 + F.max("lnp")
             ).alias("score")
         )
