@@ -71,3 +71,74 @@ def test_restart_resumes_and_emits_exactly_once(spark, tmp_path):
     assert by_window[BASE + dt.timedelta(seconds=60)] == (2.0, 1)
     assert by_window[BASE + dt.timedelta(seconds=600)] == (0.5, 1)
     assert by_window[BASE + dt.timedelta(seconds=660)] == (3.0, 1)
+
+
+def test_changelog_stream_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState recovery: ctr_changelog_stream restarted
+    from its checkpoint continues each ad's per-record seq exactly
+    where it stopped — no replays (offsets committed), no gaps (state
+    recovered) — the changelog-topic durability story (SURVEY §4.2)
+    for the custom-stateful path."""
+    from streams_prototyping_spark.streaming.pipelines import ctr_changelog_stream
+
+    schema = "ad_id long, impression_id long, imp_ts timestamp, was_clicked boolean"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def rows(*specs):
+        return [
+            (ad, imp, BASE + dt.timedelta(seconds=s), bool(c))
+            for (ad, imp, s, c) in specs
+        ]
+
+    # memory sink cannot recover from a checkpoint; foreachBatch to a
+    # parquet dir is the durable-update-sink pattern (streaming/sinks.py)
+    def start(out_dir):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def write_batch(df, _epoch):
+            df.write.mode("append").parquet(out_dir)
+
+        return (
+            ctr_changelog_stream(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    # phase 1: 3 records of ad 5, 1 of ad 6
+    spark.createDataFrame(
+        rows((5, 1, 0, True), (5, 2, 1, False), (5, 3, 2, False), (6, 4, 3, True)),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    out1 = str(tmp_path / "out1")
+    q = start(out1)
+    q.processAllAvailable()
+    q.stop()
+    p1 = spark.read.parquet(out1).collect()
+    assert max(r.seq for r in p1 if r.ad_id == 5) == 3
+    assert max(r.seq for r in p1 if r.ad_id == 6) == 1
+
+    # phase 2: restart from checkpoint, 2 more of ad 5, 1 of ad 6
+    spark.createDataFrame(
+        rows((5, 7, 10, True), (5, 8, 11, False), (6, 9, 12, False)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    out2 = str(tmp_path / "out2")
+    q2 = start(out2)
+    q2.processAllAvailable()
+    q2.stop()
+    p2 = sorted(
+        spark.read.parquet(out2).collect(), key=lambda r: (r.ad_id, r.seq)
+    )
+
+    # only the NEW records emit (no replay), and seq + counters resume
+    # from the recovered state, not from zero
+    assert [(r.ad_id, r.seq, r.impression_id) for r in p2] == [
+        (5, 4, 7), (5, 5, 8), (6, 2, 9)
+    ]
+    last5 = p2[1]
+    assert (last5.n_clicked, last5.n_unclicked) == (2, 3)  # 1+3 old, 1+1 new
