@@ -171,6 +171,7 @@ HEADLINE = [
     "dp_noise_audit",
     "point_in_range_join",
     "naive_bayes_confusion",
+    "markov_attribution_removal",
 ]
 
 
