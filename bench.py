@@ -172,6 +172,7 @@ HEADLINE = [
     "point_in_range_join",
     "naive_bayes_confusion",
     "markov_attribution_removal",
+    "shapley_attribution",
 ]
 
 

@@ -1280,3 +1280,144 @@ def _value_iteration(model: list) -> float:
         val = {s: _round_half_up(float(a), 10) for s, a in acc.items()}
         val["CONV"] = 1.0
     return val.get("START", 0.0)
+
+
+# ------------------------------------------------ Shapley attribution
+
+# Exact Shapley over the 2^|channels| coalition lattice: the
+# characteristic function v(S) counts conversions from journeys whose
+# (pre-conversion) channel set fits inside coalition S. With 4 channels
+# all 16 subsets enumerate, so credit is EXACT — no sampling, and the
+# whole computation is integer counts + one literal rational-weight
+# fold (|S|! (n-|S|-1)! / n! = 6,2,2,6 / 24 at n=4).
+
+_SHAP_N = len(ATTR_CHANNELS)
+_SHAP_FACT = {0: 6, 1: 2, 2: 2, 3: 6}  # k!(n-k-1)! for n=4
+_SHAP_DEN = 24
+
+
+def _shap_v_expr(s_bits: int) -> str:
+    """SQL aggregate: conversions whose channel mask fits inside S."""
+    notS = (2**_SHAP_N - 1) ^ s_bits
+    return f"sum(CASE WHEN (mask & {notS}) = 0 THEN conv ELSE 0 END)"
+
+
+def _shap_phi_expr(ci: int) -> str:
+    """SQL expression for channel ci's Shapley value over the v columns."""
+    terms = []
+    others = [i for i in range(_SHAP_N) if i != ci]
+    for r in range(_SHAP_N):
+        import itertools
+
+        for sub in itertools.combinations(others, r):
+            s_bits = sum(1 << i for i in sub)
+            w = _SHAP_FACT[r]
+            terms.append(f"{w} * (v{s_bits | (1 << ci)} - v{s_bits})")
+    return "CAST(" + " + ".join(terms) + f" AS DOUBLE) / {_SHAP_DEN}"
+
+
+_SHAP_MASK_BITS = " + ".join(
+    f"CASE WHEN max(CASE WHEN state = '{c}' THEN 1 ELSE 0 END) = 1 "
+    f"THEN {1 << i} ELSE 0 END"
+    for i, c in enumerate(ATTR_CHANNELS)
+)
+
+_SHAP_V_COLS = ", ".join(
+    f"{_shap_v_expr(s)} AS v{s}" for s in range(2**_SHAP_N)
+)
+
+_SHAP_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), firstconv AS (
+    SELECT user_id, min(rn) AS conv_rn FROM seq
+    WHERE event_type = '{ATTR_CONV}' GROUP BY user_id
+), pre AS (
+    SELECT s.user_id, s.event_type AS state,
+           (f.conv_rn IS NOT NULL) AS converted
+    FROM seq s LEFT JOIN firstconv f ON f.user_id = s.user_id
+    WHERE f.conv_rn IS NULL OR s.rn < f.conv_rn
+), per_user AS (
+    SELECT user_id,
+           CAST({_SHAP_MASK_BITS} AS BIGINT) AS mask,
+           CAST(max(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS conv
+    FROM pre GROUP BY user_id
+), vv AS (
+    SELECT {_SHAP_V_COLS} FROM per_user
+)
+"""
+_SHAP_ORACLE += "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS channel,
+       round({_shap_phi_expr(i)}, 6) AS shapley_conversions,
+       CAST(v{2**_SHAP_N - 1} AS BIGINT) AS reachable_conversions,
+       round(({_shap_phi_expr(i)}) / CAST(v{2**_SHAP_N - 1} AS DOUBLE), 6) AS share
+FROM vv"""
+    for i, c in enumerate(ATTR_CHANNELS)
+)
+
+
+@register("shapley_attribution", oracle=_SHAP_ORACLE)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over channel coalitions: each
+    converting journey contributes its pre-conversion channel SET; the
+    characteristic function v(S) counts conversions whose set fits in
+    coalition S, and each channel's credit is the factorially-weighted
+    marginal sum over all 2^(n-1) coalitions — enumerated fully (no
+    Monte-Carlo sampling) since n = {_SHAP_N}. The game-theoretic
+    complement to markov_attribution_removal: removal effects measure
+    chain-flow damage, Shapley splits credit axiomatically
+    (efficiency: the shares sum to v(all) - v(none)).
+
+    Scale note: the journeys fold to ONE row per user (bitmask +
+    converted flag), then to 2^n coalition counts inside a single
+    partial-combined aggregate — corpus-sized work is one windowed
+    pass + one groupBy; the factorial-weight fold is a literal
+    expression over the 16 v columns. Exact enumeration is O(2^n);
+    past ~12 channels you switch to permutation sampling (the
+    documented cliff).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("state"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    firstconv = (
+        seq.where(F.col("state") == ATTR_CONV)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    pre = (
+        seq.join(firstconv, "user_id", "left")
+        .where(F.col("conv_rn").isNull() | (F.col("rn") < F.col("conv_rn")))
+        .select("user_id", "state", F.col("conv_rn").isNotNull().alias("converted"))
+    )
+    mask_bits = None
+    for i, c in enumerate(ATTR_CHANNELS):
+        bit = F.when(
+            F.max(F.when(F.col("state") == c, 1).otherwise(0)) == 1, 1 << i
+        ).otherwise(0)
+        mask_bits = bit if mask_bits is None else mask_bits + bit
+    per_user = pre.groupBy("user_id").agg(
+        mask_bits.cast("long").alias("mask"),
+        F.max(F.when(F.col("converted"), 1).otherwise(0)).cast("long").alias("conv"),
+    )
+    vv = per_user.agg(
+        *[F.expr(_shap_v_expr(s)).alias(f"v{s}") for s in range(2**_SHAP_N)]
+    )
+    rows = None
+    for i, c in enumerate(ATTR_CHANNELS):
+        row = vv.select(
+            F.lit(c).alias("channel"),
+            F.round(F.expr(_shap_phi_expr(i)), 6).alias("shapley_conversions"),
+            F.col(f"v{2**_SHAP_N - 1}").cast("long").alias("reachable_conversions"),
+            F.round(
+                F.expr(_shap_phi_expr(i)) / F.col(f"v{2**_SHAP_N - 1}"), 6
+            ).alias("share"),
+        )
+        rows = row if rows is None else rows.union(row)
+    return rows
