@@ -173,6 +173,7 @@ HEADLINE = [
     "naive_bayes_confusion",
     "markov_attribution_removal",
     "shapley_attribution",
+    "cuped_variance_reduction",
 ]
 
 

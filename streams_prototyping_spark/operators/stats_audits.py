@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.functions.portable_hash import portable_hash64_sql
 
 # --------------------------------------------------------- HyperLogLog
 
@@ -709,4 +710,134 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_value",
         exact.alias("exact_value"),
         F.round(F.abs(F.col("est_value") - exact), 4).alias("abs_err"),
+    )
+
+
+# ------------------------------------------------------- CUPED audit
+
+CUPED_CUTOFF = "2024-01-16 00:00:00"  # pre-period | experiment period
+
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST({portable_hash64_sql("'aa:' || CAST(user_id AS VARCHAR)")} % 2
+                AS BIGINT) AS arm,
+           CAST(sum(CASE WHEN ts <  TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+), g AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(x * y) AS DOUBLE) AS sxy
+    FROM per_user
+), theta AS (
+    SELECT round((sxy / n - sx / n * (sy / n))
+                 / (sxx / n - sx / n * (sx / n)), 8) AS th
+    FROM g
+), arm_m AS (
+    SELECT arm,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(y * y) AS DOUBLE) AS syy,
+           CAST(sum(x * y) AS DOUBLE) AS sxy
+    FROM per_user GROUP BY arm
+)
+SELECT a.arm,
+       CAST(a.n AS BIGINT) AS n_users,
+       round(a.sy / a.n / 100.0, 6) AS mean_post,
+       round((a.syy / a.n - (a.sy / a.n) * (a.sy / a.n)) / 10000.0, 6)
+           AS var_post,
+       round(((a.syy / a.n - (a.sy / a.n) * (a.sy / a.n))
+              - 2 * t.th * (a.sxy / a.n - (a.sx / a.n) * (a.sy / a.n))
+              + t.th * t.th * (a.sxx / a.n - (a.sx / a.n) * (a.sx / a.n)))
+             / 10000.0, 6) AS var_adjusted,
+       t.th AS theta
+FROM arm_m a CROSS JOIN theta t
+"""
+
+
+@register("cuped_variance_reduction", oracle=_CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): reduce experiment-metric variance with
+    the pre-period covariate — adjusted metric y' = y - theta (x - E x),
+    theta = cov(x,y)/var(x) POOLED across arms (per-arm theta would
+    bias the estimator). Reports per arm: users, post-period mean,
+    raw and adjusted variance, and the pooled theta — the dashboard
+    that tells an experimenter how much sensitivity the covariate buys
+    before they size the next test.
+
+    Determinism: per-user pre/post sums are exact integer cents; all
+    (co)variances derive from six exact moments per arm; the one
+    division chain runs in IEEE double over the same expression shape
+    in both engines, rounded at the output.
+
+    Scale note: one scan -> per-user fold (map-side combinable) ->
+    six-moment per-arm fold; O(arms) rows after two partial-combined
+    aggregations, nothing user-level survives. The split is the same
+    portable-hash splitter aa_split_audit validates.
+    """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            portable_hash64(F.concat(F.lit("aa:"), F.col("user_id").cast("string")))
+            % 2
+        )
+        .cast("long")
+        .alias("arm"),
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    theta = g.select(
+        F.round(
+            (F.col("sxy") / F.col("n") - F.col("sx") / F.col("n") * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") / F.col("n") - F.col("sx") / F.col("n") * (F.col("sx") / F.col("n"))),
+            8,
+        ).alias("th")
+    )
+    arm_m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    mean = lambda s: F.col(s) / F.col("n")  # noqa: E731
+    var_y = mean("syy") - mean("sy") * mean("sy")
+    cov_xy = mean("sxy") - mean("sx") * mean("sy")
+    var_x = mean("sxx") - mean("sx") * mean("sx")
+    return arm_m.crossJoin(F.broadcast(theta)).select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("n").cast("long").alias("n_users"),
+        F.round(mean("sy") / 100.0, 6).alias("mean_post"),
+        F.round(var_y / 10000.0, 6).alias("var_post"),
+        F.round(
+            (var_y - 2 * F.col("th") * cov_xy + F.col("th") * F.col("th") * var_x)
+            / 10000.0,
+            6,
+        ).alias("var_adjusted"),
+        F.col("th").alias("theta"),
     )
