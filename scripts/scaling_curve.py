@@ -44,6 +44,15 @@ DEFAULT_QUERIES = [
     "equidepth_value_histogram",
     "bfs_reachability",
     "minhash_lsh_pairs",
+    # round-3b additions worth a curve
+    "naive_bayes_confusion",
+    "label_prop_communities",
+    "point_in_range_join",
+    "bpe_learn_merges",
+    "markov_attribution_removal",
+    "shapley_attribution",
+    "embedding_covariance",
+    "copurchase_lift",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
