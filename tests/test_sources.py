@@ -188,3 +188,42 @@ def test_load_table_normalizes_events_ts_encodings(spark, tmp_path):
     got2 = {r.event_id: r.epoch for r in df2.selectExpr(
         "event_id", "CAST(ts AS BIGINT) AS epoch").collect()}
     assert got2 == got
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round trip of a real table plus the scan-level property the
+    format exists for: predicate pushdown reaches the ORC scan just as
+    it does for parquet, so format choice never changes plan quality."""
+    from streams_prototyping_spark.sources.batch import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").limit(2000)
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in orders.schema.fields
+    ]
+    want = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    ).first()[0]
+    got = back.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    ).first()[0]
+    assert got == want
+
+    filtered = back.where(F.col("o_totalprice") > 1000.0)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_avro_fails_actionably_without_module(spark, tmp_path):
+    """The sandbox has no spark-avro module; the reader must say
+    exactly how to add it (Kafka-connector precedent)."""
+    import pytest
+
+    from streams_prototyping_spark.sources.batch import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope"))
