@@ -1365,7 +1365,11 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     characteristic function v(S) counts conversions whose set fits in
     coalition S, and each channel's credit is the factorially-weighted
     marginal sum over all 2^(n-1) coalitions — enumerated fully (no
-    Monte-Carlo sampling) since n = {_SHAP_N}. The game-theoretic
+    Monte-Carlo sampling) since n = {_SHAP_N}. Zero-touch conversions
+    (first event IS the purchase) have no assignable credit and cancel
+    out of every marginal, so they are excluded and the efficiency
+    axiom reads: credits sum to reachable_conversions exactly
+    (pinned by tests/test_round3_ops.py). The game-theoretic
     complement to markov_attribution_removal: removal effects measure
     chain-flow damage, Shapley splits credit axiomatically
     (efficiency: the shares sum to v(all) - v(none)).

@@ -231,3 +231,84 @@ def test_lang_confusion_fractions_sum_to_one(spark, sf_dir):
         by_label[r.labeled_lang] += r.frac_of_label
     for label, tot in by_label.items():
         assert abs(tot - 1.0) < 1e-4, (label, tot)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley's defining property over the counted population: credits
+    sum to v(all channels) - v(empty) where v counts CHANNEL-TOUCHED
+    conversions (zero-touch conversions — first event is the purchase —
+    carry no assignable credit and cancel out of every marginal, so the
+    operator excludes them and v(empty) = 0). The independent recompute
+    checks reachable_conversions against the raw journeys."""
+    from streams_prototyping_spark.operators.product_analytics import (
+        ATTR_CHANNELS,
+        ATTR_CONV,
+    )
+    from streams_prototyping_spark.data import load_table
+    from pyspark.sql import Window
+
+    rows = registry.QUERIES["shapley_attribution"](spark, sf_dir).collect()
+    assert {r.channel for r in rows} == set(ATTR_CHANNELS)
+    total_phi = sum(r.shapley_conversions for r in rows)
+    v_full = rows[0].reachable_conversions
+    assert abs(total_phi - v_full) < 5e-6  # efficiency: v(empty) = 0
+
+    # independent: channel-touched converters from the raw journeys
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("state"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fc = (
+        seq.where(F.col("state") == ATTR_CONV)
+        .groupBy("user_id").agg(F.min("rn").alias("conv_rn"))
+    )
+    touched = (
+        seq.join(fc, "user_id")
+        .where(F.col("rn") < F.col("conv_rn"))
+        .select("user_id").distinct().count()
+    )
+    assert v_full == touched
+
+
+def test_markov_removal_effects_bounded(spark, sf_dir):
+    """Removing a node cannot raise absorption probability (all chain
+    contributions are non-negative), so 0 <= effect <= 1 and
+    p_conv_removed <= p_conv, for every channel."""
+    for r in registry.QUERIES["markov_attribution_removal"](spark, sf_dir).collect():
+        assert 0.0 < r.p_conv <= 1.0
+        assert 0.0 <= r.p_conv_removed <= r.p_conv + 1e-9, r
+        assert 0.0 <= r.removal_effect <= 1.0, r
+
+
+def test_cuped_theta_reduces_pooled_variance(spark, sf_dir):
+    """The guarantee CUPED actually makes: theta = cov/var minimizes
+    the POOLED adjusted variance, so var(y - theta x) <= var(y) over
+    all users (theta = 0 recovers var(y)). Per-arm variances can go
+    either way on small arms — that is reporting, not the estimator's
+    contract."""
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+    from streams_prototyping_spark.operators.stats_audits import CUPED_CUTOFF
+
+    out = registry.QUERIES["cuped_variance_reduction"](spark, sf_dir).collect()
+    theta = out[0].theta
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp_ntz")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).alias("y"),
+        )
+        .select((F.col("y") - F.lit(theta) * F.col("x")).alias("adj"), "y")
+    )
+    r = pu.agg(
+        F.var_pop("adj").alias("va"), F.var_pop("y").alias("vy")
+    ).first()
+    assert r.va <= r.vy + 1e-6, (r.va, r.vy, theta)
