@@ -695,3 +695,25 @@ def ivf_assign_stream(vecs: DataFrame, centroids_pdf: "pd.DataFrame") -> DataFra
             )
 
     return vecs.mapInPandas(assign, "vec_id long, cell long")
+
+
+def dim_moments_stream(vecs: DataFrame) -> DataFrame:
+    """Streaming twin of the covariance/Mahalanobis per-dimension
+    statistics: running (n, decimal-exact sum, decimal-exact sum of
+    squares) per embedding dimension over a stream of vectors. The
+    moments are the ASSOCIATIVE state behind mean/variance — per-batch
+    partial sums merge exactly for any micro-batch slicing, so
+    read-time mean/var (and the Mahalanobis gate thresholds) match the
+    batch operator bit for bit; state is O(dims), no watermark needed
+    (the CMS/HLL/histogram bounded-state argument).
+
+    Input stream schema: (vec_id long, v array<double>).
+    """
+    x = vecs.select(F.posexplode("v").alias("i", "xi"))
+    return x.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("xi"), 8).cast("decimal(28,8)")).alias("s1"),
+        F.sum(F.round(F.col("xi") * F.col("xi"), 10).cast("decimal(38,10)")).alias(
+            "s2"
+        ),
+    )

@@ -428,3 +428,37 @@ def test_ivf_assign_stream_matches_batch_assignment(spark, sf_dir, tmp_path):
         for r in _final_assign(spark, sf_dir).select("vec_id", "cell").collect()
     }
     assert got == want and len(got) >= 400
+
+
+def test_dim_moments_stream_exactly_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-dimension moments == batch moments cell-by-cell
+    (the mergeable sufficient statistics the covariance/Mahalanobis
+    family reads), replayed across micro-batches."""
+    from streams_prototyping_spark.streaming.pipelines import dim_moments_stream
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    path = _replay_dir(vecs, str(tmp_path / "mvecs"))
+    stream = create_stream(
+        spark, "mvecs", vecs.schema, transport="file", path=path,
+        max_files_per_trigger=1,
+    )
+    tbl = _run_to_end(dim_moments_stream(stream), "dim_moments", "complete")
+    got = {r.i: (r.n, r.s1, r.s2) for r in spark.table(tbl).collect()}
+
+    batch = (
+        spark.read.parquet(path)
+        .select(F.posexplode("v").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("xi"), 8).cast("decimal(28,8)")).alias("s1"),
+            F.sum(
+                F.round(F.col("xi") * F.col("xi"), 10).cast("decimal(38,10)")
+            ).alias("s2"),
+        )
+    )
+    want = {r.i: (r.n, r.s1, r.s2) for r in batch.collect()}
+    assert got == want and len(got) == 64
