@@ -174,6 +174,8 @@ HEADLINE = [
     "markov_attribution_removal",
     "shapley_attribution",
     "cuped_variance_reduction",
+    "near_dup_source_matrix",
+    "experiment_readout_cuped",
 ]
 
 

@@ -759,3 +759,97 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# ------------------------------------- cross-source near-duplicate matrix
+
+_SRC_MATRIX_ORACLE = (
+    _SIGS_CTE_DUCK
+    + ", "
+    + _bands_cte_duck()
+    + f""",
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), dup AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / (len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+        FROM cand c
+        JOIN shingled x ON x.doc_id = c.doc_a
+        JOIN shingled y ON y.doc_id = c.doc_b
+    ) WHERE jaccard >= {EXACT_JACCARD_MIN}
+), labeled AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM dup
+    JOIN documents da ON da.doc_id = dup.doc_a
+    JOIN documents db ON db.doc_id = dup.doc_b
+), sizes AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT l.source_a, l.source_b,
+       count(*) AS n_dup_pairs,
+       round(CAST(count(*) AS DOUBLE) /
+             (CASE WHEN l.source_a = l.source_b
+                   THEN sa.n_docs * (sa.n_docs - 1) / 2
+                   ELSE sa.n_docs * sb.n_docs END), 8) AS pair_rate
+FROM labeled l
+JOIN sizes sa ON sa.source = l.source_a
+JOIN sizes sb ON sb.source = l.source_b
+GROUP BY 1, 2, sa.n_docs, sb.n_docs
+"""
+)
+
+
+@register("near_dup_source_matrix", oracle=_SRC_MATRIX_ORACLE)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix: the verified duplicate pairs
+    (LSH candidates + exact Jaccard, same two-phase plan as
+    ngram_jaccard_pairs) labeled by their sources and normalized by the
+    possible-pair count — the dashboard that tells a curation team
+    WHICH feeds are mirroring each other (cross-source mass) vs
+    self-duplicating (diagonal mass), i.e. where dedup budget and
+    crawler fixes should go.
+
+    Scale note: everything downstream of the verified pair list is
+    O(duplicate pairs); the source labels join through broadcast-able
+    doc->source projections and the matrix is at most |sources|² rows.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    za = sizes.select(F.col("source").alias("source_a"), F.col("n_docs").alias("na"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("n_docs").alias("nb"))
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("na") * (F.col("na") - 1) / 2,
+    ).otherwise(F.col("na") * F.col("nb"))
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.round(F.col("n_dup_pairs").cast("double") / possible, 8).alias(
+                "pair_rate"
+            ),
+        )
+    )

@@ -841,3 +841,163 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_adjusted"),
         F.col("th").alias("theta"),
     )
+
+
+# ------------------------------------------- CUPED-adjusted experiment readout
+
+_READOUT_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST({portable_hash64_sql("'aa:' || CAST(user_id AS VARCHAR)")} % 2
+                AS BIGINT) AS arm,
+           CAST(sum(CASE WHEN ts <  TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+), g AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(x * y) AS DOUBLE) AS sxy
+    FROM per_user
+), theta AS (
+    SELECT round((sxy / n - sx / n * (sy / n))
+                 / (sxx / n - sx / n * (sx / n)), 8) AS th
+    FROM g
+), adj AS (
+    -- theta has exactly 8 dp, x is integer: theta*x is an EXACT
+    -- decimal, so the adjusted sums are order-independent
+    SELECT arm, y,
+           CAST(y AS DECIMAL(28,8))
+             - CAST(t.th AS DECIMAL(20,8)) * x AS a
+    FROM per_user CROSS JOIN theta t
+), am AS (
+    SELECT arm,
+           count(*) AS n,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+           CAST(sum(a) AS DOUBLE) AS sa,
+           CAST(sum(CAST(a * a AS DECIMAL(38,16))) AS DOUBLE) AS saa
+    FROM adj GROUP BY arm
+), w AS (
+    SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+           max(CASE WHEN arm = 1 THEN n END) AS n1,
+           max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+           max(CASE WHEN arm = 1 THEN sy END) AS sy1,
+           max(CASE WHEN arm = 0 THEN syy END) AS syy0,
+           max(CASE WHEN arm = 1 THEN syy END) AS syy1,
+           max(CASE WHEN arm = 0 THEN sa END) AS sa0,
+           max(CASE WHEN arm = 1 THEN sa END) AS sa1,
+           max(CASE WHEN arm = 0 THEN saa END) AS saa0,
+           max(CASE WHEN arm = 1 THEN saa END) AS saa1
+    FROM am
+), m AS (
+    SELECT n0, n1,
+           round((sy1 / n1 - sy0 / n0) / 100.0, 6) AS diff_raw,
+           (syy0 - sy0 * sy0 / n0) / (n0 - 1) AS vy0,
+           (syy1 - sy1 * sy1 / n1) / (n1 - 1) AS vy1,
+           round((sa1 / n1 - sa0 / n0) / 100.0, 6) AS diff_adj,
+           (saa0 - sa0 * sa0 / n0) / (n0 - 1) AS va0,
+           (saa1 - sa1 * sa1 / n1) / (n1 - 1) AS va1
+    FROM w
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       diff_raw,
+       round((diff_raw * 100.0) / sqrt(vy1 / n1 + vy0 / n0), 6) AS t_raw,
+       diff_adj,
+       round((diff_adj * 100.0) / sqrt(va1 / n1 + va0 / n0), 6) AS t_adj,
+       (SELECT th FROM theta) AS theta
+FROM m
+"""
+
+
+@register("experiment_readout_cuped", oracle=_READOUT_ORACLE)
+def experiment_readout_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full experiment readout: raw AND CUPED-adjusted treatment
+    effect with Welch t statistics, in one pass. The adjusted metric
+    y' = y - theta x uses the pooled theta (cuped_variance_reduction's
+    estimator); because theta carries exactly 8 dp and x is integer
+    cents, y' is an EXACT decimal per user — the adjusted moment sums
+    stay order-independent, so even the variance-reduced t statistic
+    is bit-identical cross-engine.
+
+    Scale note: two partial-combined per-user folds (moments for
+    theta; adjusted moments per arm), O(1) output — the query an
+    experimentation platform runs per metric per day at any user
+    count.
+    """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            portable_hash64(F.concat(F.lit("aa:"), F.col("user_id").cast("string")))
+            % 2
+        )
+        .cast("long")
+        .alias("arm"),
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    theta = g.select(
+        F.round(
+            (F.col("sxy") / F.col("n") - F.col("sx") / F.col("n") * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") / F.col("n") - F.col("sx") / F.col("n") * (F.col("sx") / F.col("n"))),
+            8,
+        ).alias("th")
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (
+            F.col("y").cast("decimal(28,8)")
+            - F.col("th").cast("decimal(20,8)") * F.col("x")
+        ).alias("a"),
+    )
+    am = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,16)")).cast("double").alias("saa"),
+    )
+    pick = lambda arm, c: F.max(F.when(F.col("arm") == arm, F.col(c)))  # noqa: E731
+    w = am.agg(
+        pick(0, "n").alias("n0"), pick(1, "n").alias("n1"),
+        pick(0, "sy").alias("sy0"), pick(1, "sy").alias("sy1"),
+        pick(0, "syy").alias("syy0"), pick(1, "syy").alias("syy1"),
+        pick(0, "sa").alias("sa0"), pick(1, "sa").alias("sa1"),
+        pick(0, "saa").alias("saa0"), pick(1, "saa").alias("saa1"),
+    )
+    vy0 = (F.col("syy0") - F.col("sy0") * F.col("sy0") / F.col("n0")) / (F.col("n0") - 1)
+    vy1 = (F.col("syy1") - F.col("sy1") * F.col("sy1") / F.col("n1")) / (F.col("n1") - 1)
+    va0 = (F.col("saa0") - F.col("sa0") * F.col("sa0") / F.col("n0")) / (F.col("n0") - 1)
+    va1 = (F.col("saa1") - F.col("sa1") * F.col("sa1") / F.col("n1")) / (F.col("n1") - 1)
+    diff_raw = F.round((F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")) / 100.0, 6)
+    diff_adj = F.round((F.col("sa1") / F.col("n1") - F.col("sa0") / F.col("n0")) / 100.0, 6)
+    return w.crossJoin(F.broadcast(theta)).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        diff_raw.alias("diff_raw"),
+        F.round(diff_raw * 100.0 / F.sqrt(vy1 / F.col("n1") + vy0 / F.col("n0")), 6).alias("t_raw"),
+        diff_adj.alias("diff_adj"),
+        F.round(diff_adj * 100.0 / F.sqrt(va1 / F.col("n1") + va0 / F.col("n0")), 6).alias("t_adj"),
+        F.col("th").alias("theta"),
+    )
