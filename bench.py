@@ -176,6 +176,7 @@ HEADLINE = [
     "cuped_variance_reduction",
     "near_dup_source_matrix",
     "experiment_readout_cuped",
+    "dedup_savings_report",
 ]
 
 

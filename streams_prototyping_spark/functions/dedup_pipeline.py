@@ -374,3 +374,62 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fingerprint -> doc) is the groupBy consumers build on top.
     """
     return winnow_fps_df(spark, sf_dir)
+
+
+# -------------------------------------------------- dedup savings report
+
+_SAVINGS_ORACLE = (
+    _CLUSTERS_CTE
+    + """
+, sized AS (
+    SELECT c.cluster_id, count(*) AS cluster_size,
+           sum(d.n_chars) AS chars_total,
+           max(d.n_chars) AS chars_kept
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY c.cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removable,
+       CAST(sum(chars_total - chars_kept) AS BIGINT) AS chars_removable
+FROM sized GROUP BY cluster_size
+"""
+)
+
+
+@register("dedup_savings_report", oracle=_SAVINGS_ORACLE)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case, by cluster size: how many clusters of
+    each size exist, how many documents deduplication would remove
+    (size-1 per cluster, keeping one survivor) and how many characters
+    that saves under a keep-the-largest policy — the report that
+    decides whether the dedup pipeline is worth its compute at the
+    next scale-up (heavy tail of big clusters = yes).
+
+    Scale note: consumes the SHARED cluster stage (one label
+    propagation per session) joined to a doc-size projection; the
+    report is O(distinct cluster sizes) after two keyed folds.
+    """
+    d = widen(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    clusters = dedup_clusters_df(spark, sf_dir)
+    sized = (
+        clusters.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_chars").alias("chars_total"),
+            F.max("n_chars").alias("chars_kept"),
+        )
+    )
+    return sized.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_removable"),
+        F.sum(F.col("chars_total") - F.col("chars_kept"))
+        .cast("long")
+        .alias("chars_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "docs_removable",
+        "chars_removable",
+    )
