@@ -1413,15 +1413,15 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = per_user.agg(
         *[F.expr(_shap_v_expr(s)).alias(f"v{s}") for s in range(2**_SHAP_N)]
     )
-    rows = None
-    for i, c in enumerate(ATTR_CHANNELS):
-        row = vv.select(
-            F.lit(c).alias("channel"),
-            F.round(F.expr(_shap_phi_expr(i)), 6).alias("shapley_conversions"),
-            F.col(f"v{2**_SHAP_N - 1}").cast("long").alias("reachable_conversions"),
-            F.round(
-                F.expr(_shap_phi_expr(i)) / F.col(f"v{2**_SHAP_N - 1}"), 6
-            ).alias("share"),
-        )
-        rows = row if rows is None else rows.union(row)
-    return rows
+    # one stack over the single aggregate row — a per-channel UNION
+    # would re-execute the corpus fold once per branch
+    full = 2**_SHAP_N - 1
+    stack_args = ", ".join(
+        f"'{c}', round({_shap_phi_expr(i)}, 6), CAST(v{full} AS BIGINT), "
+        f"round(({_shap_phi_expr(i)}) / CAST(v{full} AS DOUBLE), 6)"
+        for i, c in enumerate(ATTR_CHANNELS)
+    )
+    return vv.selectExpr(
+        f"stack({_SHAP_N}, {stack_args}) AS "
+        "(channel, shapley_conversions, reachable_conversions, share)"
+    )
