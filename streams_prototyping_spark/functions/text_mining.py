@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 RAKE_TOP = 25
 
@@ -394,37 +395,47 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
     )
-    vocab = toks.select("w").distinct()
-    vn = vocab.agg(F.count(F.lit(1)).alias("v"))
-    src = toks.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_toks"),
-    )
-    total = toks.agg(F.countDistinct("doc_id").alias("n"))
-    cnt = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c"))
-    lik = (
-        vocab.crossJoin(src.select("source", "n_toks"))
-        .crossJoin(F.broadcast(vn))
-        .join(cnt, ["w", "source"], "left")
-        .select(
-            "w",
-            "source",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("n_toks") + F.col("v"))
-                ),
-                8,
-            ).alias("lnl"),
+
+    def build_model() -> DataFrame:
+        # the trained artifact: vocab x sources log-likelihood grid plus
+        # per-source log-priors — built once per (session, sf) and
+        # cached (the kmeans/ANN-index policy); the build derives
+        # vocab/src/cnt from the token stream in one plan
+        vocab = toks.select("w").distinct()
+        vn = vocab.agg(F.count(F.lit(1)).alias("v"))
+        src = toks.groupBy("source").agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_toks"),
         )
-    )
-    prior = src.crossJoin(F.broadcast(total)).select(
-        "source",
-        F.round(F.log(F.col("n_docs").cast("double") / F.col("n")), 8).alias("lnp"),
-    )
-    model = lik.join(prior, "source").select(
-        "w", F.col("source").alias("cand"), "lnl", "lnp"
-    )
+        total = toks.agg(F.countDistinct("doc_id").alias("n"))
+        cnt = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c"))
+        lik = (
+            vocab.crossJoin(src.select("source", "n_toks"))
+            .crossJoin(F.broadcast(vn))
+            .join(cnt, ["w", "source"], "left")
+            .select(
+                "w",
+                "source",
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n_toks") + F.col("v"))
+                    ),
+                    8,
+                ).alias("lnl"),
+            )
+        )
+        prior = src.crossJoin(F.broadcast(total)).select(
+            "source",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("n")), 8).alias(
+                "lnp"
+            ),
+        )
+        return lik.join(prior, "source").select(
+            "w", F.col("source").alias("cand"), "lnl", "lnp"
+        )
+
+    model = shared_stage(spark, sf_dir, "nb/model", build_model)
     # score on (doc, word, tf) instead of the raw token stream: the
     # candidate fan-out then multiplies distinct doc-words, not tokens
     tf = toks.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("tf"))
