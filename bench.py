@@ -177,6 +177,7 @@ HEADLINE = [
     "near_dup_source_matrix",
     "experiment_readout_cuped",
     "dedup_savings_report",
+    "kaplan_meier_survival",
 ]
 
 

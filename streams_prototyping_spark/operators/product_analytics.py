@@ -1425,3 +1425,128 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({_SHAP_N}, {stack_args}) AS "
         "(channel, shapley_conversions, reachable_conversions, share)"
     )
+
+
+# ------------------------------------------------ Kaplan-Meier survival
+
+_KM_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           min(ts) AS t0,
+           min(CASE WHEN event_type = '{ATTR_CONV}' THEN ts END) AS t_event,
+           max(ts) AS t_last
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id
+), dur AS (
+    SELECT user_id,
+           CAST((CAST(floor(epoch(coalesce(t_event, t_last))) AS BIGINT)
+                 - CAST(floor(epoch(t0)) AS BIGINT)) // 86400 AS BIGINT)
+               AS duration_days,
+           (t_event IS NOT NULL) AS observed
+    FROM per_user
+), steps AS (
+    SELECT duration_days,
+           CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+           count(*) AS n_ending
+    FROM dur GROUP BY duration_days
+), risked AS (
+    SELECT duration_days, d_events,
+           (SELECT count(*) FROM dur)
+             - coalesce(sum(n_ending) OVER (ORDER BY duration_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+    FROM steps
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+       round(CAST(d_events AS DOUBLE) / n_risk, 8) AS hazard,
+       round(exp(sum(CASE WHEN d_events = n_risk THEN -1000000000.0
+                          ELSE round(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk), 10)
+                     END)
+                 OVER (ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS survival
+FROM risked
+WHERE d_events > 0
+"""
+
+
+@register("kaplan_meier_survival", oracle=_KM_ORACLE)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right censoring:
+    duration = days from a user's first event to first purchase, or to
+    their last event (censored) when they never convert — the survival
+    estimate S(d) = prod over steps (1 - d_events/n_risk) that retention
+    and time-to-value dashboards are built on, with censoring handled
+    correctly (naive conversion-time averages silently drop
+    non-converters and bias early).
+
+    Determinism: risk sets and event counts are exact integers from
+    one per-user fold + one per-duration fold; the product runs as
+    exp(cumulative-sum of ln terms rounded at 10 dp) in duration order
+    — identical ordering in both engines, output rounded at 6 dp (the
+    dp_noise/weighted-sample ln precedent).
+
+    Scale note: corpus work is two partial-combined folds; the curve
+    itself is O(distinct durations) rows, and the cumulative window
+    over it is duration-ordered on that tiny table (single-partition
+    by nature, not by accident).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == ATTR_CONV, F.col("ts"))).alias("t_event"),
+        F.max("ts").alias("t_last"),
+    )
+    end = F.coalesce(F.col("t_event"), F.col("t_last"))
+    dur = per_user.select(
+        (
+            (F.unix_timestamp(end) - F.unix_timestamp(F.col("t0")))
+            / F.lit(86400)
+        )
+        .cast("long")
+        .alias("duration_days"),
+        F.col("t_event").isNotNull().alias("observed"),
+    )
+    steps = dur.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("d_events"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = steps.crossJoin(F.broadcast(total)).select(
+        "duration_days",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    hazard = F.col("d_events").cast("double") / F.col("n_risk")
+    return risked.select(
+        "duration_days",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d_events",
+        F.round(hazard, 8).alias("hazard"),
+        F.round(
+            F.exp(
+                F.sum(
+                    # the terminal step (everyone at risk converts) has
+                    # ln(0): DuckDB raises, Spark yields -inf — pin an
+                    # explicit sentinel whose exp is exactly 0.0 in both
+                    F.when(
+                        F.col("d_events") == F.col("n_risk"), F.lit(-1e9)
+                    ).otherwise(F.round(F.log(F.lit(1.0) - hazard), 10))
+                ).over(w_cum)
+            ),
+            6,
+        ).alias("survival"),
+    ).where(F.col("d_events") > 0)
