@@ -312,3 +312,21 @@ def test_cuped_theta_reduces_pooled_variance(spark, sf_dir):
         F.var_pop("adj").alias("va"), F.var_pop("y").alias("vy")
     ).first()
     assert r.va <= r.vy + 1e-6, (r.va, r.vy, theta)
+
+
+def test_kaplan_meier_curve_invariants(spark, sf_dir):
+    """S(d) is a survival function: starts <= 1, non-increasing in
+    duration, and 0 only if the last risk set converts entirely; risk
+    sets strictly shrink as durations pass."""
+    rows = sorted(
+        registry.QUERIES["kaplan_meier_survival"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows, "curve must have conversion steps"
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s + 1e-9, r
+        assert 0 < r.d_events <= r.n_risk, r
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk, r  # risk set shrinks past each step
+        prev_s, prev_risk = r.survival, r.n_risk
