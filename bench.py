@@ -178,6 +178,7 @@ HEADLINE = [
     "experiment_readout_cuped",
     "dedup_savings_report",
     "kaplan_meier_survival",
+    "log_odds_word_shift",
 ]
 
 

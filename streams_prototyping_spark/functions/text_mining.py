@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
@@ -460,3 +460,102 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_source", F.col("cand").alias("predicted_source")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ------------------------------------------- log-odds word shift
+
+FW_SRC_A = "src0"
+FW_SRC_B = "src1"
+FW_ALPHA0 = 100.0  # Dirichlet prior mass (informative, background-shaped)
+FW_TOP = 15
+
+_FW_ORACLE = f"""
+WITH toks AS (
+    SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+), bg AS (
+    SELECT w, count(*) AS yw FROM toks GROUP BY w
+), bgn AS (SELECT count(*) AS n FROM toks),
+cnt AS (
+    SELECT w,
+           sum(CASE WHEN source = '{FW_SRC_A}' THEN 1 ELSE 0 END) AS y1,
+           sum(CASE WHEN source = '{FW_SRC_B}' THEN 1 ELSE 0 END) AS y2
+    FROM toks WHERE source IN ('{FW_SRC_A}', '{FW_SRC_B}')
+    GROUP BY w
+), tot AS (
+    SELECT sum(y1) AS n1, sum(y2) AS n2 FROM cnt
+), scored AS (
+    SELECT b.w,
+           CAST(c.y1 AS BIGINT) AS y1, CAST(c.y2 AS BIGINT) AS y2,
+           round(
+             (ln((c.y1 + {FW_ALPHA0!r} * b.yw / bgn.n)
+                 / (t.n1 + {FW_ALPHA0!r} - c.y1 - {FW_ALPHA0!r} * b.yw / bgn.n))
+              - ln((c.y2 + {FW_ALPHA0!r} * b.yw / bgn.n)
+                   / (t.n2 + {FW_ALPHA0!r} - c.y2 - {FW_ALPHA0!r} * b.yw / bgn.n)))
+             / sqrt(1.0 / (c.y1 + {FW_ALPHA0!r} * b.yw / bgn.n)
+                    + 1.0 / (c.y2 + {FW_ALPHA0!r} * b.yw / bgn.n)), 6) AS z
+    FROM cnt c
+    JOIN bg b ON b.w = c.w
+    CROSS JOIN bgn CROSS JOIN tot t
+)
+SELECT w, y1, y2, z, rnk FROM (
+    SELECT w, y1, y2, z,
+           CAST(row_number() OVER (ORDER BY abs(z) DESC, w) AS BIGINT) AS rnk
+    FROM scored
+) WHERE rnk <= {FW_TOP}
+"""
+
+
+@register("log_odds_word_shift", oracle=_FW_ORACLE)
+def log_odds_word_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' Words' (Monroe, Colaresi & Quinn 2008): z-scored
+    log-odds word differences between two sources under an informative
+    Dirichlet prior shaped by the FULL corpus — the editorially
+    meaningful 'what distinguishes feed A from feed B' report, immune
+    to the raw-frequency and PMI pathologies (rare words dominating).
+    One source pair per invocation ({FW_SRC_A} vs {FW_SRC_B} here;
+    parameterized in production).
+
+    Determinism: counts are exact integers; the z expression is the
+    same double tree in both engines, rounded at 6 dp BEFORE the
+    |z|-rank (with a word tie-break), so the top-{FW_TOP} is stable.
+
+    Scale note: two partial-combined word counts (pair + background)
+    joined on the word key; the scored table is vocabulary-sized and
+    the top-k is a WindowGroupLimit. O(corpus) scan, O(vocab) shuffle.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    bg = toks.groupBy("w").agg(F.count(F.lit(1)).alias("yw"))
+    bgn = toks.agg(F.count(F.lit(1)).alias("n"))
+    pair = toks.where(F.col("source").isin(FW_SRC_A, FW_SRC_B))
+    cnt = pair.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == FW_SRC_A, 1).otherwise(0)).alias("y1"),
+        F.sum(F.when(F.col("source") == FW_SRC_B, 1).otherwise(0)).alias("y2"),
+    )
+    tot = cnt.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    j = (
+        cnt.join(bg, "w")
+        .crossJoin(F.broadcast(bgn))
+        .crossJoin(F.broadcast(tot))
+    )
+    aw = F.lit(FW_ALPHA0) * F.col("yw") / F.col("n")
+    delta = F.log(
+        (F.col("y1") + aw) / (F.col("n1") + F.lit(FW_ALPHA0) - F.col("y1") - aw)
+    ) - F.log(
+        (F.col("y2") + aw) / (F.col("n2") + F.lit(FW_ALPHA0) - F.col("y2") - aw)
+    )
+    var = 1.0 / (F.col("y1") + aw) + 1.0 / (F.col("y2") + aw)
+    scored = j.select(
+        "w",
+        F.col("y1").cast("long").alias("y1"),
+        F.col("y2").cast("long").alias("y2"),
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )
+    wr = Window.orderBy(F.abs(F.col("z")).desc(), "w")
+    return scored.select(
+        "w", "y1", "y2", "z", F.row_number().over(wr).cast("long").alias("rnk")
+    ).where(F.col("rnk") <= FW_TOP)
