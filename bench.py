@@ -6,6 +6,28 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Queries execute to a noop sink (full pipeline runs, nothing collected
 to the driver) after a warm-up pass, so timings measure plan execution,
 not JVM/session startup or result transfer.
+
+HEADLINE selection rule (VERDICT r3 item 6): a query is headline iff it
+is (a) a reference-surface pipeline (windowed_avg, ctr, stream-stream
+join shapes), (b) a TPC-H representative exercising a distinct join/agg
+topology, or (c) the most expensive registered member of an extension
+family (dedup, ANN, text, graph, curation, stats, ...) — i.e. the set
+is chosen to cover every operator FAMILY while staying small enough
+that the driver's per-round wall clock stays ~2 min at sf0.1. Cheap
+family siblings (e.g. the dozens of scalar-function or window-variant
+queries) are deliberately not headline: they share plan shapes with a
+headline member and are still correctness-gated every round by the
+full-registry oracle artifact. `--full` benches EVERY registered query
+(used to produce the committed BENCH_LOCAL_FULL artifact per round);
+`tests/test_bench_contract.py` pins headline ⊆ registry and the rule's
+family coverage.
+
+Regression gate (VERDICT r3 item 3): `--gate PREV.json` compares the
+fresh per-query map against a committed previous round's map and fails
+(exit 1) when a shared query slows >GATE_PER_QUERY x (and >GATE_NOISE_S
+absolute — sub-second timings jitter) or the shared-set total slows
+>GATE_TOTAL x. The round loop runs it after the timed pass and commits
+the report as BENCH_GATE_r{N}.json.
 """
 
 from __future__ import annotations
@@ -105,6 +127,9 @@ HEADLINE = [
     "referential_integrity_audit",
     "bloom_filter_audit",
     "simhash_near_pairs",
+    "regex_string_functions",
+    "weighted_sample_es",
+    "avro_roundtrip",
     "multimodal_resize",
     "doc_chunking",
     "dataset_split",
@@ -182,10 +207,55 @@ HEADLINE = [
 ]
 
 
+GATE_PER_QUERY = 1.5   # a query may not slow more than 1.5x round-over-round
+GATE_TOTAL = 1.2       # nor the shared-set total more than 1.2x
+GATE_NOISE_S = 0.5     # absolute slack: sub-second timings jitter ~100s of ms
+
+
+def compare_gate(
+    fresh: dict[str, float],
+    prev: dict[str, float],
+    *,
+    per_query: float = GATE_PER_QUERY,
+    total: float = GATE_TOTAL,
+    noise_s: float = GATE_NOISE_S,
+) -> dict:
+    """Pure comparison: fresh vs previous per-query seconds over the
+    SHARED query set. Returns {ok, violations, totals}; a violation is
+    a query slower than per_query x AND more than noise_s slower in
+    absolute terms, or the shared total exceeding total x."""
+    shared = sorted(set(fresh) & set(prev))
+    violations = []
+    for q in shared:
+        if fresh[q] > prev[q] * per_query and fresh[q] - prev[q] > noise_s:
+            violations.append(
+                {"query": q, "prev_s": prev[q], "fresh_s": fresh[q],
+                 "ratio": round(fresh[q] / prev[q], 2) if prev[q] else None}
+            )
+    t_prev = sum(prev[q] for q in shared)
+    t_fresh = sum(fresh[q] for q in shared)
+    total_ok = t_fresh <= t_prev * total or t_fresh - t_prev <= noise_s
+    return {
+        "ok": not violations and total_ok,
+        "n_shared": len(shared),
+        "violations": violations,
+        "total_prev_s": round(t_prev, 3),
+        "total_fresh_s": round(t_fresh, 3),
+        "total_ratio": round(t_fresh / t_prev, 3) if t_prev else None,
+        "total_ok": total_ok,
+        "thresholds": {"per_query": per_query, "total": total,
+                       "noise_s": noise_s},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    full_mode = "--full" in sys.argv
+    gate_prev = None
+    if "--gate" in sys.argv:
+        gate_prev = sys.argv[sys.argv.index("--gate") + 1]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -215,9 +285,10 @@ def main() -> None:
     # (checkpointed tables in production) and queried many times. This
     # also makes run-to-run comparison in BENCH_r{N}.json meaningful
     # rather than JIT-noise.
+    names = sorted(registry.QUERIES) if full_mode else HEADLINE
     timings: dict[str, float] = {}
     for timed in (False, True):
-        for name in HEADLINE:
+        for name in names:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -241,9 +312,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "mode": "full" if full_mode else "headline",
     }
-    full_path = Path(__file__).resolve().parent / "BENCH_LOCAL_LATEST.json"
+    here = Path(__file__).resolve().parent
+    full_path = here / (
+        "BENCH_LOCAL_FULL.json" if full_mode else "BENCH_LOCAL_LATEST.json"
+    )
     full_path.write_text(json.dumps(full, indent=1) + "\n")
+
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
@@ -260,6 +336,26 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    # gate AFTER the summary line so the driver's stdout tail-parse is
+    # never broken by a failing gate (the exit code carries the verdict)
+    if gate_prev is not None:
+        prev = json.loads(Path(gate_prev).read_text()).get("queries", {})
+        report = compare_gate(timings, prev)
+        report["prev_artifact"] = gate_prev
+        report["sf"] = sf
+        (here / "BENCH_GATE_LATEST.json").write_text(
+            json.dumps(report, indent=1) + "\n"
+        )
+        print(
+            json.dumps(
+                {"gate": report["ok"], "violations": report["violations"],
+                 "total_ratio": report["total_ratio"]}
+            ),
+            file=sys.stderr,
+        )
+        if not report["ok"]:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,13 +1,16 @@
-"""Scale-curve evidence (VERDICT r2 item 6): run the slowest headline
-queries at sf0.001 / sf0.01 / sf0.1 and fit the growth exponent
+"""Scale-curve evidence (VERDICT r2 item 6; r3 item 2 adds sf1): run
+the slowest headline queries at sf0.001 / sf0.01 / sf0.1 (and, with
+--sf1, a generated sf1 = 10x key-shifted upscale of sf0.1 — see
+scripts/make_sf1.py) and fit the growth exponent
 alpha = log(t_hi/t_lo) / log(rows_hi/rows_lo) over the top SF step
-(the small step is dominated by fixed per-query overhead, so only the
-0.01 -> 0.1 step is meaningful). alpha ~ 1 = linear in rows; > ~1.3
-flags a query whose plan would not survive a 100x scale-up.
+(the small steps are dominated by fixed per-query overhead, so only
+the largest step is meaningful — 0.1 -> 1 when --sf1 is given).
+alpha ~ 1 = linear in rows; > ~1.3 flags a query whose plan would not
+survive a 100x scale-up.
 
 Prints one JSON line and (with --md) rewrites SCALING.md.
 
-Usage: python scripts/scaling_curve.py [--md] [query ...]
+Usage: python scripts/scaling_curve.py [--md] [--sf1] [query ...]
 """
 
 from __future__ import annotations
@@ -59,8 +62,9 @@ SFS = ["0.001", "0.01", "0.1"]
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--md"]
+    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1")]
     write_md = "--md" in sys.argv[1:]
+    with_sf1 = "--sf1" in sys.argv[1:]
     queries = argv or DEFAULT_QUERIES
 
     spark = get_spark("scaling-curve")
@@ -69,10 +73,18 @@ def main() -> None:
 
     from streams_prototyping_spark.data import TABLES, load_table
 
+    sfs = list(SFS)
+    dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
+    if with_sf1:
+        from scripts.make_sf1 import build
+
+        dirs["1"] = build(spark)
+        sfs.append("1")
+
     results: dict[str, dict[str, float]] = {q: {} for q in queries}
     rowcounts: dict[str, int] = {}
-    for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+    for sf in sfs:
+        sf_dir = dirs[sf]
         for t in TABLES:
             load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
         rowcounts[sf] = load_table(spark, sf_dir, "lineitem").count()
@@ -85,14 +97,14 @@ def main() -> None:
                     results[q][sf] = round(time.perf_counter() - t0, 3)
         release_all()  # per-sf shared stages: drop before the next SF
 
-    lo, hi = SFS[-2], SFS[-1]
+    lo, hi = sfs[-2], sfs[-1]
     ratio = rowcounts[hi] / rowcounts[lo]
     report = {}
     for q in queries:
         t_lo, t_hi = results[q][lo], results[q][hi]
         alpha = math.log(t_hi / t_lo) / math.log(ratio) if t_lo > 0 else float("nan")
         report[q] = {
-            **{f"sec_sf{sf}": results[q][sf] for sf in SFS},
+            **{f"sec_sf{sf}": results[q][sf] for sf in sfs},
             "alpha": round(alpha, 2),
             "flag": "SUPERLINEAR" if alpha > 1.3 else "",
         }
@@ -101,29 +113,37 @@ def main() -> None:
     print(json.dumps(out))
 
     if write_md:
+        rows_line = ", ".join(f"sf{sf}={rowcounts[sf]:,}" for sf in sfs)
         lines = [
-            "# SCALING — measured growth exponents (round 3)",
+            "# SCALING — measured growth exponents (round 4)",
             "",
-            "Produced by `python scripts/scaling_curve.py --md` on local[32].",
-            f"Rows (lineitem): sf0.001={rowcounts['0.001']:,}, "
-            f"sf0.01={rowcounts['0.01']:,}, sf0.1={rowcounts['0.1']:,}.",
+            "Produced by `python scripts/scaling_curve.py --md"
+            + (" --sf1" if with_sf1 else "")
+            + "` on local[32].",
+            f"Rows (lineitem): {rows_line}."
+            + (
+                " sf1 is the deterministic 10x key-shifted upscale of sf0.1"
+                " (scripts/make_sf1.py) — per-key cardinalities and join"
+                " selectivities preserved, content perturbed per replica."
+                if with_sf1
+                else ""
+            ),
             "",
-            "alpha = log(t_sf0.1/t_sf0.01) / log(rows_sf0.1/rows_sf0.01) —",
+            f"alpha = log(t_sf{hi}/t_sf{lo}) / log(rows_sf{hi}/rows_sf{lo}) —",
             "the empirical growth exponent over the largest measured step",
-            "(the sf0.001 step is fixed-overhead-dominated and not fitted).",
+            "(smaller steps are fixed-overhead-dominated and not fitted).",
             "alpha <= ~1 is linear-or-better in rows; > 1.3 is flagged.",
             "Timings are second-pass (warm caches + shared index stages),",
             "matching bench.py's steady-state methodology.",
             "",
-            "| query | sf0.001 s | sf0.01 s | sf0.1 s | alpha | flag |",
-            "|---|---|---|---|---|---|",
+            "| query | " + " | ".join(f"sf{sf} s" for sf in sfs)
+            + " | alpha | flag |",
+            "|---|" + "---|" * (len(sfs) + 2),
         ]
         for q in sorted(report, key=lambda q: -report[q]["alpha"]):
             r = report[q]
-            lines.append(
-                f"| {q} | {r['sec_sf0.001']} | {r['sec_sf0.01']} | "
-                f"{r['sec_sf0.1']} | {r['alpha']} | {r['flag']} |"
-            )
+            cells = " | ".join(str(r[f"sec_sf{sf}"]) for sf in sfs)
+            lines.append(f"| {q} | {cells} | {r['alpha']} | {r['flag']} |")
         lines += [
             "",
             "Reading: with ~100x more rows per SF decade, per-query fixed",

@@ -100,19 +100,28 @@ def _recenter(assign: DataFrame) -> DataFrame:
     )
 
 
+def _train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """THE k-means training loop (vecs, trained centroids after N_ITERS
+    Lloyd updates) — single definition shared by the batch final-assign
+    stage and trained_centroids (the streaming/serving artifact), so
+    init/N_ITERS/rounding can never drift between the two paths."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(N_ITERS):
+        cent = _recenter(_assign(vecs, cent))
+    return vecs, cent
+
+
 def _final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared stage: assignment after N_ITERS Lloyd updates."""
 
     def build() -> DataFrame:
-        vecs = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        )
-        cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
-            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-        )
-        for _ in range(N_ITERS):
-            cent = _recenter(_assign(vecs, cent))
+        vecs, cent = _train(spark, sf_dir)
         return _assign(vecs, cent)
 
     return shared_stage(spark, sf_dir, "kmeans_final_assign", build)
@@ -755,14 +764,6 @@ def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF centroid table (cell, cv) after N_ITERS Lloyd
     updates — the artifact a production deployment persists and ships
     to serving/streaming consumers (see ivf_assign_stream, which loads
-    it once and assigns arriving vectors statelessly)."""
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
-    for _ in range(N_ITERS):
-        cent = _recenter(_assign(vecs, cent))
-    return cent
+    it once and assigns arriving vectors statelessly). Delegates to the
+    same _train loop as the batch assignment stage."""
+    return _train(spark, sf_dir)[1]

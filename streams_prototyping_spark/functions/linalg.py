@@ -357,9 +357,11 @@ def ols_value_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("yc")).cast("double").alias("sx2y"),
         F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
     )
-    view = "ols_moments_tmp"
-    mom.createOrReplaceTempView(view)
-    return spark.sql(_OLS_DET_SELECT.format(src=view))
+    # Parameterized spark.sql binds the moment DataFrame directly into
+    # the query — no session-global temp view, so concurrent invocations
+    # in one session cannot race on a name and nothing leaks into the
+    # catalog.
+    return spark.sql(_OLS_DET_SELECT.format(src="{mom}"), mom=mom)
 
 
 # ---------------------------------------------------- Mahalanobis outliers

@@ -1151,8 +1151,9 @@ _ATTR_ORACLE = (
         f"""SELECT '{c}' AS channel,
        {_attr_conv_select('full')} AS p_conv,
        {_attr_conv_select(f'rm{i}')} AS p_conv_removed,
-       round(({_attr_conv_select('full')} - {_attr_conv_select(f'rm{i}')})
-             / {_attr_conv_select('full')}, 6) AS removal_effect"""
+       CASE WHEN {_attr_conv_select('full')} = 0.0 THEN 0.0
+            ELSE round(({_attr_conv_select('full')} - {_attr_conv_select(f'rm{i}')})
+                       / {_attr_conv_select('full')}, 6) END AS removal_effect"""
         for i, c in enumerate(ATTR_CHANNELS)
     )
 )
@@ -1245,9 +1246,13 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         rm_p = _value_iteration(
             [(s_, d_, p_) for (s_, d_, p_) in model if s_ != c and d_ != c]
         )
-        out_rows.append(
-            (c, full_p, rm_p, _round_half_up((full_p - rm_p) / full_p, 6))
+        # A conversion-free window yields full_p == 0: removal effect is
+        # defined as 0.0 for every channel (oracle CASE mirrors this)
+        # instead of crashing on 0/0.
+        effect = (
+            0.0 if full_p == 0.0 else _round_half_up((full_p - rm_p) / full_p, 6)
         )
+        out_rows.append((c, full_p, rm_p, effect))
     return spark.createDataFrame(
         out_rows,
         "channel string, p_conv double, p_conv_removed double, "

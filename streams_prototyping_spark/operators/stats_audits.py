@@ -873,7 +873,7 @@ WITH per_user AS (
     -- decimal, so the adjusted sums are order-independent
     SELECT arm, y,
            CAST(y AS DECIMAL(28,8))
-             - CAST(t.th AS DECIMAL(20,8)) * x AS a
+             - CAST(t.th AS DECIMAL(12,8)) * x AS a
     FROM per_user CROSS JOIN theta t
 ), am AS (
     SELECT arm,
@@ -881,7 +881,12 @@ WITH per_user AS (
            CAST(sum(y) AS DOUBLE) AS sy,
            CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
            CAST(sum(a) AS DOUBLE) AS sa,
-           CAST(sum(CAST(a * a AS DECIMAL(38,16))) AS DOUBLE) AS saa
+           -- DECIMAL(19,8) squares to the hugeint-backed DECIMAL(38,16)
+           -- in DuckDB (18,8 would try the int64 kernel and overflow);
+           -- Spark uses 18,8 -> (37,16) under its cap. Both are EXACT,
+           -- so the sums still agree bit-for-bit.
+           CAST(sum(CAST(CAST(a AS DECIMAL(19,8)) * CAST(a AS DECIMAL(19,8))
+                         AS DECIMAL(38,16))) AS DOUBLE) AS saa
     FROM adj GROUP BY arm
 ), w AS (
     SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
@@ -923,7 +928,16 @@ def experiment_readout_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator); because theta carries exactly 8 dp and x is integer
     cents, y' is an EXACT decimal per user — the adjusted moment sums
     stay order-independent, so even the variance-reduced t statistic
-    is bit-identical cross-engine.
+    is bit-identical cross-engine. Decimal types are chosen so no
+    intermediate hits Spark's precision cap: theta is decimal(12,8)
+    (|theta| < 1e4 by construction of a regression slope on
+    same-unit cents), so th*x is decimal(33,8) — full 8-dp scale, no
+    rounding — and a is squared through a decimal(18,8) down-cast
+    (exact while |y'| < 1e10 cents per user) so a*a is decimal(37,16),
+    under the 38 cap. The previous decimal(20,8) theta cast pushed
+    th*x to decimal(38,6), silently rounding each user's adjusted
+    metric to 6 dp and diverging from the DuckDB oracle's full-scale
+    arithmetic.
 
     Scale note: two partial-combined per-user folds (moments for
     theta; adjusted moments per arm), O(1) output — the query an
@@ -968,7 +982,7 @@ def experiment_readout_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         (
             F.col("y").cast("decimal(28,8)")
-            - F.col("th").cast("decimal(20,8)") * F.col("x")
+            - F.col("th").cast("decimal(12,8)") * F.col("x")
         ).alias("a"),
     )
     am = adj.groupBy("arm").agg(
@@ -976,7 +990,10 @@ def experiment_readout_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("double").alias("sy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
         F.sum("a").cast("double").alias("sa"),
-        F.sum((F.col("a") * F.col("a")).cast("decimal(38,16)")).cast("double").alias("saa"),
+        F.sum(
+            (F.col("a").cast("decimal(18,8)") * F.col("a").cast("decimal(18,8)"))
+            .cast("decimal(38,16)")
+        ).cast("double").alias("saa"),
     )
     pick = lambda arm, c: F.max(F.when(F.col("arm") == arm, F.col(c)))  # noqa: E731
     w = am.agg(

@@ -133,6 +133,49 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.select(F.from_csv("value", schema).alias("r")).select("r.*")
 
 
+_AVRO_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       o_totalprice,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM orders
+"""
+
+
+@register("avro_roundtrip", oracle=_AVRO_ROUNDTRIP_ORACLE)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File codec round trip (the reference ships
+    Avro datagen schemas — src/main/resources/impressions.avro,
+    click.avro): encode the orders table to sync-framed deflate Avro
+    part files (one per partition, written inside the executors), then
+    read them back with one task per file. The oracle selects the raw
+    fields — it matches iff the container format round-trips
+    losslessly. Timestamps travel as epoch longs, the reference
+    datagen's own unix_long convention.
+
+    Scale note: write and read both parallelize per file with no
+    driver data movement (sources/batch.py write_avro/read_avro);
+    when the external spark-avro module is present read_avro switches
+    to the vectorized JVM scan with no caller change.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from streams_prototyping_spark.sources.batch import read_avro, write_avro
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_avro_{tag}")
+    write_avro(orders.repartition(8), path)
+    return read_avro(spark, path)
+
+
 _GLOBAL_AVG_ORACLE = f"""
 SELECT '0' AS group_key,
        {dsum_sql('o_totalprice * 2')} / count(*) AS avg_x2,

@@ -689,7 +689,17 @@ def ivf_assign_stream(vecs: DataFrame, centroids_pdf: "pd.DataFrame") -> DataFra
             if not len(pdf):
                 continue
             X = np.stack(pdf["v"].to_numpy())
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # Sequential per-dimension accumulation — the SAME IEEE
+            # double summation order as the batch side's SQL
+            # aggregate(..., (acc, x) -> acc + x) fold (clustering.py
+            # _SQD_SPARK), so a vector near-equidistant between two
+            # cells resolves its argmin identically in both paths
+            # (numpy's .sum() pairwise summation could flip such ties
+            # and silently break the stream==batch routing contract).
+            d = np.zeros((X.shape[0], C.shape[0]))
+            for k in range(X.shape[1]):
+                diff = X[:, k, None] - C[None, :, k]
+                d += diff * diff
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "cell": cells[d.argmin(axis=1)]}
             )

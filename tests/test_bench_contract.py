@@ -1,0 +1,93 @@
+"""bench.py contract pins (VERDICT r3 items 3 + 6).
+
+The harness has three driver-facing promises:
+  1. HEADLINE only references registered queries (renames would break
+     the nightly bench) — also covered in test_docs_coverage.
+  2. The stated selection rule ("cover every operator family") is a
+     checked property, not prose: every module that registers queries
+     has at least one headline representative, and --full covers the
+     whole registry by construction.
+  3. The --gate regression mode actually catches an injected slowdown
+     and does not cry wolf on jitter.
+
+These are session-free tests (pure functions + registry metadata).
+"""
+
+import bench
+from streams_prototyping_spark import registry
+
+
+def _loaded():
+    registry.load_all()
+    return registry.QUERIES
+
+
+def test_headline_subset_of_registry():
+    qs = _loaded()
+    unknown = [q for q in bench.HEADLINE if q not in qs]
+    assert unknown == []
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_headline_covers_every_query_module():
+    """The selection rule's 'one representative per operator family'
+    claim, pinned at module granularity."""
+    qs = _loaded()
+    by_module: dict = {}
+    for name, fn in qs.items():
+        by_module.setdefault(fn.__module__, []).append(name)
+    headline = set(bench.HEADLINE)
+    bare = {
+        m: names
+        for m, names in by_module.items()
+        if not headline.intersection(names)
+    }
+    assert bare == {}, f"query modules without a headline representative: {bare}"
+
+
+def test_full_mode_is_whole_registry():
+    """--full benches sorted(registry.QUERIES) — nothing silently
+    dropped (the 'no silent caps' rule). The mode reads the registry at
+    run time, so this pin only needs the sets to be derivable."""
+    qs = _loaded()
+    assert set(bench.HEADLINE) <= set(qs)
+    # the full map strictly extends headline (the registry is bigger)
+    assert len(qs) > len(bench.HEADLINE)
+
+
+def test_gate_passes_on_identical_and_improved_runs():
+    prev = {"a": 2.0, "b": 0.4, "c": 10.0}
+    assert bench.compare_gate(prev, prev)["ok"]
+    faster = {"a": 1.0, "b": 0.3, "c": 5.0}
+    rep = bench.compare_gate(faster, prev)
+    assert rep["ok"] and rep["violations"] == []
+
+
+def test_gate_catches_injected_slowdown():
+    prev = {"a": 2.0, "b": 0.4, "c": 10.0}
+    slow = dict(prev, c=31.0)  # 3.1x on a 10 s query
+    rep = bench.compare_gate(slow, prev)
+    assert not rep["ok"]
+    assert [v["query"] for v in rep["violations"]] == ["c"]
+    assert rep["violations"][0]["ratio"] == 3.1
+
+
+def test_gate_ignores_subsecond_jitter_but_not_total_drift():
+    prev = {"a": 0.1, "b": 0.2}
+    jitter = {"a": 0.3, "b": 0.4}  # 3x/2x but < noise_s absolute
+    rep = bench.compare_gate(jitter, prev)
+    assert rep["violations"] == []
+    # total_ok: 0.7 vs 0.3 is >1.2x but within the absolute noise slack
+    assert rep["ok"]
+    # a real total drift (many queries each slightly slower, sum >noise)
+    prev2 = {f"q{i}": 1.0 for i in range(20)}
+    drift = {f"q{i}": 1.45 for i in range(20)}  # each under per-query 1.5x
+    rep2 = bench.compare_gate(drift, prev2)
+    assert rep2["violations"] == [] and not rep2["total_ok"] and not rep2["ok"]
+
+
+def test_gate_only_compares_shared_queries():
+    prev = {"a": 1.0, "gone": 5.0}
+    fresh = {"a": 1.1, "new": 50.0}
+    rep = bench.compare_gate(fresh, prev)
+    assert rep["n_shared"] == 1 and rep["ok"]

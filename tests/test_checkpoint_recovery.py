@@ -2,14 +2,45 @@
 from its checkpoint resumes state and emits each window EXACTLY once
 into a file sink — Spark's answer to the reference's changelog-topic
 durability (SURVEY §4.2: state store + checkpoint replace RocksDB +
-changelog)."""
+changelog).
+
+Both tests run under BOTH state store providers (VERDICT r3 item 5):
+the default HDFS-backed store and RocksDBStateStoreProvider — the
+recommended provider for large state at the 100 TB deployment scale
+(state spills to local SSD instead of living on the JVM heap). Green
+under both proves the streaming twins are provider-agnostic; each
+parameterized run uses a fresh checkpoint (a checkpoint's state format
+is provider-specific, so providers are never switched mid-checkpoint).
+"""
 
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 SCHEMA = "event_id long, ts timestamp, value double"
 BASE = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=["hdfs-default", "rocksdb"])
+def state_provider(request, spark):
+    """Set the state store provider for queries started in the test,
+    restoring the session default afterwards."""
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    if request.param == "rocksdb":
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB)
+    try:
+        yield request.param
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
 
 
 def _rows(*specs):
@@ -38,7 +69,7 @@ def _start(spark, src, sink, ckpt):
     )
 
 
-def test_restart_resumes_and_emits_exactly_once(spark, tmp_path):
+def test_restart_resumes_and_emits_exactly_once(spark, tmp_path, state_provider):
     src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
 
     # phase 1: two early windows + a watermark pusher that closes them
@@ -73,7 +104,7 @@ def test_restart_resumes_and_emits_exactly_once(spark, tmp_path):
     assert by_window[BASE + dt.timedelta(seconds=660)] == (3.0, 1)
 
 
-def test_changelog_stream_state_survives_restart(spark, tmp_path):
+def test_changelog_stream_state_survives_restart(spark, tmp_path, state_provider):
     """applyInPandasWithState recovery: ctr_changelog_stream restarted
     from its checkpoint continues each ad's per-record seq exactly
     where it stopped — no replays (offsets committed), no gaps (state
@@ -142,3 +173,52 @@ def test_changelog_stream_state_survives_restart(spark, tmp_path):
     ]
     last5 = p2[1]
     assert (last5.n_clicked, last5.n_unclicked) == (2, 3)  # 1+3 old, 1+1 new
+
+
+def test_stream_stream_join_state_under_both_providers(
+    spark, tmp_path, state_provider
+):
+    """The reference's stream-stream join state (StreamStreamJoin.java's
+    windowed left outer) held in the parameterized provider: matched
+    and unmatched impressions both emit exactly once, with the
+    unmatched null-flag row flushed on watermark close — same result
+    under HDFS-backed and RocksDB state stores."""
+    from streams_prototyping_spark.streaming.pipelines import (
+        ads_with_clicks_stream,
+    )
+    from streams_prototyping_spark.streaming.sources import create_stream
+
+    imp_schema = "impression_id long, imp_ts timestamp, user_id long, ad_id long"
+    clk_schema = "click_id long, click_ts timestamp, c_user_id long"
+    isrc, csrc, sink, ckpt = (
+        str(tmp_path / d) for d in ("imp", "clk", "sink", "ckpt")
+    )
+    t = lambda s: BASE + dt.timedelta(seconds=s)  # noqa: E731
+    # user 1 clicks within the 60 s window, user 2 never clicks;
+    # far-future sentinels push both watermarks so the outer row flushes
+    spark.createDataFrame(
+        [(1, t(0), 1, 10), (2, t(5), 2, 11), (-1, t(7200), -1, -1)], imp_schema
+    ).coalesce(1).write.parquet(isrc)
+    spark.createDataFrame(
+        [(100, t(30), 1), (-1, t(7200), -1)], clk_schema
+    ).coalesce(1).write.parquet(csrc)
+
+    s_imp = spark.readStream.schema(imp_schema).parquet(isrc)
+    s_clk = spark.readStream.schema(clk_schema).parquet(csrc)
+    q = (
+        ads_with_clicks_stream(s_imp, s_clk)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r.impression_id: r.was_clicked
+        for r in spark.read.parquet(sink).collect()
+        if r.impression_id != -1
+    }
+    assert rows == {1: True, 2: False}
