@@ -398,6 +398,11 @@ def ewma_tws_stream(events: DataFrame) -> DataFrame:
     deployment default anyway (SURVEY §4.2). New stateful operators
     should start here; the legacy twins stay as the
     provider-portability fallback.
+
+    Environment note: the tws Python runner speaks protobuf; in a
+    sandbox without google.protobuf the query fails at start()
+    (PROBE_CONNECTORS.md §5) — construction and plan analysis still
+    work, and the convergence test skip-gates on the module.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -438,6 +443,63 @@ def ewma_tws_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=EwmaProcessor(),
         outputStructType=_EWMA_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def dedup_ttl_stream(docs: DataFrame, ttl_ms: "int | None" = None) -> DataFrame:
+    """Ingest dedup with a STATE-TTL retention horizon — a capability
+    only the transformWithState API offers (per-state TTL; the legacy
+    applyInPandasWithState can only expire whole keys via manual
+    timeout bookkeeping, and the watermark-based dedup_against_store
+    needs an event-time column).
+
+    Input: a streaming DataFrame with a `fingerprint` column (e.g.
+    md5(normalized text) — the dedup_exact key). Emits one row per
+    fingerprint per micro-batch: is_new = this key was NOT seen within
+    the TTL horizon (the row a downstream filter keeps), n_copies =
+    running duplicate count while the state lives.
+
+    ttl_ms=None keeps state forever (exact ingest dedup); a finite TTL
+    bounds state size for unbounded streams — the production tradeoff:
+    a document reappearing after `ttl_ms` of silence re-enters as new,
+    which is precisely how retention-horizon dedup is specified (and
+    RocksDB evicts the expired rows instead of the JVM heap holding
+    them). State is ONE long per distinct in-horizon fingerprint.
+    Environment note: needs google.protobuf at runtime — see
+    ewma_tws_stream / PROBE_CONNECTORS.md §5.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "n_seen long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n_prev = self._seen.get()[0] if self._seen.exists() else 0
+            n_batch = sum(len(p) for p in rows)
+            if n_batch:
+                self._seen.update((int(n_prev + n_batch),))
+                yield pd.DataFrame(
+                    {
+                        "fingerprint": [key[0]],
+                        "is_new": [n_prev == 0],
+                        "n_copies": [int(n_prev + n_batch)],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return docs.groupBy("fingerprint").transformWithStateInPandas(
+        statefulProcessor=DedupProcessor(),
+        outputStructType="fingerprint string, is_new boolean, n_copies long",
         outputMode="Update",
         timeMode="None",
     )

@@ -38,10 +38,14 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     con = duckdb.connect()
     try:
+        import os
+
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            p = f"{sf_dir}/{t}.parquet"
+            # driver testdata ships single files; Spark-written sets
+            # (e.g. the sf1 upscale) are part-file directories
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()

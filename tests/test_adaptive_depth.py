@@ -60,6 +60,29 @@ def test_depths_are_pinned_at_driver_tested_sfs():
         assert _py_k_cells(n) == clustering.K_CELLS
 
 
+def test_adaptive_depth_cross_engine_at_sf1(spark):
+    """End-to-end proof that BOTH engines build the SAME deepened
+    index on a corpus large enough to trigger the adaptive formulas:
+    at the sf1 upscale (20k vectors -> 8 LSH bits) the Spark query and
+    its DuckDB oracle still hash-match. Skipped when the sf1 dataset
+    is absent (regenerate with `python scripts/make_sf1.py`)."""
+    import os
+
+    import pytest
+
+    from streams_prototyping_spark import registry
+    from tests.oracle_check import compare_to_oracle
+
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    if not os.path.exists(os.path.join(sf1, "_SUCCESS_SF1")):
+        pytest.skip("sf1 upscale not generated (scripts/make_sf1.py)")
+    registry.load_all()
+    for name in ("ann_lsh_topk_multiprobe", "knn_label_eval"):
+        compare_to_oracle(
+            spark, registry.QUERIES[name], registry.ORACLES[name], sf1
+        )
+
+
 def test_depths_grow_on_upscale():
     """At the sf1 upscale (20k vectors) both indexes deepen, which is
     the whole point: bucket/cell occupancy stays near target instead of

@@ -328,6 +328,46 @@ def test_ewma_stateful_stream_converges_to_batch_fold(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas runs its Python state server over a
+    protobuf protocol; this sandbox ships no google.protobuf (and no
+    pip channel — PROBE_CONNECTORS.md §5), so the tws tests skip-gate
+    exactly like the Kafka e2e."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' namespace at all
+        return False
+
+
+def test_tws_pipelines_construct_and_fail_actionably_without_protobuf(
+    spark, tmp_path
+):
+    """Even without protobuf the pipelines must BUILD (the plan is
+    JVM-side; the dependency bites only when the streaming Python
+    runner boots), so users get a normal analyzed DataFrame and the
+    missing-dependency error only at start() — pinned here so the seam
+    stays honest."""
+    from streams_prototyping_spark.streaming.pipelines import (
+        dedup_ttl_stream,
+        ewma_tws_stream,
+    )
+
+    src = tmp_path / "tws_probe"
+    src.mkdir()
+    ev = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, value double"
+    ).parquet(str(src))
+    df = ewma_tws_stream(ev)
+    assert df.isStreaming and set(df.columns) == {"user_id", "n_events", "ewma"}
+    d = dedup_ttl_stream(
+        spark.readStream.schema("fingerprint string").parquet(str(src)),
+        ttl_ms=1000,
+    )
+    assert d.isStreaming and set(d.columns) == {"fingerprint", "is_new", "n_copies"}
+
+
 def test_ewma_transform_with_state_matches_legacy_and_batch(spark, sf_dir, tmp_path):
     """The transformWithStateInPandas twin (Spark 4 StatefulProcessor,
     RocksDB-backed typed ValueState) must land on the SAME final table
@@ -335,6 +375,11 @@ def test_ewma_transform_with_state_matches_legacy_and_batch(spark, sf_dir, tmp_p
     exact legacy applyInPandasWithState semantics before new operators
     build on it."""
     import time as _time
+
+    import pytest
+
+    if not _has_protobuf():
+        pytest.skip("no google.protobuf in sandbox (tws state protocol)")
 
     from streams_prototyping_spark import registry
     from streams_prototyping_spark.data import load_table
@@ -389,6 +434,84 @@ def test_ewma_transform_with_state_matches_legacy_and_batch(spark, sf_dir, tmp_p
         for r in registry.QUERIES["ewma_per_user"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dedup_ttl_stream_cross_batch_and_expiry(spark, tmp_path):
+    """The TTL ingest dedup: a fingerprint stays a duplicate across
+    micro-batches while its state lives, and RE-ENTERS as new after the
+    TTL horizon passes — the bounded-state contract for unbounded
+    ingest. Also checks the no-TTL variant never forgets."""
+    import time as _time
+
+    import pytest
+
+    from streams_prototyping_spark.streaming.pipelines import dedup_ttl_stream
+
+    if not _has_protobuf():
+        pytest.skip("no google.protobuf in sandbox (tws state protocol)")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        for ttl_ms, expect_reentry in ((1500, True), (None, False)):
+            src = str(tmp_path / f"src_{ttl_ms}")
+            name = f"ttl_dedup_{ttl_ms}"
+            q = (
+                dedup_ttl_stream(
+                    spark.readStream.schema("fingerprint string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src),
+                    ttl_ms=ttl_ms,
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .start()
+            )
+            # batch 1: A twice + B once -> A new (2 copies), B new
+            spark.createDataFrame(
+                [("A",), ("A",), ("B",)], "fingerprint string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # batch 2 (within TTL): A again -> duplicate
+            spark.createDataFrame([("A",)], "fingerprint string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+            got = {(r.fingerprint, r.n_copies): r.is_new for r in rows}
+            assert got[("A", 2)] is True and got[("B", 1)] is True
+            assert got[("A", 3)] is False  # cross-batch state held
+            # batch 3: after the horizon, A re-enters
+            _time.sleep(2.5)
+            spark.createDataFrame([("A",)], "fingerprint string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.table(name).collect()
+            last_a = max(
+                (r for r in rows if r.fingerprint == "A"),
+                key=lambda r: r.n_copies if r.is_new is False else 0,
+            )
+            a_flags = [
+                (r.n_copies, r.is_new) for r in rows if r.fingerprint == "A"
+            ]
+            if expect_reentry:
+                assert (1, True) in a_flags, a_flags  # state expired -> new again
+            else:
+                assert (4, False) in a_flags, a_flags  # never forgot
+            del last_a
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_holt_stateful_stream_converges_exactly(spark, sf_dir, tmp_path):
