@@ -589,9 +589,8 @@ def _bpe_round_cte(r: int) -> str:
 )"""
 
 
-_BPE_MERGES_ORACLE = (
-    f"""
-WITH wc AS (
+_BPE_CTES = (
+    f"""wc AS (
     SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ) WHERE w <> '' GROUP BY w
@@ -602,6 +601,11 @@ WITH wc AS (
 ),
 """
     + ",\n".join(_bpe_round_cte(r) for r in range(1, BPE_ROUNDS + 1))
+)
+
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _BPE_CTES
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT {r} AS round, trim(pair) AS pair, merged, pair_freq FROM top{r}"
@@ -702,6 +706,112 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("pair")).alias("pair"),
         "merged",
         "pair_freq",
+    )
+
+
+# -------------------------------------------------- BPE tokenizer apply
+
+BPE_TOP_TOKENS = 40
+
+
+def _bpe_apply_expr_duck() -> str:
+    """Nested replace chain applying merges 1..BPE_ROUNDS in rank
+    order to a char-segmented word (innermost = round 1) — the exact
+    re-segmentation semantics of the training loop."""
+    expr = "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for r in range(1, BPE_ROUNDS + 1):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM top{r}), "
+            f"' ' || (SELECT merged FROM top{r}) || ' ')"
+        )
+    return expr
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + _BPE_CTES
+    + f""",
+fullv AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+), applied AS (
+    SELECT freq, {_bpe_apply_expr_duck()} AS seq FROM fullv
+), toks AS (
+    SELECT unnest(string_split(trim(seq), ' ')) AS token, freq FROM applied
+), counts AS (
+    SELECT token, CAST(sum(freq) AS BIGINT) AS corpus_count
+    FROM toks GROUP BY token
+)
+SELECT token, corpus_count, rnk FROM (
+    SELECT token, corpus_count,
+           CAST(row_number() OVER (ORDER BY corpus_count DESC, token) AS BIGINT)
+               AS rnk
+    FROM counts
+) WHERE rnk <= {BPE_TOP_TOKENS}
+"""
+)
+
+
+@register("bpe_tokenize_stats", oracle=_BPE_APPLY_ORACLE)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the other half of the lifecycle
+    bpe_learn_merges trains: segment every word of the FULL corpus
+    vocabulary into characters and apply the {BPE_ROUNDS} learned
+    merges in rank order (the same sentinel-space replace semantics as
+    training, so train and apply can never drift), then report the
+    top-{BPE_TOP_TOKENS} resulting tokens by corpus frequency — the
+    vocabulary histogram a tokenizer rollout reviews before shipping.
+
+    Scale note: apply is the textbook train-small/score-big shape —
+    the corpus collapses to its DISTINCT vocabulary first (one
+    partial-combined count; fan-in of corpus size to vocab size), the
+    merge table (BPE_ROUNDS rows, learned on the top-{BPE_VOCAB}
+    vocabulary) broadcast-joins in as one pivoted row, and the replace
+    chain is a map-side codegen expression per distinct word — the
+    corpus itself is scanned once and never re-tokenized per document.
+    Production tokenizers do exactly this: tokenize the vocabulary,
+    then dictionary-join tokens back to documents.
+    """
+    d = widen(load_table(spark, sf_dir, "documents"))
+    merges = bpe_learn_merges(spark, sf_dir)
+    # one pivoted row: p1..pN (padded pair patterns), m1..mN
+    pick = lambda r, c: F.max(F.when(F.col("round") == r, F.col(c)))  # noqa: E731
+    mrow = merges.agg(
+        *[
+            F.concat(F.lit(" "), pick(r, "pair"), F.lit(" ")).alias(f"p{r}")
+            for r in range(1, BPE_ROUNDS + 1)
+        ],
+        *[
+            F.concat(F.lit(" "), pick(r, "merged"), F.lit(" ")).alias(f"m{r}")
+            for r in range(1, BPE_ROUNDS + 1)
+        ],
+    )
+    fullv = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
+    )
+    for r in range(1, BPE_ROUNDS + 1):
+        seq = F.replace(seq, F.col(f"p{r}"), F.col(f"m{r}"))
+    counts = (
+        fullv.crossJoin(F.broadcast(mrow))
+        .select(F.explode(F.split(F.trim(seq), " ")).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("corpus_count"))
+    )
+    w = Window.orderBy(F.col("corpus_count").desc(), F.col("token"))
+    return (
+        counts.select(
+            "token",
+            "corpus_count",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= BPE_TOP_TOKENS)
     )
 
 
