@@ -81,6 +81,30 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def dataset_cache_key(sf_dir: str, table: str) -> tuple:
+    """Cache key for per-dataset derived scalars (adaptive index
+    depths, Bloom bitmaps): (sf_dir, table, mtime signature).
+
+    Keying on the parquet's mtime (max over part files for Spark-
+    written directories) means a dataset regenerated mid-session
+    (e.g. make_sf1.py rebuilding /tmp/spark_graft_sf1) invalidates
+    the cached depth automatically, instead of the Spark side keeping
+    a stale value while the DuckDB oracle recomputes from the actual
+    data — a cross-engine mismatch far from its cause."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            sig = max(
+                (os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)),
+                default=0.0,
+            )
+        else:
+            sig = os.path.getmtime(p)
+    except OSError:
+        sig = 0.0
+    return (sf_dir, table, sig)
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism ahead of a CPU-heavy
     narrow stage (hashing, regex, Python decode).

@@ -65,14 +65,17 @@ _K_CACHE: dict = {}
 
 def _k_cells(spark: "SparkSession", sf_dir: str) -> int:
     """Driver-side twin of _K_EXPR_DUCK (cached one count per sf_dir)."""
-    if sf_dir not in _K_CACHE:
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    if key not in _K_CACHE:
         import math
 
         n = load_table(spark, sf_dir, "embeddings").count()
-        _K_CACHE[sf_dir] = max(
+        _K_CACHE[key] = max(
             K_CELLS, min(MAX_K_CELLS, math.ceil(n / float(TARGET_CELL_SIZE)))
         )
-    return _K_CACHE[sf_dir]
+    return _K_CACHE[key]
 
 _SQD_SPARK = (
     "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "

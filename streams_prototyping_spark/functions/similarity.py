@@ -176,13 +176,16 @@ def _lsh_bits(spark: SparkSession, sf_dir: str) -> int:
     its corpus size). Mirrors _NB_EXPR_DUCK exactly: both engines
     compute ceil(log2(n / target)) on the same IEEE doubles, and the
     test SFs sit nowhere near a power-of-two boundary."""
-    if sf_dir not in _LSH_BITS_CACHE:
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    if key not in _LSH_BITS_CACHE:
         import math
 
         n = load_table(spark, sf_dir, "embeddings").count()
         raw = math.ceil(math.log2(n / float(TARGET_BUCKET_OCC))) if n else 0
-        _LSH_BITS_CACHE[sf_dir] = max(LSH_BITS, min(MAX_LSH_BITS, raw))
-    return _LSH_BITS_CACHE[sf_dir]
+        _LSH_BITS_CACHE[key] = max(LSH_BITS, min(MAX_LSH_BITS, raw))
+    return _LSH_BITS_CACHE[key]
 
 
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

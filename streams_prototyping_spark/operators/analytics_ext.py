@@ -826,8 +826,11 @@ def _bfj_filter(spark, dim, sf_dir: str) -> tuple:
     the start and the giant literal pushed codegen to the interpreted
     path. The long-word literal + single-scan aggregate runs 2.4 s
     warm at sf0.1.)"""
-    if sf_dir in _BFJ_CACHE:
-        return _BFJ_CACHE[sf_dir]
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    cache_key = dataset_cache_key(sf_dir, "orders")
+    if cache_key in _BFJ_CACHE:
+        return _BFJ_CACHE[cache_key]
     import math
 
     n_keys = dim.count()
@@ -850,8 +853,8 @@ def _bfj_filter(spark, dim, sf_dir: str) -> tuple:
     for b in bits:
         words[b // 64] |= 1 << (b % 64)
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    _BFJ_CACHE[sf_dir] = (n_keys, m, words)
-    return _BFJ_CACHE[sf_dir]
+    _BFJ_CACHE[cache_key] = (n_keys, m, words)
+    return _BFJ_CACHE[cache_key]
 
 
 def _bfj_oracle() -> str:

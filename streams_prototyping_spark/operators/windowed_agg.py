@@ -170,7 +170,12 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key the temp path by session as well as sf_dir: two concurrent
+    # sessions on one machine (bench + pytest against the same sf_dir)
+    # must not race write_avro's rmtree against the other's read
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_avro_{tag}")
     write_avro(orders.repartition(8), path)
     return read_avro(spark, path)

@@ -131,12 +131,15 @@ def _field_kind(ftype: Any) -> tuple[str, Any, Any]:
     null_idx = None
     if isinstance(ftype, list):  # union
         branches = [t for t in ftype if t != "null"]
-        if len(ftype) > 2 or len(branches) != 1:
+        # Only 2-branch [null, T] unions (either order) are supported.
+        # Single-branch unions like ["string"] still require a branch
+        # index before every value per the Avro spec — decoding them as
+        # the bare type would silently misalign, so refuse loudly.
+        if len(ftype) != 2 or "null" not in ftype or len(branches) != 1:
             raise NotImplementedError(
                 f"avro_py supports only [null, T] unions, got {ftype!r}"
             )
-        if "null" in ftype:
-            null_idx = ftype.index("null")
+        null_idx = ftype.index("null")
         ftype = branches[0]
     if isinstance(ftype, dict):
         if ftype.get("type") == "array":
@@ -342,25 +345,42 @@ def _raw_inflate(data: bytes) -> bytes:
 
 
 def read_avro_header(path: str) -> dict:
-    """Parse just the header -> schema dict (cheap driver-side probe)."""
-    with open(path, "rb") as f:
-        r = _Reader(f.read(4096) if os.path.getsize(path) > 4096 else f.read())
-    if r.read(4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
-    meta: dict[str, bytes] = {}
+    """Parse just the header -> schema dict (cheap driver-side probe).
+
+    Wide schemas (the JSON alone can exceed 4 KB for ~100-field
+    records) won't fit the initial probe window, so on truncation we
+    retry with a doubled window up to the file size instead of failing
+    with a bare EOFError.
+    """
+    size = os.path.getsize(path)
+    window = 4096
     while True:
-        n = r.read_long()
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            r.read_long()
-        for _ in range(n):
-            # NB: assignment evaluates the RHS first — the key MUST be
-            # read into a local before the value bytes
-            k = r.read_str()
-            meta[k] = r.read_bytes()
-    return json.loads(meta["avro.schema"].decode())
+        with open(path, "rb") as f:
+            r = _Reader(f.read(window) if size > window else f.read())
+        try:
+            if r.read(4) != MAGIC:
+                raise ValueError(f"{path}: not an Avro object container file")
+            meta: dict[str, bytes] = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    # NB: assignment evaluates the RHS first — the key
+                    # MUST be read into a local before the value bytes
+                    k = r.read_str()
+                    meta[k] = r.read_bytes()
+            return json.loads(meta["avro.schema"].decode())
+        except (EOFError, IndexError):
+            # header larger than the probe window — widen and retry
+            if window >= size:
+                raise EOFError(
+                    f"{path}: truncated Avro header (file ends mid-header)"
+                ) from None
+            window *= 2
 
 
 def read_avro_file(path: str) -> tuple[dict, list[dict]]:

@@ -141,7 +141,15 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> list:
 
     schema = avro_py.avro_schema_of(df.schema)
     names = df.columns
-    if mode == "overwrite" and os.path.isdir(path):
+    if mode != "overwrite":
+        # 'append' would need unique part-file names (uuid/task-attempt
+        # suffix) to avoid silently clobbering same-pid files from a
+        # previous write; 'error'/'ignore' aren't implemented either.
+        # Refuse loudly rather than present data loss as success.
+        raise NotImplementedError(
+            f"write_avro supports only mode='overwrite', got {mode!r}"
+        )
+    if os.path.isdir(path):
         import shutil
 
         shutil.rmtree(path)

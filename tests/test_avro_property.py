@@ -114,3 +114,56 @@ def test_deterministic_bytes():
         avro_py.write_avro_file(p, SCHEMA_NULL_FIRST, recs)
         digests.add(hashlib.md5(open(p, "rb").read()).hexdigest())
     assert len(digests) == 1
+
+
+def test_wide_schema_header_exceeds_probe_window(tmp_path_factory):
+    """ADVICE r4: a valid container whose header (schema JSON) exceeds
+    the 4 KB probe window must still parse via read_avro_header's
+    widen-and-retry, not die with a bare EOFError."""
+    import os
+
+    fields = [{"name": f"really_long_field_name_number_{i:04d}", "type": "long"}
+              for i in range(150)]
+    schema = {"type": "record", "name": "wide", "fields": fields}
+    import json as _json
+
+    assert len(_json.dumps(schema)) > 4096  # the header is over the window
+    recs = [{f["name"]: i for f in fields} for i in range(3)]
+    d = tmp_path_factory.mktemp("wide_avro")
+    p = os.path.join(str(d), "wide.avro")
+    avro_py.write_avro_file(p, schema, recs)
+    got_schema = avro_py.read_avro_header(p)
+    assert got_schema == schema
+    rs, got = avro_py.read_avro_file(p)
+    assert rs == schema and len(got) == 3
+
+
+def test_single_branch_union_rejected():
+    """ADVICE r4: ["string"] unions need a branch index per the spec;
+    decoding them as bare string silently misaligns — must refuse."""
+    import pytest
+
+    for bad in (["string"], ["long", "string"], ["null", "long", "string"]):
+        with pytest.raises(NotImplementedError):
+            avro_py._field_kind(bad)
+    # the supported forms still pass, either order
+    assert avro_py._field_kind(["null", "string"])[0] == "string"
+    assert avro_py._field_kind(["string", "null"])[2] == 1
+
+
+def test_truncated_header_still_fails_loudly(tmp_path_factory):
+    """A file that genuinely ends mid-header raises EOFError naming the
+    condition (not an infinite widen loop)."""
+    import os
+
+    import pytest
+
+    d = tmp_path_factory.mktemp("trunc_avro")
+    p = os.path.join(str(d), "trunc.avro")
+    recs = [{"id": 1, "small": 1, "name": "x", "payload": b"", "score": 0.0,
+             "ratio": 0.0, "ok": True, "tag": None, "emb": []}]
+    avro_py.write_avro_file(p, SCHEMA_NULL_FIRST, recs)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:20])  # cut inside the metadata map
+    with pytest.raises(EOFError, match="truncated Avro header"):
+        avro_py.read_avro_header(p)

@@ -342,3 +342,47 @@ def test_avro_unsupported_schema_names_the_fragment(spark):
         avro_py.avro_schema_of(
             T.StructType([T.StructField("ts", T.TimestampType())])
         )
+
+
+def test_write_avro_rejects_unimplemented_modes(spark, tmp_path):
+    """ADVICE r4: write_avro accepted mode='append' but silently
+    overwrote colliding part files — data loss presented as success.
+    Non-overwrite modes must refuse loudly."""
+    import pytest
+
+    from streams_prototyping_spark.sources.batch import write_avro
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    for mode in ("append", "error", "ignore"):
+        with pytest.raises(NotImplementedError, match="overwrite"):
+            write_avro(df, str(tmp_path / "avro_mode"), mode=mode)
+
+
+def test_dataset_cache_key_tracks_regeneration(tmp_path):
+    """ADVICE r4: adaptive-depth caches keyed only by sf_dir go stale
+    when the dataset at that path is regenerated; the key must change
+    with the parquet's mtime (file and part-directory layouts both)."""
+    import os
+
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"x")
+    k1 = dataset_cache_key(str(tmp_path), "embeddings")
+    os.utime(f, (1000, 2000))
+    k2 = dataset_cache_key(str(tmp_path), "embeddings")
+    assert k1 != k2
+
+    # directory layout: max part mtime
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    k3 = dataset_cache_key(str(tmp_path), "orders")
+    p2 = d / "part-1.parquet"
+    p2.write_bytes(b"b")
+    os.utime(p2, (9999999999, 9999999999))
+    k4 = dataset_cache_key(str(tmp_path), "orders")
+    assert k3 != k4
+
+    # missing dataset: stable sentinel, no raise
+    assert dataset_cache_key(str(tmp_path), "lineitem")[2] == 0.0
