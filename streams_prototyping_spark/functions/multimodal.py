@@ -11,9 +11,12 @@ brief) the documents table's text stands in as an opaque payload:
   mapInPandas stage with a stable output schema, batch-shaped
   processing, and deterministic results — hash-verified against a SQL
   oracle, which proves the Python plumbing is lossless
-- the real decoder seam: ``decode_image_real`` is a clearly-marked
-  stub (image libs are not in this container); swapping it in changes
-  no Spark plumbing.
+- the real decoder seam: ``decode_image_real`` REALLY decodes
+  uncompressed containers (BMP; WAV via ``decode_audio_real``) with
+  the zero-dependency codecs in sources/media_py.py, exercised
+  end-to-end by ``multimodal_decode_real`` / ``multimodal_audio_real``
+  over spec-conformant bytes; compressed formats (PNG/JPEG) still
+  raise naming the sniffed format (no image library in-container).
 
 Scale notes: payloads never shuffle in these plans (decode is a narrow
 map over the scan); metadata-only queries never touch payload bytes
@@ -44,12 +47,35 @@ FAKE_W_MOD, FAKE_H_MOD, FAKE_F_MOD = 1216, 1016, 30
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode — NOT IMPLEMENTED in this container (no
-    PIL/opencv baked in). The mapInPandas plumbing around it is real;
-    swap this function to go live."""
+    """Real image decode — pure-Python, zero-dependency for
+    uncompressed containers (sources/media_py.py): BMP payloads parse
+    for real (headers, bottom-up rows, padding — spec-conformant,
+    fixture-verified against hand-assembled reference bytes); WAV
+    audio likewise via decode_audio_real. Compressed formats (PNG,
+    JPEG) still raise — their codecs need libraries not present in
+    this container — naming the sniffed format."""
+    from streams_prototyping_spark.sources import media_py
+
+    kind = media_py.sniff_media(payload)
+    if kind == "bmp":
+        return media_py.decode_bmp(payload)
     raise NotImplementedError(
-        "real image decoding requires an image library not present in "
-        "this environment; use decode_image_fake (deterministic) instead"
+        f"no pure-Python decoder for {kind!r} payloads (magic "
+        f"{bytes(payload[:4])!r}); BMP is supported — compressed "
+        "formats need an image library not present in this environment"
+    )
+
+
+def decode_audio_real(payload: bytes) -> dict:
+    """Real audio decode for PCM 16-bit WAV (sources/media_py.py);
+    other containers raise naming the sniffed format."""
+    from streams_prototyping_spark.sources import media_py
+
+    if media_py.sniff_media(payload) == "wav":
+        return media_py.decode_wav(payload)
+    raise NotImplementedError(
+        f"no pure-Python decoder for audio payload with magic "
+        f"{bytes(payload[:4])!r}; PCM 16-bit WAV is supported"
     )
 
 
@@ -355,4 +381,174 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         "canonical_doc_id",
         (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------- REAL decode (BMP / WAV bytes)
+
+# Fixture geometry: dims derived from the payload-content hash (same
+# idiom as the fake decoder), kept small so per-row encode cost stays
+# bounded: 4..16 x 4..14 px, 3 channels.
+BMP_W_MOD, BMP_H_MOD = 13, 11
+# per-pixel channel value: (doc_id + 7x + 11y + 13c) % 256 — exactly
+# reproducible in SQL, and x/y/c-dependent so any row-order, padding,
+# or channel-order bug in the decoder shifts the probes/sum
+BMP_PX = "({id} + 7 * {x} + 11 * {y} + 13 * {c}) % 256"
+
+_PHASH_DUCK = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)"
+
+_DECODE_REAL_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id,
+           4 + {_PHASH_DUCK} % {BMP_W_MOD} AS w,
+           4 + ({_PHASH_DUCK} >> 8) % {BMP_H_MOD} AS h
+    FROM documents
+), px AS (
+    SELECT m.doc_id,
+           {BMP_PX.format(id="m.doc_id", x="g.x", y="g.y", c="g.c")} AS v
+    FROM meta m
+    CROSS JOIN (
+        SELECT a.x, b.y, c.c
+        FROM (SELECT unnest(range(0, 4 + {BMP_W_MOD})) AS x) a,
+             (SELECT unnest(range(0, 4 + {BMP_H_MOD})) AS y) b,
+             (SELECT unnest(range(0, 3)) AS c) c
+    ) g
+    WHERE g.x < m.w AND g.y < m.h
+), sums AS (
+    SELECT doc_id, CAST(sum(v) AS BIGINT) AS pixel_sum FROM px GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(m.w AS BIGINT) AS width,
+       CAST(m.h AS BIGINT) AS height,
+       CAST(54 + m.h * (CAST(floor((3 * m.w + 3) / 4.0) AS BIGINT) * 4) AS BIGINT)
+           AS n_bytes,
+       s.pixel_sum,
+       CAST(m.doc_id % 256 AS BIGINT) AS top_left_b,
+       CAST((m.doc_id + 7 * (m.w - 1) + 11 * (m.h - 1) + 26) % 256 AS BIGINT)
+           AS bottom_right_r
+FROM meta m JOIN sums s USING (doc_id)
+"""
+
+
+@register("multimodal_decode_real", oracle=_DECODE_REAL_ORACLE)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document's payload is a
+    spec-conformant BI_RGB 24-bit BMP (encode_bmp — bottom-up rows,
+    4-byte padding), decoded by decode_image_real's pure-Python parser
+    (sources/media_py.py), closing the decode_image_real seam for
+    uncompressed containers (VERDICT r4 item 4; the avro_py precedent).
+
+    The oracle recomputes width/height/file size/pixel features from
+    the generator formulas, so a MATCH proves the decoder extracted
+    them from the actual bytes — including the (0,0) blue and
+    (w-1,h-1) red probes, which a row-order/padding/channel-order bug
+    would shift (pixel_sum alone is order-invariant).
+
+    Scale note: narrow Arrow-batched map over the documents scan, no
+    shuffle; encode+decode are O(pixels) per row with fixture dims
+    capped at 16x14. At production scale the encode half disappears
+    (payloads arrive as bytes) and this stage is pure decode.
+    """
+    docs = widen(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_prototyping_spark.sources.media_py import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h15 = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+                w = 4 + h15 % BMP_W_MOD
+                ht = 4 + (h15 >> 8) % BMP_H_MOD
+                payload = encode_bmp(
+                    w, ht,
+                    lambda x, y, c, _i=doc_id: (_i + 7 * x + 11 * y + 13 * c) % 256,
+                )
+                d = decode_image_real(payload)
+                rows.append(
+                    (doc_id, d["width"], d["height"], len(payload),
+                     d["pixel_sum"], d["top_left_b"], d["bottom_right_r"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes",
+                         "pixel_sum", "top_left_b", "bottom_right_r"],
+            )
+
+    return docs.mapInPandas(
+        stage,
+        schema=("doc_id long, width long, height long, n_bytes long, "
+                "pixel_sum long, top_left_b long, bottom_right_r long"),
+    )
+
+
+# Audio fixture: 8..64 PCM samples, value (doc_id*31 + i*17) % 65536 - 32768
+WAV_N_MOD, WAV_RATE = 57, 16000
+
+_AUDIO_REAL_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, 8 + {_PHASH_DUCK} % {WAV_N_MOD} AS n FROM documents
+), smp AS (
+    SELECT m.doc_id,
+           (m.doc_id * 31 + g.i * 17) % 65536 - 32768 AS v,
+           g.i, m.n
+    FROM meta m
+    CROSS JOIN (SELECT unnest(range(0, 8 + {WAV_N_MOD})) AS i) g
+    WHERE g.i < m.n
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_sample,
+       CAST(max(CASE WHEN i = n - 1 THEN v END) AS BIGINT) AS last_sample
+FROM smp GROUP BY doc_id
+"""
+
+
+@register("multimodal_audio_real", oracle=_AUDIO_REAL_ORACLE)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's payload is a
+    spec-conformant RIFF/WAVE PCM 16-bit file (encode_wav), decoded by
+    decode_audio_real's chunk-walking parser — the audio twin of
+    multimodal_decode_real. first/last sample probes pin byte order
+    and data-chunk offsets; sample_sum pins the full payload.
+
+    Scale note: same narrow Arrow-batched map shape as the image path.
+    """
+    docs = widen(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from streams_prototyping_spark.sources.media_py import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                h15 = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+                n = 8 + h15 % WAV_N_MOD
+                samples = [
+                    (doc_id * 31 + i * 17) % 65536 - 32768 for i in range(n)
+                ]
+                payload = encode_wav(samples, sample_rate=WAV_RATE)
+                d = decode_audio_real(payload)
+                rows.append(
+                    (doc_id, d["n_channels"], d["sample_rate"], d["n_samples"],
+                     len(payload), d["sample_sum"], d["first_sample"],
+                     d["last_sample"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate", "n_samples",
+                         "n_bytes", "sample_sum", "first_sample", "last_sample"],
+            )
+
+    return docs.mapInPandas(
+        stage,
+        schema=("doc_id long, n_channels long, sample_rate long, "
+                "n_samples long, n_bytes long, sample_sum long, "
+                "first_sample long, last_sample long"),
     )
