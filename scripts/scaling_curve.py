@@ -10,7 +10,12 @@ survive a 100x scale-up.
 
 Prints one JSON line and (with --md) rewrites SCALING.md.
 
-Usage: python scripts/scaling_curve.py [--md] [--sf1] [query ...]
+Usage: python scripts/scaling_curve.py [--md] [--sf1] [--all] [query ...]
+
+--all (VERDICT r4 item 2): measure EVERY bench.py headline query
+instead of the curated 24, and fit only the sf0.1 -> sf1 step (the
+small SFs are fixed-overhead-dominated and never fitted anyway, so
+skipping them halves a run that is ~6x bigger by query count).
 """
 
 from __future__ import annotations
@@ -62,10 +67,16 @@ SFS = ["0.001", "0.01", "0.1"]
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1")]
+    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1", "--all")]
     write_md = "--md" in sys.argv[1:]
-    with_sf1 = "--sf1" in sys.argv[1:]
-    queries = argv or DEFAULT_QUERIES
+    all_mode = "--all" in sys.argv[1:]
+    with_sf1 = "--sf1" in sys.argv[1:] or all_mode
+    if all_mode:
+        from bench import HEADLINE
+
+        queries = argv or list(HEADLINE)
+    else:
+        queries = argv or DEFAULT_QUERIES
 
     spark = get_spark("scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,7 +84,7 @@ def main() -> None:
 
     from streams_prototyping_spark.data import TABLES, load_table
 
-    sfs = list(SFS)
+    sfs = ["0.1"] if all_mode else list(SFS)
     dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
     if with_sf1:
         from scripts.make_sf1 import build
@@ -115,11 +126,17 @@ def main() -> None:
     if write_md:
         rows_line = ", ".join(f"sf{sf}={rowcounts[sf]:,}" for sf in sfs)
         lines = [
-            "# SCALING — measured growth exponents (round 4)",
+            "# SCALING — measured growth exponents (round 5)",
             "",
             "Produced by `python scripts/scaling_curve.py --md"
-            + (" --sf1" if with_sf1 else "")
-            + "` on local[32].",
+            + (" --all" if all_mode else (" --sf1" if with_sf1 else ""))
+            + "` on local[32]."
+            + (
+                " --all mode: EVERY bench.py headline query, fitted on the"
+                " sf0.1 -> sf1 step only (VERDICT r4 item 2)."
+                if all_mode
+                else ""
+            ),
             f"Rows (lineitem): {rows_line}."
             + (
                 " sf1 is the deterministic 10x key-shifted upscale of sf0.1"

@@ -665,8 +665,11 @@ WITH bg AS (
 )
 SELECT doc_id,
        count(*) AS n_bigrams,
-       round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-           AS mean_nll,
+       -- mean in exact integer micro-nll units: (2s+n)//(2n) is
+       -- round-half-up for s>=0, so no engine-specific double-division
+       -- tie at the 6th decimal (8/50k docs flipped 1 ulp at sf1)
+       CAST((2 * sum(CAST(CAST(nll AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_nll,
        round(min(nll), 6) AS min_nll,
        round(max(nll), 6) AS max_nll
 FROM scored GROUP BY doc_id
@@ -711,13 +714,26 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("mean_nll"),
+            # exact integer micro-nll sum (each nll is a 6-dp value;
+            # the decimal cast makes the *1e6 scale-up lossless)
+            F.sum(
+                (F.col("nll").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("_s_micro"),
             F.round(F.min("nll"), 6).alias("min_nll"),
             F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # (2s+n) div (2n): round-half-up mean in pure int64 — no
+            # engine-specific double-division tie at the 6th decimal
+            (
+                F.expr("(2 * _s_micro + n_bigrams) div (2 * n_bigrams)")
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("mean_nll"),
+            "min_nll",
+            "max_nll",
         )
     )
 

@@ -66,7 +66,10 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_ORACLE = f"""
 WITH {_DAILY_SQL},
 pairs AS (
-    SELECT k.lag, a.cents AS x, b.cents AS y
+    -- HUGEINT before any product: daily cent totals reach ~1e11 at
+    -- sf1, so x*x overflows BIGINT (the Spark twin widens to
+    -- decimal(38,0) pre-multiply for the same reason)
+    SELECT k.lag, CAST(a.cents AS HUGEINT) AS x, CAST(b.cents AS HUGEINT) AS y
     FROM daily a
     CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) k
     JOIN daily b ON b.day = a.day + k.lag
@@ -103,13 +106,15 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", F.col("cents").alias("x"), "y")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — exact folds
+    # widen BEFORE multiplying: daily cent totals hit ~1e11 at sf1, so
+    # a long*long square overflows int64 (caught by the sf1 oracle run)
     s = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
         F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     fx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -126,7 +131,8 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAIVE_ORACLE = f"""
 WITH {_DAILY_SQL},
 p7 AS (
-    SELECT a.cents AS y, b.cents AS yhat
+    -- HUGEINT: (y-yhat)^2 overflows BIGINT at sf1's ~1e11-cent days
+    SELECT CAST(a.cents AS HUGEINT) AS y, CAST(b.cents AS HUGEINT) AS yhat
     FROM daily a JOIN daily b ON b.day = a.day - {SNAIVE_LAG}
 ), p1 AS (
     SELECT a.cents AS y, b.cents AS yhat
@@ -179,8 +185,9 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     m7 = lag_pairs(SNAIVE_LAG).agg(
         F.count(F.lit(1)).alias("n7"),
         F.sum(dec(F.abs(F.col("y") - F.col("yhat")))).alias("sae"),
+        # widen BEFORE squaring: long*long overflows at sf1 day totals
         F.sum(
-            dec((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat")))
+            dec(F.col("y") - F.col("yhat")) * dec(F.col("y") - F.col("yhat"))
         ).alias("sse"),
         F.sum(
             F.round(

@@ -320,3 +320,208 @@ def test_kafka_record_shape_serde_roundtrip(spark):
         for r in decode_delimited(wire, schema).orderBy("impression_time").collect()
     ]
     assert back == got
+
+
+# ------------------------------------------------------- long-run soak
+
+
+def _state_rows_per_batch(q) -> list:
+    """numRowsTotal trajectory across every progress that reported a
+    state operator (no-data ticks report an empty list and are skipped)."""
+    out = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") if isinstance(p, dict) else p["stateOperators"]
+        if ops:
+            out.append(max(op["numRowsTotal"] for op in ops))
+    return out
+
+
+def _write_chunk_parquet(path, order, names, arrays):
+    """One micro-batch's worth of rows as a parquet file written with
+    pyarrow directly (no Spark job per chunk: 55 chunks write in ~1 s),
+    mtime forced to the chunk index so FileStreamSource replays them in
+    order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, f"chunk-{order:04d}.parquet")
+    pq.write_table(pa.table(dict(zip(names, arrays))), fp)
+    base_mtime = 1_700_000_000 + order * 10
+    os.utime(fp, (base_mtime, base_mtime))
+    return fp
+
+
+def test_ingest_documents_soak_state_plateaus(spark, tmp_path):
+    """VERDICT r4 item 7: drive the streaming ingest pipeline for >=50
+    micro-batches at sustained rate and prove state PLATEAUS at the
+    watermark-implied bound instead of growing with the corpus — the
+    property that keeps a months-long 100 TB/day ingest job alive.
+
+    55 one-minute chunks of 120 docs each (20% re-sends of the previous
+    chunk's texts, exercising the dedup-by-state path every batch);
+    watermark 5 minutes => steady-state keys ~= 6 chunks x ~100 fresh
+    texts, vs ~5.5k distinct keys ingested overall."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from streams_prototyping_spark.streaming.pipelines import ingest_documents_stream
+
+    n_chunks, per_chunk, resend = 55, 120, 24
+    base = dt.datetime(2024, 1, 1)
+    path = str(tmp_path / "soak_docs")
+    for i in range(n_chunks):
+        ids, texts, tss = [], [], []
+        for j in range(per_chunk):
+            if j < resend and i > 0:
+                # re-send one of the previous chunk's FRESH texts (slots
+                # >= resend are always first occurrences) under a new id
+                src = (i - 1) * per_chunk + resend + j
+                txt = f"Document body number {src} with unique payload."
+            else:
+                txt = f"Document body number {i * per_chunk + j} with unique payload."
+            ids.append(i * per_chunk + j)
+            texts.append(txt)
+            tss.append(base + dt.timedelta(minutes=i, seconds=j % 60))
+        _write_chunk_parquet(
+            path, i,
+            ["doc_id", "ingest_ts", "text"],
+            [pa.array(ids, pa.int64()),
+             pa.array(tss, pa.timestamp("us")),
+             pa.array(texts, pa.string())],
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, ingest_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = ingest_documents_stream(stream, dedup_watermark="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("soak_docs")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    traj = _state_rows_per_batch(q)
+    q.stop()
+
+    assert len(traj) >= 50, f"only {len(traj)} stateful micro-batches ran"
+    # correctness across the whole soak: each distinct canonical text
+    # emitted exactly once (re-sends deduped by state)
+    emitted = spark.table("soak_docs").groupBy("norm_md5").count().collect()
+    n_distinct = n_chunks * per_chunk - (n_chunks - 1) * resend
+    assert len(emitted) == n_distinct
+    assert all(r["count"] == 1 for r in emitted)
+    # the bound: state NEVER exceeds the watermark-horizon key count —
+    # 5-minute delay + in-chunk spread + the one-batch watermark lag
+    # (the watermark applied to batch N is computed at the end of
+    # batch N-1) holds ~9 chunks of keys; 10 is the hard ceiling
+    horizon_bound = 10 * per_chunk
+    assert max(traj) <= horizon_bound, (
+        f"state peaked at {max(traj)} rows — above the watermark-implied "
+        f"bound {horizon_bound}; eviction is not keeping up"
+    )
+    # the plateau: late-soak peak no higher than mid-soak peak (+20%
+    # slack) — growth between the two windows means a leak
+    mid_peak = max(traj[15:35])
+    late_peak = max(traj[35:])
+    assert late_peak <= mid_peak * 1.2, (
+        f"state still growing late in the soak: mid peak {mid_peak}, "
+        f"late peak {late_peak}"
+    )
+
+
+def test_stream_stream_join_soak_state_plateaus(spark, tmp_path):
+    """The same >=50-batch soak for the reference's stream-stream left
+    join (StreamStreamJoin.java topology): both buffers must plateau at
+    (watermark + join window) seconds of data, not accumulate the full
+    history. 55 one-minute chunks x 60 impressions (half clicked at
+    +10 s, half never matched)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from streams_prototyping_spark.streaming.pipelines import ads_with_clicks_stream
+
+    n_chunks, per_chunk = 55, 60
+    base = dt.datetime(2024, 1, 1)
+    imp_path, clk_path = str(tmp_path / "soak_imp"), str(tmp_path / "soak_clk")
+    for i in range(n_chunks):
+        iid, uid, aid, its = [], [], [], []
+        cu, cts, cid = [], [], []
+        for j in range(per_chunk):
+            user = i * 10_000 + j
+            iid.append(i * 1_000 + j)
+            uid.append(user)
+            aid.append(j % 7)
+            t = base + dt.timedelta(minutes=i, seconds=j % 50)
+            its.append(t)
+            if j % 2 == 0:  # half the impressions get a click +10 s
+                cu.append(user)
+                cts.append(t + dt.timedelta(seconds=10))
+                cid.append(i * 1_000 + j)
+        _write_chunk_parquet(
+            imp_path, i,
+            ["impression_id", "user_id", "ad_id", "imp_ts"],
+            [pa.array(iid, pa.int64()), pa.array(uid, pa.int64()),
+             pa.array(aid, pa.int64()), pa.array(its, pa.timestamp("us"))],
+        )
+        _write_chunk_parquet(
+            clk_path, i,
+            ["c_user_id", "click_ts", "click_id"],
+            [pa.array(cu, pa.int64()), pa.array(cts, pa.timestamp("us")),
+             pa.array(cid, pa.int64())],
+        )
+
+    imp = (
+        spark.readStream.schema(
+            "impression_id long, user_id long, ad_id long, imp_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_path)
+    )
+    clk = (
+        spark.readStream.schema("c_user_id long, click_ts timestamp, click_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clk_path)
+    )
+    joined = ads_with_clicks_stream(imp, clk, watermark="120 seconds")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("soak_join")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    traj = _state_rows_per_batch(q)
+    q.stop()
+
+    assert len(traj) >= 50, f"only {len(traj)} stateful micro-batches ran"
+    rows = spark.table("soak_join").collect()
+    # every closed chunk emitted exactly its 60 impressions (clicked
+    # matched, unclicked null-extended once); the last ~3 chunks may
+    # still be open when the stream drains
+    from collections import Counter
+
+    per_imp = Counter(r.impression_id for r in rows)
+    assert all(c == 1 for c in per_imp.values()), "duplicate emission"
+    closed = [i for i in range(n_chunks - 4)]
+    for i in closed[:: max(1, len(closed) // 10)]:  # sample every ~5th
+        chunk_rows = [r for r in rows if i * 1_000 <= r.impression_id < i * 1_000 + per_chunk]
+        assert len(chunk_rows) == per_chunk, (i, len(chunk_rows))
+        assert sum(r.was_clicked for r in chunk_rows) == per_chunk // 2
+    # state bound: (watermark 120 s + window 60 s) => at most ~4 open
+    # minutes of imps + clicks per side, + eviction-granularity slack
+    horizon_bound = 6 * (per_chunk + per_chunk // 2)
+    assert max(traj) <= horizon_bound, (
+        f"join state peaked at {max(traj)} rows (> {horizon_bound}): "
+        "buffers are not evicting at the watermark horizon"
+    )
+    mid_peak = max(traj[15:35])
+    late_peak = max(traj[35:])
+    assert late_peak <= mid_peak * 1.2, (
+        f"join state still growing: mid {mid_peak}, late {late_peak}"
+    )
