@@ -30,7 +30,9 @@ from streams_prototyping_spark.stage_cache import shared_stage
 K_PERMS = 8          # minhash signature length
 LSH_ROWS_PER_BAND = 2  # -> 4 bands; P(collide) = 1-(1-j^2)^4
 N_BANDS = K_PERMS // LSH_ROWS_PER_BAND
-SIMHASH_BITS = 16
+SIMHASH_BITS = 16        # floor width (= the width at the test SFs)
+SIMHASH_MAX_BITS = 48    # vote-expression cost ceiling (60 hash bits exist)
+SIMHASH_TARGET_CORPUS = 8192  # docs a 16-bit space can hold; +8 bits/doubling
 EST_JACCARD_MIN = 0.25   # >= 2 of 8 signature positions agree
 EXACT_JACCARD_MIN = 0.2
 
@@ -288,48 +290,97 @@ _HASHES_DUCK = (
 )
 
 
-def _simhash_spark() -> str:
-    bits = [
+def _simhash_spark(bits: int) -> str:
+    terms = [
         f"(CASE WHEN aggregate(hashes, 0L, (acc, h) -> acc + "
         f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN {1 << j}L ELSE 0L END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
-    return " + ".join(bits)
+    return " + ".join(terms)
 
 
-def _simhash_duck() -> str:
-    bits = [
+def _simhash_duck(bits: int) -> str:
+    terms = [
         f"(CASE WHEN list_sum(list_transform(hashes, h -> "
         f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
-    return " + ".join(bits)
+    return " + ".join(terms)
+
+
+# Corpus-adaptive fingerprint width (same design as the LSH index depth
+# in similarity._lsh_bits): 16 bits saturate once the corpus outgrows
+# the 65536-value space — at sf1 (50k docs) the densest 16-bit value
+# held 1314 docs and Hamming<=2 "near pairs" exploded to 68M, almost
+# all hash-space artifacts. +8 bits per doubling past 8192 docs keeps
+# the space ahead of the corpus (measured at sf1: 40 bits -> 856k
+# pairs, all genuine replica-structure near-dups). The oracle can't
+# vary its expression count, so it always sums SIMHASH_MAX_BITS votes
+# and masks with % (1 << bits) — the low `bits` bits are identical.
+_SIMHASH_BITS_CACHE: dict = {}
+
+_SIMHASH_BITS_DUCK = (
+    f"GREATEST({SIMHASH_BITS}, LEAST({SIMHASH_MAX_BITS}, {SIMHASH_BITS} + "
+    f"8 * CAST(ceil(log2(count(*) / {SIMHASH_TARGET_CORPUS}.0)) AS BIGINT)))"
+)
+
+_SIMHASH_PARAMS_DUCK = (
+    f"params AS MATERIALIZED (SELECT {_SIMHASH_BITS_DUCK} AS bits FROM documents)"
+)
+
+
+def _simhash_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Fingerprint width for sf_dir (cached corpus count). Mirrors
+    _SIMHASH_BITS_DUCK exactly: both engines compute
+    ceil(log2(n / target)) on the same IEEE doubles, and the test SFs
+    sit nowhere near a power-of-two boundary."""
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "documents")
+    if key not in _SIMHASH_BITS_CACHE:
+        import math
+
+        n = load_table(spark, sf_dir, "documents").count()
+        raw = (
+            SIMHASH_BITS
+            + 8 * math.ceil(math.log2(n / float(SIMHASH_TARGET_CORPUS)))
+            if n
+            else SIMHASH_BITS
+        )
+        _SIMHASH_BITS_CACHE[key] = max(SIMHASH_BITS, min(SIMHASH_MAX_BITS, raw))
+    return _SIMHASH_BITS_CACHE[key]
 
 
 _SIMHASH_ORACLE = f"""
-WITH hashed AS (
+WITH {_SIMHASH_PARAMS_DUCK},
+hashed AS (
     SELECT doc_id, {_HASHES_DUCK} AS hashes FROM documents
 )
-SELECT doc_id, CAST({_simhash_duck()} AS BIGINT) AS simhash
-FROM hashed
+SELECT doc_id,
+       CAST(({_simhash_duck(SIMHASH_MAX_BITS)})
+            % (CAST(1 AS BIGINT) << p.bits) AS BIGINT) AS simhash
+FROM hashed, params p
 """
 
 
 @register("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (Charikar 2002): each distinct token votes +1/-1 per bit
-    of its hash; the sign vector packed into a {SIMHASH_BITS}-bit
-    fingerprint. Near-duplicate docs differ in few bits (Hamming).
+    of its hash; the sign vector packed into a corpus-adaptive-width
+    fingerprint ({SIMHASH_BITS} bits at the test SFs; +8 bits per
+    corpus doubling past {SIMHASH_TARGET_CORPUS} docs, see
+    _simhash_bits — a 16-bit space saturates below 50k docs).
+    Near-duplicate docs differ in few bits (Hamming).
 
     Scale note: token hashes are computed ONCE into an array column,
-    then the 16 bit-votes fold over that array — 1 md5 per token, not
-    16. Pure codegen'd expressions, no shuffle.
+    then the bit-votes fold over that array — 1 md5 per token, not
+    one per bit. Pure codegen'd expressions, no shuffle.
     """
-    # shared_stage = projection barrier: the 16 bit-vote expressions all
+    # shared_stage = projection barrier: the bit-vote expressions all
     # reference `hashes`; without it CollapseProject inlines the md5
-    # pass 16x (same pathology as the minhash signatures).
+    # pass once per bit (same pathology as the minhash signatures).
     hashed = shared_stage(
         spark,
         sf_dir,
@@ -338,8 +389,9 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.expr(_HASHES_SPARK).alias("hashes")
         ),
     )
+    bits = _simhash_bits(spark, sf_dir)
     return hashed.select(
-        "doc_id", F.expr(_simhash_spark()).cast("long").alias("simhash")
+        "doc_id", F.expr(_simhash_spark(bits)).cast("long").alias("simhash")
     )
 
 
@@ -682,20 +734,42 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- simhash near-dup pairs
 
 SIMHASH_MAX_HAMMING = 2
-# pigeonhole: 3 disjoint blocks of the 16-bit fingerprint — any pair
-# within Hamming distance 2 shares at least one identical block
-_SIMHASH_BLOCKS = ((0, 5), (5, 5), (10, 6))  # (shift, width)
 
+
+def _simhash_blocks(bits: int) -> tuple:
+    """Pigeonhole: 3 disjoint (shift, width) blocks covering the
+    fingerprint — any pair within Hamming distance 2 agrees on at
+    least one block. bits=16 -> (0,5),(5,5),(10,6)."""
+    w = bits // 3
+    return ((0, w), (w, w), (2 * w, bits - 2 * w))
+
+
+# Oracle block keys: widths/shifts derive from the adaptive `bits`
+# scalar (w = bits // 3); the top block needs no mod since fp < 2^bits.
+# fp is MATERIALIZED — blocks is referenced twice by the self-join and
+# DuckDB would otherwise inline (and re-run) the 48-vote fold per side.
 _SIMHASH_PAIRS_ORACLE = f"""
-WITH hashed AS (
+WITH {_SIMHASH_PARAMS_DUCK},
+hashed AS (
     SELECT doc_id, {_HASHES_DUCK} AS hashes FROM documents
-), fp AS (
-    SELECT doc_id, CAST({_simhash_duck()} AS BIGINT) AS simhash FROM hashed
+), fp AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(({_simhash_duck(SIMHASH_MAX_BITS)})
+                % (CAST(1 AS BIGINT) << p.bits) AS BIGINT) AS simhash
+    FROM hashed, params p
 ), blocks AS (
-    {" UNION ALL ".join(
-        f"SELECT doc_id, simhash, {bi} AS b, "
-        f"(simhash // {1 << shift}) % {1 << width} AS block_key FROM fp"
-        for bi, (shift, width) in enumerate(_SIMHASH_BLOCKS))}
+    SELECT doc_id, simhash, 0 AS b,
+           simhash % (CAST(1 AS BIGINT) << (p.bits // 3)) AS block_key
+    FROM fp, params p
+    UNION ALL
+    SELECT doc_id, simhash, 1,
+           (simhash // (CAST(1 AS BIGINT) << (p.bits // 3)))
+               % (CAST(1 AS BIGINT) << (p.bits // 3))
+    FROM fp, params p
+    UNION ALL
+    SELECT doc_id, simhash, 2,
+           simhash // (CAST(1 AS BIGINT) << (2 * (p.bits // 3)))
+    FROM fp, params p
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS fp_a,
                     b.doc_id AS doc_b, b.simhash AS fp_b
@@ -720,15 +794,17 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the same two-phase candidate shape as MinHash banding
     — the self-join is keyed on (block, block_key), so fan-out is
     per-bucket, never all-pairs; verification is a 1-instruction XOR
-    popcount on the 16-bit codes already in hand. The synthetic
-    word-soup corpus is genuinely homogeneous, so at 16 bits many
-    pairs really do land within distance 2 (the output is dense
-    here); production uses 64-bit fingerprints where the same plan
-    yields sparse output — a constant change, not a plan change.
+    popcount on the codes already in hand. The fingerprint width is
+    corpus-adaptive (_simhash_bits): at sf1 the fixed 16-bit space
+    saturated (50k docs over 65536 values -> 68M hash-artifact pairs);
+    at the adaptive 40 bits the output is the corpus's genuine 856k
+    replica-structure near-dups, and block keys widen with it so
+    bucket fan-out stays bounded.
     """
     fp = simhash_fingerprint(spark, sf_dir)
+    bits = _simhash_bits(spark, sf_dir)
     blocks = None
-    for bi, (shift, width) in enumerate(_SIMHASH_BLOCKS):
+    for bi, (shift, width) in enumerate(_simhash_blocks(bits)):
         part = fp.select(
             "doc_id",
             "simhash",

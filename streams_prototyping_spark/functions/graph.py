@@ -219,17 +219,20 @@ def copurchase_und_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_EDGES_CTE = f"""
 baskets AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), und AS (
+), und AS MATERIALIZED (
+    -- MATERIALIZED: every iteration CTE below references edges/deg/nn;
+    -- DuckDB inlines plain CTEs, re-running this corpus-sized basket
+    -- self-join once per reference (observed: >50 GB of spill at sf1)
     SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM baskets a JOIN baskets b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING count(*) >= {PR_MIN_CO}
-), edges AS (
+), edges AS MATERIALIZED (
     SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT src AS node, count(*) AS degree FROM edges GROUP BY 1
-), nn AS (
+), nn AS MATERIALIZED (
     SELECT count(*) AS n FROM deg
 )"""
 
@@ -340,17 +343,21 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_ORACLE = f"""
 WITH baskets AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), und AS (
+), und AS MATERIALIZED (
+    -- MATERIALIZED (und/deg/oriented): the 3-way triangle join below
+    -- references oriented 3x and und/deg 4x; DuckDB inlines plain
+    -- CTEs, re-running the corpus-sized basket self-join per
+    -- reference (observed: OOM/50+ GB spill at sf1)
     SELECT a.l_partkey AS src, b.l_partkey AS dst
     FROM baskets a JOIN baskets b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING count(*) >= {PR_MIN_CO}
-), deg AS (
+), deg AS MATERIALIZED (
     SELECT node, count(*) AS d FROM (
         SELECT src AS node FROM und UNION ALL SELECT dst FROM und
     ) GROUP BY node
-), oriented AS (
+), oriented AS MATERIALIZED (
     -- orient each edge from the (degree, id)-smaller endpoint to the
     -- larger: every triangle {{a≺b≺c}} appears exactly once as
     -- (a→b, a→c, b→c)

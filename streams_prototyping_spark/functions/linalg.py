@@ -393,8 +393,11 @@ WITH x AS (
     FROM x JOIN v ON v.i = x.i
 )
 SELECT vec_id,
-       round(CAST(sum(term) AS DOUBLE), 6) AS maha_sq,
-       (round(CAST(sum(term) AS DOUBLE), 6) > {MAHA_THRESHOLD!r}) AS is_outlier
+       -- round the exact DECIMAL sum, then cast: rounding the double
+       -- instead hits engine-specific half-ties when the 8-dp sum ends
+       -- in ..50 (25/20k vectors flipped 1 ulp at sf1)
+       CAST(round(sum(term), 6) AS DOUBLE) AS maha_sq,
+       (CAST(round(sum(term), 6) AS DOUBLE) > {MAHA_THRESHOLD!r}) AS is_outlier
 FROM terms GROUP BY vec_id
 """
 
@@ -450,7 +453,8 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,8)")
         .alias("term"),
     )
-    score = F.round(F.sum("term").cast("double"), 6)
+    # round the exact decimal sum (HALF_UP in both engines), THEN cast
+    score = F.round(F.sum("term"), 6).cast("double")
     return terms.groupBy("vec_id").agg(
         score.alias("maha_sq"),
         (score > MAHA_THRESHOLD).alias("is_outlier"),

@@ -144,10 +144,14 @@ WITH toks AS (
 SELECT doc_id, n_tokens,
        count(*) AS n_types,
        round(CAST(count(*) AS DOUBLE) / n_tokens, 6) AS ttr,
-       round(CAST(sum(CAST(round(
-           -(CAST(tf AS DOUBLE) / n_tokens)
-           * round(ln(CAST(tf AS DOUBLE) / n_tokens), 6), 8) AS DECIMAL(18,8)))
-           AS DOUBLE), 6) AS token_entropy
+       -- exact integer micro-nats: sum(tf * ln6_micro) is pure int64,
+       -- and (2s+n)//(2n) is round-half-up — no double product ever
+       -- rounded, so no engine-specific half-tie (0.025 * a 6-dp ln
+       -- lands exactly on ..975, which the engines tie-broke apart)
+       CAST((2 * sum(-tf * CAST(CAST(round(
+                 ln(CAST(tf AS DOUBLE) / n_tokens), 6) AS DECIMAL(18,6))
+                 * 1000000 AS BIGINT))
+             + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS token_entropy
 FROM tf GROUP BY doc_id, n_tokens
 """
 
@@ -173,11 +177,28 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     p = F.col("tf").cast("double") / F.col("n_tokens")
-    contrib = F.round(-p * F.round(F.log(p), 6), 8)
-    return tf.groupBy("doc_id", "n_tokens").agg(
-        F.count("*").alias("n_types"),
-        F.round(F.count("*").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
-        F.round(
-            F.sum(contrib.cast("decimal(18,8)")).cast("double"), 6
-        ).alias("token_entropy"),
+    # 6-dp ln as exact integer micro-nats (decimal cast makes the *1e6
+    # scale-up lossless); tf * micro stays pure int64 — no double
+    # product is ever rounded, so no engine-specific half-tie (the
+    # 8-dp round of p*ln6 landed exactly on ..975 for uniform-tf docs)
+    ln6_micro = (F.round(F.log(p), 6).cast("decimal(18,6)") * 1000000).cast("long")
+    return (
+        tf.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(F.count("*").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+            F.sum(-F.col("tf") * ln6_micro).alias("_s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "ttr",
+            # (2s+n) div (2n): round-half-up mean in pure int64
+            (
+                F.expr("(2 * _s_micro + n_tokens) div (2 * n_tokens)")
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("token_entropy"),
+        )
     )

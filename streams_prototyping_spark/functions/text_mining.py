@@ -349,7 +349,11 @@ cnt AS (
     SELECT doc_id, source, w, count(*) AS tf FROM toks GROUP BY 1, 2, 3
 ), scored AS (
     SELECT t.doc_id, t.source AS actual_source, l.source AS cand,
-           CAST(sum(CAST(l.lnl AS DECIMAL(20,8)) * t.tf) AS DOUBLE)
+           -- tf cast to DECIMAL(10,0): a bare bigint multiplicand makes
+           -- Spark clamp (20,8)x(20,0) to (38,6), silently dropping 2 dp
+           -- the oracle kept (2/400 confusion cells flipped at sf1)
+           CAST(sum(CAST(l.lnl AS DECIMAL(20,8)) * CAST(t.tf AS DECIMAL(10,0)))
+                AS DOUBLE)
                + max(p.lnp) AS score
     FROM tf t
     JOIN lik l ON l.w = t.w
@@ -444,7 +448,12 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("source").alias("actual_source"), "cand")
         .agg(
             (
-                F.sum(F.col("lnl").cast("decimal(20,8)") * F.col("tf"))
+                # tf as decimal(10,0): (20,8)x(10,0)=(31,8) keeps all
+                # 8 dp; a bare long clamps to (38,6) — see oracle note
+                F.sum(
+                    F.col("lnl").cast("decimal(20,8)")
+                    * F.col("tf").cast("decimal(10,0)")
+                )
                 .cast("double")
                 + F.max("lnp")
             ).alias("score")

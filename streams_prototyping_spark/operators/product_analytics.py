@@ -1101,7 +1101,10 @@ seq AS (
     FROM steps WHERE state <> 'CONV' GROUP BY 1, 2
 ), outsum AS (
     SELECT src, sum(n) AS total FROM trans GROUP BY src
-), probs AS (
+), probs AS MATERIALIZED (
+    -- MATERIALIZED: the value-iteration chains below reference probs
+    -- ~80x; DuckDB inlines plain CTEs, re-running the corpus-sized
+    -- window fold per reference (observed: >80 GB of spill at sf1)
     SELECT t.src, t.dst,
            round(CAST(t.n AS DOUBLE) / o.total, 8) AS p
     FROM trans t JOIN outsum o ON o.src = t.src

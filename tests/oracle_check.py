@@ -40,6 +40,14 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     try:
         import os
 
+        # Bounded memory + absolute spill dir: the default (80% of RAM,
+        # cwd-relative .tmp) dies with a bad-allocation OOM when a
+        # concurrent Spark session holds most of the box at sf1 —
+        # spilling to disk keeps big-oracle queries (pagerank, LSH
+        # self-joins) deterministic instead of environment-dependent.
+        os.makedirs("/tmp/duckdb_oracle_spill", exist_ok=True)
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             # driver testdata ships single files; Spark-written sets
