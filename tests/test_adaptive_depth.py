@@ -95,3 +95,57 @@ def test_depths_grow_on_upscale():
         assert occ <= 2 * similarity.TARGET_BUCKET_OCC or (
             _py_lsh_bits(n) == similarity.MAX_LSH_BITS
         )
+
+
+# ------------------------------------------------- adaptive SimHash width
+
+
+def _py_simhash_bits(n: int) -> int:
+    from streams_prototyping_spark.functions import dedup
+
+    raw = (
+        dedup.SIMHASH_BITS
+        + 8 * math.ceil(math.log2(n / float(dedup.SIMHASH_TARGET_CORPUS)))
+        if n
+        else dedup.SIMHASH_BITS
+    )
+    return max(dedup.SIMHASH_BITS, min(dedup.SIMHASH_MAX_BITS, raw))
+
+
+def test_simhash_bits_formula_matches_oracle_expression():
+    from streams_prototyping_spark.functions import dedup
+
+    for n in NS:
+        assert _py_simhash_bits(n) == _duck_eval(dedup._SIMHASH_BITS_DUCK, n), n
+
+
+def test_simhash_bits_pinned_at_driver_tested_sfs():
+    """Documents counts at the committed-artifact SFs (500 / 5000) must
+    keep the historical 16-bit fingerprint, and the sf1 corpus (50000)
+    must deepen to 40 — the measured point where Hamming<=2 output is
+    the corpus's genuine near-dup structure, not hash-space saturation
+    (16 bits at 50k docs: 68M artifact pairs; 40 bits: 856k)."""
+    from streams_prototyping_spark.functions import dedup
+
+    assert _py_simhash_bits(500) == dedup.SIMHASH_BITS
+    assert _py_simhash_bits(5000) == dedup.SIMHASH_BITS
+    assert _py_simhash_bits(50000) == 40
+
+
+def test_simhash_blocks_partition_every_width():
+    """The 3 pigeonhole blocks must exactly tile [0, bits) at every
+    width the formula can produce (Hamming<=2 correctness: a pair
+    within distance 2 must agree on at least one of 3 disjoint
+    blocks covering all bits)."""
+    from streams_prototyping_spark.functions import dedup
+
+    for bits in range(dedup.SIMHASH_BITS, dedup.SIMHASH_MAX_BITS + 1):
+        blocks = dedup._simhash_blocks(bits)
+        assert len(blocks) == 3
+        covered = 0
+        for shift, width in blocks:
+            assert width >= 1
+            assert shift == covered  # contiguous, disjoint
+            covered += width
+        assert covered == bits
+    assert dedup._simhash_blocks(16) == ((0, 5), (5, 5), (10, 6))
