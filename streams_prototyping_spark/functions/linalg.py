@@ -62,7 +62,11 @@ x AS (
                AS s
     FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
     GROUP BY 1, 2
-), cov AS (
+), cov AS MATERIALIZED (
+    -- MATERIALIZED: PCA's per-iteration CTEs below reference the
+    -- covariance ~2x per level; DuckDB inlines plain CTEs, so the
+    -- corpus-sized pairwise fold re-ran ~2^PCA_T times (OOM at sf1
+    -- under a bounded memory_limit)
     -- + 0.0 folds IEEE negative zero into +0.0 (a round() of a tiny
     -- negative otherwise hashes as 'float:-0.0' in one engine only)
     SELECT p.i, p.j,
@@ -159,7 +163,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_iter_cte(t: int) -> str:
     prev = f"v{t - 1}"
-    return f"""w{t} AS (
+    return f"""w{t} AS MATERIALIZED (
     SELECT c.i,
            CAST(sum(CAST(round(c.cov * p.comp, 12) AS DECIMAL(38,12)))
                 AS DOUBLE) AS w
@@ -175,7 +179,7 @@ def _pca_iter_cte(t: int) -> str:
 
 _PCA_ORACLE = (
     f"WITH {_COV_CTE},\n"
-    + """covfull AS (
+    + """covfull AS MATERIALIZED (
     SELECT i, j, cov FROM cov
     UNION ALL
     SELECT j AS i, i AS j, cov FROM cov WHERE i <> j
