@@ -358,7 +358,16 @@ def main() -> None:
     # gate AFTER the summary line so the driver's stdout tail-parse is
     # never broken by a failing gate (the exit code carries the verdict)
     if gate_prev is not None:
-        prev = json.loads(Path(gate_prev).read_text()).get("queries", {})
+        prev_doc = json.loads(Path(gate_prev).read_text())
+        # accept both shapes: our own artifacts carry `queries` at the
+        # top level, the driver's BENCH_r{N}.json wraps them under
+        # `parsed` (discovered when a gate run against BENCH_r04.json
+        # silently compared 0 shared queries)
+        prev = (
+            prev_doc.get("queries")
+            or prev_doc.get("parsed", {}).get("queries")
+            or {}
+        )
         report = compare_gate(timings, prev)
         report["prev_artifact"] = gate_prev
         report["sf"] = sf
