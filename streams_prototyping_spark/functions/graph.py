@@ -80,11 +80,17 @@ def cc_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build() -> DataFrame:
+        # localCheckpoint (not persist): persist caches BLOCKS but the
+        # logical plan is still re-analyzed whole every round, and this
+        # loop's lineage DOUBLES per round (_bidir/_canon each reference
+        # their input twice) — at sf1 Catalyst spent 87 s optimizing the
+        # round-2 fixpoint join over 3.5k cached rows. Checkpointing
+        # truncates the plan to a leaf each round: 161 s -> ~8 s.
         orig = _canon(
             minhash_lsh_pairs_df(spark, sf_dir).select(
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             )
-        ).persist()
+        ).localCheckpoint()
         n_orig = orig.count()
 
         docs = widen(load_table(spark, sf_dir, "documents")).select("doc_id").persist()
@@ -109,10 +115,7 @@ def cc_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(mins2, "src")
                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                 .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
-            ).persist()
-            small.count()  # materialize before releasing the previous round
-            if und is not orig:
-                und.unpersist()
+            ).localCheckpoint()  # eager: materializes AND truncates lineage
             und = small
 
             # exact fixpoint check against the ORIGINAL edges: every
@@ -149,9 +152,8 @@ def cc_star_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        if und is not orig:
-            und.unpersist()
-        orig.unpersist()
+        # checkpointed round frames are tiny (O(edge-list) rows) and few
+        # (<= MAX_STAR_ROUNDS); their blocks are left to session GC
         docs.unpersist()
         return result
 
