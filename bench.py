@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_canonical",
     "span_dedup",
+    "dup_substring_spans",
     "semantic_dedup",
     "ngram_containment_pairs",
     "winnowing_fingerprint",

@@ -35,7 +35,7 @@ the token stream shuffles once, collapsed to distinct pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
@@ -201,4 +201,237 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
             ).alias("token_entropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): any >= DUP_K-word
+# substring appearing in >= 2 distinct documents is duplicated text.
+# Overlapping duplicated windows are merged into MAXIMAL spans by
+# interval union, so a 30-word verbatim repeat reports as ONE span of
+# 30 words, not 23 overlapping 8-word hits.
+
+DUP_K = 8  # minimum duplicated-substring length, in words
+
+# Shared CTE prefix: tokenize -> overlapping gram hashes -> cross-doc
+# duplicated grams -> hit positions -> interval-union islands ->
+# maximal (doc_id, s, e) spans. Both exact-substring queries build on
+# `spans`; keeping one copy means a parameter tune cannot
+# de-synchronize the two oracles.
+_DUP_ISLANDS_CTE = f"""
+w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), grams AS (
+    SELECT doc_id,
+           CAST(unnest(range(0, len(words) - {DUP_K} + 1)) AS BIGINT) AS pos,
+           words
+    FROM w WHERE len(words) >= {DUP_K}
+), hashed AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(words[(pos + 1):(pos + {DUP_K})], ' ')) AS gram
+    FROM grams
+), dup AS (
+    SELECT gram FROM hashed GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT h.doc_id, h.pos FROM hashed h JOIN dup USING (gram)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + {DUP_K} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+), islanded AS (
+    SELECT doc_id, pos,
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+), spans AS (
+    SELECT doc_id, island,
+           min(pos) AS s, max(pos) + {DUP_K} - 1 AS e
+    FROM islanded GROUP BY doc_id, island
+)"""
+
+_DUP_SUBSTR_ORACLE = f"""
+WITH {_DUP_ISLANDS_CTE}, per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+           CAST(max(e - s + 1) AS BIGINT) AS longest_dup_span
+    FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_words, 0) AS dup_words,
+       coalesce(p.longest_dup_span, 0) AS longest_dup_span,
+       round(CAST(coalesce(p.dup_words, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans (doc_id, s, e): every
+    overlapping DUP_K-word window is hashed; windows whose hash occurs
+    in >= 2 distinct docs are duplicated; overlapping hits are merged
+    into maximal spans by interval union (running-max-of-ends island
+    detection). Shared stage — per-doc stats and the span catalog both
+    consume it, so the gram shuffle is paid once per session.
+
+    Scale design (100 TB): the gram stream is a generator explode of
+    O(words) rows per doc (same volume as the token stream every text
+    query already shuffles) keyed by a 128-bit md5 — never the raw
+    text; the duplicated-gram set shrinks by the HAVING threshold
+    before the membership join back (AQE broadcasts it when small);
+    island merge is one doc-keyed window over only the HIT positions
+    (O(duplicated windows), not O(corpus)). No all-pairs anything —
+    this is the suffix-array dedup recast as three keyed shuffles.
+    """
+    from streams_prototyping_spark.stage_cache import shared_stage
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        words = F.split("text", " ")
+        grams = (
+            d.filter(F.size(words) >= DUP_K)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(words) - DUP_K),
+                        lambda i: F.md5(
+                            F.array_join(F.slice(words, i + 1, DUP_K), " ")
+                        ),
+                    )
+                ).alias("pos", "gram"),
+            )
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+        )
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("ndocs"))
+            .filter(F.col("ndocs") >= 2)
+            .select("gram")
+        )
+        hits = grams.join(dup, "gram").select("doc_id", "pos")
+        w_prev = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        islanded = hits.select(
+            "doc_id",
+            "pos",
+            F.sum(
+                F.when(
+                    F.col("pos")
+                    > F.coalesce(
+                        F.max(F.col("pos") + DUP_K - 1).over(w_prev), F.lit(-1)
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .alias("island"),
+        )
+        return islanded.groupBy("doc_id", "island").agg(
+            F.min("pos").alias("s"), (F.max("pos") + DUP_K - 1).alias("e")
+        )
+
+    return shared_stage(spark, sf_dir, "dup_islands", build)
+
+
+@register("dup_substring_spans", oracle=_DUP_SUBSTR_ORACLE)
+def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats over the maximal duplicated spans
+    (_dup_islands): span count, duplicated word total, longest span,
+    duplicated fraction — the doc-level keep/trim signal of Lee-et-al
+    exact-substring dedup.
+
+    Determinism: pure integer position arithmetic plus one final
+    rounded division — engines cannot fork.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    spans = _dup_islands(spark, sf_dir)
+    span_len = F.col("e") - F.col("s") + 1
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(span_len).alias("dup_words"),
+        F.max(span_len).alias("longest_dup_span"),
+    )
+    return (
+        d.select("doc_id", F.size(words).cast("long").alias("n_words"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+            F.coalesce("longest_dup_span", F.lit(0)).alias("longest_dup_span"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0)).cast("double") / F.col("n_words"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_DUP_CATALOG_ORACLE = f"""
+WITH {_DUP_ISLANDS_CTE}, texts AS (
+    SELECT s.doc_id,
+           array_to_string(w.words[(s.s + 1):(s.e + 1)], ' ') AS span_text,
+           s.e - s.s + 1 AS span_words
+    FROM spans s JOIN w ON w.doc_id = s.doc_id
+)
+SELECT span_text,
+       CAST(max(span_words) AS BIGINT) AS span_words,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM texts GROUP BY span_text
+"""
+
+
+@register("dup_span_catalog", oracle=_DUP_CATALOG_ORACLE)
+def dup_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog of the maximal duplicated substrings themselves: each
+    (doc, island) from _dup_islands is joined back to its document and
+    sliced to the actual span text, then grouped by text with document
+    and occurrence counts — the artifact a pipeline owner feeds into a
+    boilerplate blocklist or uses to eyeball WHAT is duplicated, not
+    just how much. (A maximal island's text can be doc-specific — a
+    30-word run in one doc whose middle 8 words alone recur elsewhere
+    catalogs as two different entries — so n_docs here counts exact
+    full-span matches, intentionally stricter than the window-level
+    duplication that seeded it.)
+
+    Scale design: the islands stage is shared with dup_substring_spans
+    (built once per session); the text slice is a doc-keyed join
+    against the document table (O(islands) rows through the join, and
+    islands are O(duplicated regions), corpus-sublinear after dedup
+    thresholds); the final group-by keys on span text whose volume is
+    bounded by total duplicated words.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    spans = _dup_islands(spark, sf_dir)
+    texts = spans.join(d.select("doc_id", words.alias("w")), "doc_id").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("w"), F.col("s") + 1, F.col("e") - F.col("s") + 1), " "
+        ).alias("span_text"),
+        (F.col("e") - F.col("s") + 1).alias("span_words"),
+    )
+    return texts.groupBy("span_text").agg(
+        F.max("span_words").alias("span_words"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
     )

@@ -250,3 +250,15 @@ def test_pca_iterations_stay_broadcast(spark, sf_dir):
     facts = plan_facts(registry.QUERIES["pca_power_iteration"](spark, sf_dir))
     assert not facts.has_cartesian
     assert facts.sort_merge_joins == 0, facts.summary
+
+
+def test_dup_substring_spans_plan_shape(spark, sf_dir):
+    """Gram membership join is hash-keyed and the island window is
+    doc-partitioned — no global single-partition window, no cartesian."""
+    plan = _plan(spark, sf_dir, "dup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # doc-keyed island windows, never a global (empty-key) window sort
+    assert "Window" in plan
+    import re as _re
+    assert not _re.search(r"partitionBy=\[\]", plan)

@@ -252,3 +252,123 @@ def test_token_entropy_bounds(spark, tmp_path_factory, texts):
         assert r.n_types <= r.n_tokens
         assert abs(r.ttr - round(r.n_types / r.n_tokens, 6)) < 1e-9
         assert -1e-6 <= r.token_entropy <= math.log(r.n_types) + 1e-4
+
+
+_dup_doc = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40
+).map(" ".join)
+
+
+@_slow
+@given(st.lists(_dup_doc, min_size=1, max_size=8))
+def test_dup_substring_spans_matches_python_reference(
+    spark, tmp_path_factory, texts
+):
+    """Differential check of dup_substring_spans against an independent
+    Python reference (third implementation besides Spark and the DuckDB
+    oracle): per-doc span counts, duplicated word totals, longest span
+    and fraction must agree exactly. The 3-letter vocabulary makes
+    DUP_K-gram collisions common, so both the hit path and the
+    interval-union merge (overlapping windows -> one maximal span) are
+    genuinely exercised."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from streams_prototyping_spark.functions.span_quality import (
+        DUP_K,
+        dup_substring_spans,
+    )
+
+    tmp = tmp_path_factory.mktemp("dupspans")
+    docs = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    grams: dict = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for p in range(len(w) - DUP_K + 1):
+            grams.setdefault(tuple(w[p : p + DUP_K]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        hits = [
+            p
+            for p in range(max(len(w) - DUP_K + 1, 0))
+            if tuple(w[p : p + DUP_K]) in dup
+        ]
+        spans: list = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + DUP_K - 1)
+            else:
+                spans.append([p, p + DUP_K - 1])
+        dw = sum(e - s + 1 for s, e in spans)
+        longest = max((e - s + 1 for s, e in spans), default=0)
+        frac = float(
+            Decimal(repr(dw / len(w))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        want[i] = (len(w), len(spans), dw, longest, frac)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_dup_spans, r.dup_words, r.longest_dup_span, r.dup_frac)
+        for r in dup_substring_spans(spark, str(tmp)).collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(st.lists(_dup_doc, min_size=1, max_size=8))
+def test_dup_span_catalog_matches_python_reference(
+    spark, tmp_path_factory, texts
+):
+    """The catalog's span texts and doc/occurrence counts must equal an
+    independent Python reconstruction of the maximal-island texts."""
+    from streams_prototyping_spark.functions.span_quality import (
+        DUP_K,
+        dup_span_catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("dupcat")
+    docs = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    grams: dict = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for p in range(len(w) - DUP_K + 1):
+            grams.setdefault(tuple(w[p : p + DUP_K]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want: dict = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        hits = [
+            p
+            for p in range(max(len(w) - DUP_K + 1, 0))
+            if tuple(w[p : p + DUP_K]) in dup
+        ]
+        spans: list = []
+        for p in hits:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + DUP_K - 1)
+            else:
+                spans.append([p, p + DUP_K - 1])
+        for s, e in spans:
+            text = " ".join(w[s : e + 1])
+            n_docs, n_occ = want.get(text, (set(), 0))
+            n_docs.add(i)
+            want[text] = (n_docs, n_occ + 1)
+
+    got = {
+        r.span_text: (r.span_words, r.n_docs, r.n_occurrences)
+        for r in dup_span_catalog(spark, str(tmp)).collect()
+    }
+    assert got == {
+        text: (len(text.split(" ")), len(ds), occ)
+        for text, (ds, occ) in want.items()
+    }
