@@ -214,6 +214,12 @@ HEADLINE = [
     "dedup_savings_report",
     "kaplan_meier_survival",
     "log_odds_word_shift",
+    # round 5b: scalar quantization, positional retrieval, diversified
+    # rerank, snapshot reconciliation
+    "sq8_adc_topk",
+    "phrase_search_positional",
+    "mmr_rerank",
+    "table_diff_audit",
 ]
 
 

@@ -68,19 +68,17 @@ def sf1_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 
 
-def _strides(spark: SparkSession) -> dict[str, int]:
-    """stride per (table, pk) family = max(pk)+1 at sf0.1."""
+def _strides(spark: SparkSession, src_dir: str = SRC) -> dict[str, int]:
+    """stride per (table, pk) family = max(pk)+1 in the source SF."""
     out: dict[str, int] = {}
     for table, cols in SHIFT.items():
-        df = spark.read.parquet(f"{SRC}/{table}.parquet")
         for c in cols:
             fam = _KEY_FAMILY.get(c, (table, c))
             key = f"{fam[0]}.{fam[1]}"
             if key not in out:
-                src = spark.read.parquet(f"{SRC}/{fam[0]}.parquet")
+                src = spark.read.parquet(f"{src_dir}/{fam[0]}.parquet")
                 out[key] = int(src.agg(F.max(fam[1])).first()[0]) + 1
             out[f"{table}.{c}"] = out[key]
-        del df
     return out
 
 
@@ -113,21 +111,34 @@ def _perturb(table: str, df: DataFrame, i: int) -> DataFrame:
     return df
 
 
-def build(spark: SparkSession, out_dir: str | None = None, force: bool = False) -> str:
+def build(
+    spark: SparkSession,
+    out_dir: str | None = None,
+    force: bool = False,
+    src_dir: str = SRC,
+    replicas: int = REPLICAS,
+    marker_name: str = "_SUCCESS_SF1",
+) -> str:
+    """Key-shifted upscale of ``src_dir`` by ``replicas``x into
+    ``out_dir``. Chaining builds bigger decades (sf0.1 -> sf1 -> sf10)
+    with the same per-key-cardinality-preserving construction; the
+    doc-tag / embedding-offset perturbations compose (a second-level
+    replica tags already-tagged words), so the duplicate rate and
+    vector geometry stay realistic at every decade."""
     out = out_dir or sf1_dir()
-    marker = os.path.join(out, "_SUCCESS_SF1")
+    marker = os.path.join(out, marker_name)
     if os.path.exists(marker) and not force:
         return out
     os.makedirs(out, exist_ok=True)
-    strides = _strides(spark)
+    strides = _strides(spark, src_dir)
     for table in COPY_ONLY:
-        spark.read.parquet(f"{SRC}/{table}.parquet").coalesce(1).write.mode(
+        spark.read.parquet(f"{src_dir}/{table}.parquet").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{out}/{table}.parquet")
     for table, cols in SHIFT.items():
-        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        src = spark.read.parquet(f"{src_dir}/{table}.parquet")
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             rep = _perturb(table, src, i)
             for c in cols:
                 rep = rep.withColumn(

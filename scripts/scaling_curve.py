@@ -10,7 +10,13 @@ survive a 100x scale-up.
 
 Prints one JSON line and (with --md) rewrites SCALING.md.
 
-Usage: python scripts/scaling_curve.py [--md] [--sf1] [--all] [query ...]
+Usage: python scripts/scaling_curve.py [--md] [--sf1] [--all] [--sf10] [query ...]
+
+--sf10: measure the THIRD decade (sf0.1 -> sf1 -> sf10, ~60M lineitem
+rows via scripts/make_sf10.py's chained upscale) for the curated
+expensive set and fit alpha on the sf1 -> sf10 step. Writes
+SCALING_SF10.md with --md (SCALING.md keeps the full-headline sf1
+table).
 
 --all (VERDICT r4 item 2): measure EVERY bench.py headline query
 instead of the curated 24, and fit only the sf0.1 -> sf1 step (the
@@ -67,10 +73,11 @@ SFS = ["0.001", "0.01", "0.1"]
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1", "--all")]
+    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1", "--all", "--sf10")]
     write_md = "--md" in sys.argv[1:]
     all_mode = "--all" in sys.argv[1:]
-    with_sf1 = "--sf1" in sys.argv[1:] or all_mode
+    sf10_mode = "--sf10" in sys.argv[1:]
+    with_sf1 = "--sf1" in sys.argv[1:] or all_mode or sf10_mode
     if all_mode:
         from bench import HEADLINE
 
@@ -84,13 +91,18 @@ def main() -> None:
 
     from streams_prototyping_spark.data import TABLES, load_table
 
-    sfs = ["0.1"] if all_mode else list(SFS)
+    sfs = ["0.1"] if (all_mode or sf10_mode) else list(SFS)
     dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
     if with_sf1:
         from scripts.make_sf1 import build
 
         dirs["1"] = build(spark)
         sfs.append("1")
+    if sf10_mode:
+        from scripts.make_sf10 import build_sf10
+
+        dirs["10"] = build_sf10(spark)
+        sfs.append("10")
 
     results: dict[str, dict[str, float]] = {q: {} for q in queries}
     rowcounts: dict[str, int] = {}
@@ -126,10 +138,16 @@ def main() -> None:
     if write_md:
         rows_line = ", ".join(f"sf{sf}={rowcounts[sf]:,}" for sf in sfs)
         lines = [
-            "# SCALING — measured growth exponents (round 5)",
+            "# SCALING"
+            + ("_SF10" if sf10_mode else "")
+            + " — measured growth exponents (round 5)",
             "",
             "Produced by `python scripts/scaling_curve.py --md"
-            + (" --all" if all_mode else (" --sf1" if with_sf1 else ""))
+            + (
+                " --sf10"
+                if sf10_mode
+                else (" --all" if all_mode else (" --sf1" if with_sf1 else ""))
+            )
             + "` on local[32]."
             + (
                 " --all mode: EVERY bench.py headline query, fitted on the"
@@ -169,7 +187,8 @@ def main() -> None:
             "plan still shows alpha well above 1 on the top step. Queries",
             "flagged SUPERLINEAR get a plan re-audit before the next round.",
         ]
-        Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
+        md_name = "SCALING_SF10.md" if sf10_mode else "SCALING.md"
+        Path(__file__).resolve().parent.parent.joinpath(md_name).write_text(
             "\n".join(lines) + "\n"
         )
     spark.stop()

@@ -188,3 +188,97 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= BM25_TOP_K)
     )
+
+
+# ------------------------------------------------- positional phrase search
+
+N_PHRASES = 3        # corpus-derived query phrases (top bigrams)
+PHRASE_TOP_DOCS = 10  # docs reported per phrase
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+), adj AS (
+    SELECT a.doc_id, a.word AS w1, b.word AS w2
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), phrases AS (
+    SELECT w1, w2, w1 || ' ' || w2 AS phrase FROM (
+        SELECT w1, w2, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS prn
+        FROM adj GROUP BY w1, w2
+    ) WHERE prn <= {N_PHRASES}
+), occ AS (
+    SELECT p.phrase, a.doc_id, count(*) AS n_occ
+    FROM adj a JOIN phrases p ON a.w1 = p.w1 AND a.w2 = p.w2
+    GROUP BY p.phrase, a.doc_id
+)
+SELECT phrase, doc_id, n_occ, rnk FROM (
+    SELECT phrase, doc_id, n_occ,
+           CAST(row_number() OVER (PARTITION BY phrase
+                                   ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rnk
+    FROM occ
+) WHERE rnk <= {PHRASE_TOP_DOCS}
+"""
+
+
+@register("phrase_search_positional", oracle=_PHRASE_ORACLE)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching over positional postings — the retrieval
+    capability BM25's bag-of-words postings cannot express (a doc
+    containing both words non-adjacently must NOT match). Query
+    phrases are corpus-derived (the top {N_PHRASES} bigrams, count
+    then lexicographic tie-break) so the query needs no external
+    input; per phrase the top {PHRASE_TOP_DOCS} docs by occurrence
+    count are returned.
+
+    Reference parity: no retrieval surface in the reference
+    (apurvam/streams-prototyping, 408 Java LoC); SURVEY Part C″.
+
+    Scale note: the positional postings table (doc, pos, word) is a
+    pure explode — no aggregation, no shuffle to build. Adjacency is
+    ONE self-join keyed on (doc_id, pos+1) — co-partitioned on doc,
+    never corpus×corpus. The tiny phrase table broadcasts into the
+    occurrence scan, and the per-phrase rank<=k is a WindowGroupLimit.
+    At 100 TB the postings would be a bucketed(doc_id) checkpoint and
+    the adjacency join is shuffle-free within buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    adj = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.word").alias("w1"),
+        F.col("b.word").alias("w2"),
+    )
+    # global top-N via orderBy+limit: plans as TakeOrderedAndProject
+    # (per-partition top-N then a driver merge of N-row heads), never
+    # the single-partition global window a row_number() would cost
+    phrases = (
+        adj.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(N_PHRASES)
+        .select("w1", "w2", F.concat_ws(" ", "w1", "w2").alias("phrase"))
+    )
+    occ = (
+        adj.join(F.broadcast(phrases), ["w1", "w2"])
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    wr = Window.partitionBy("phrase").orderBy(F.col("n_occ").desc(), "doc_id")
+    return occ.select(
+        "phrase",
+        "doc_id",
+        "n_occ",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= PHRASE_TOP_DOCS)

@@ -331,3 +331,196 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= RRF_TOP_K)
     )
+
+
+# ------------------------------------------- MMR diversified rerank
+
+MMR_CAND = 8   # relevance-ranked candidate pool per query
+MMR_K = 4      # diversified picks per query
+# lambda = 0.7: score = 0.7*relevance - 0.3*max-sim-to-selected
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain: seed = argmax relevance,
+    then MMR_K-1 steps of penalize-and-argmax. Anti-joins express
+    'not yet selected'; every score is rounded at 6 dp before the
+    rank comparison, mirroring the Spark side exactly."""
+    from streams_prototyping_spark.functions.similarity import (
+        _COS_EXPR_DUCK,
+        _DOT_DUCK,
+        _VECTORS_CTE_DUCK,
+        N_QUERIES,
+    )
+
+    head = f"""
+WITH {_VECTORS_CTE_DUCK},
+q AS (SELECT vec_id AS query_id, v, sqnorm FROM vecs WHERE vec_id < {N_QUERIES}),
+allp AS (
+    SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
+    FROM q JOIN vecs c ON c.vec_id <> q.query_id
+), cand AS (
+    SELECT query_id, vec_id, cos_sim AS rel FROM (
+        SELECT query_id, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM allp
+    ) WHERE rn <= {MMR_CAND}
+), cv AS (
+    SELECT c.query_id, c.vec_id, c.rel, v.v, v.sqnorm
+    FROM cand c JOIN vecs v USING (vec_id)
+), sim AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                 / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) AS sim
+    FROM cv a JOIN cv b
+      ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+), sel1 AS (
+    SELECT query_id, vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f""",
+pen{t} AS (
+    SELECT s.query_id, s.a_id AS vec_id, max(s.sim) AS pen
+    FROM sim s
+    JOIN {prev} t ON t.query_id = s.query_id AND t.vec_id = s.b_id
+    LEFT JOIN {prev} d ON d.query_id = s.query_id AND d.vec_id = s.a_id
+    WHERE d.vec_id IS NULL
+    GROUP BY s.query_id, s.a_id
+), pick{t} AS (
+    SELECT query_id, vec_id, rel, CAST({t} AS BIGINT) AS mmr_rank FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY round(0.7 * c.rel - 0.3 * p.pen, 6) DESC,
+                                           c.vec_id) AS rn
+        FROM cand c JOIN pen{t} p
+          ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+    ) WHERE rn = 1
+), sel{t} AS (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+)""")
+    return head + "".join(steps) + f"""
+SELECT query_id, vec_id, rel, mmr_rank FROM sel{MMR_K}
+"""
+
+
+@register("mmr_rerank", oracle=_mmr_oracle())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): rerank
+    each query's top-{MMR_CAND} cosine candidates into {MMR_K}
+    diversified picks — greedy argmax of
+    0.7*relevance - 0.3*max_sim_to_already_selected. THE standard
+    redundancy-vs-relevance tradeoff for retrieval-augmented data
+    selection (picking support documents that aren't near-duplicates
+    of each other).
+
+    Reference parity: no retrieval layer in the reference; Part C″.
+
+    Determinism: relevance, pairwise sims, and every greedy score are
+    rounded at 6 dp BEFORE the rank comparison; ties break on vec_id.
+    The greedy loop is unrolled identically on both engines
+    ({MMR_K - 1} penalize-and-argmax steps over the candidate pool).
+
+    Scale note: the corpus-sized work is the candidate generation
+    (broadcast query side, WindowGroupLimit top-{MMR_CAND}); the
+    greedy loop then touches only queries x {MMR_CAND} rows — its
+    joins/windows are per-query and partition on query_id, so the
+    rerank costs O(Q * CAND^2) no matter the corpus size. At
+    production scale candidates would come from the ANN index
+    (ann_ivf_topk) instead of brute force — a source swap, the rerank
+    plan is unchanged.
+    """
+    from streams_prototyping_spark.functions.similarity import (
+        _DOT_SPARK,
+        N_QUERIES,
+        _vectors,
+    )
+
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("sqnorm").alias("q_sqnorm"),
+    )
+    allp = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qv", b="v"))
+            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    cand = (
+        allp.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(wq).alias("rn")
+        )
+        .filter(F.col("rn") <= MMR_CAND)
+        .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
+    )
+    cv = cand.join(vecs, "vec_id").select("query_id", "vec_id", "rel", "v", "sqnorm")
+    a = cv.alias("a")
+    b = cv.alias("b")
+    sim = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.round(
+            F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+            / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
+            6,
+        ).alias("sim"),
+    )
+    # the greedy loop runs over queries x MMR_CAND rows only — cache the
+    # two small inputs so each unrolled step doesn't recompute the
+    # corpus-sized candidate generation
+    cand = cand.localCheckpoint(eager=True)
+    sim = sim.localCheckpoint(eager=True)
+    sel = (
+        cand.select(
+            "query_id", "vec_id", "rel", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+            ).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "rel", F.lit(1).cast("long").alias("mmr_rank"))
+    )
+    for t in range(2, MMR_K + 1):
+        pen = (
+            sim.join(
+                sel.select("query_id", F.col("vec_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .join(
+                sel.select("query_id", F.col("vec_id").alias("a_id")),
+                ["query_id", "a_id"],
+                "left_anti",
+            )
+            .groupBy("query_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.round(F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("pen"), 6).desc(),
+            "vec_id",
+        )
+        pick = (
+            cand.join(pen, ["query_id", "vec_id"])
+            .select("query_id", "vec_id", "rel", F.row_number().over(wt).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel", F.lit(t).cast("long").alias("mmr_rank")
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel

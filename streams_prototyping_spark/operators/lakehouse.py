@@ -339,3 +339,101 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
     )
+
+
+# --------------------------------------------------- snapshot diff audit
+
+_DIFF_HASH = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _diff_version_b_sql() -> str:
+    """Version B of orders, derived deterministically from version A:
+    ~1% of keys dropped (hash%100 = 0), ~2% price-mutated (+1.00,
+    hash%100 in 1..2), ~1% new keys appended (hash%97 = 3, re-keyed by
+    +100000000). DuckDB twin of the Spark builder below."""
+    h = _DIFF_HASH
+    return f"""
+    SELECT o_orderkey,
+           CASE WHEN {h} % 100 IN (1, 2)
+                THEN CAST(round(o_totalprice * 100) + 100 AS BIGINT)
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+    FROM orders WHERE {h} % 100 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000 AS o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE {h} % 97 = 3
+    """
+
+
+_TABLE_DIFF_ORACLE = f"""
+WITH a AS (
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), b AS (
+{_diff_version_b_sql()}
+), diff AS (
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.cents <> b.cents THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(b.cents, a.cents) AS cents
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, count(*) AS n_rows, sum(cents) AS total_cents
+FROM diff GROUP BY status
+"""
+
+
+@register("table_diff_audit", oracle=_TABLE_DIFF_ORACLE)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation — the lakehouse migration /
+    replication audit: diff two table versions on the primary key and
+    report added / removed / changed / unchanged row counts with a
+    value checksum per class. Version B is synthesized in-query from
+    version A by deterministic hash rules (drop ~1%, mutate ~2%,
+    append ~1% re-keyed), so the EXPECTED diff composition is known
+    and the audit's correctness is oracle-checkable end-to-end.
+
+    Reference parity: the reference has no table-maintenance surface
+    (apurvam/streams-prototyping, 408 Java LoC); SURVEY Part C″
+    lakehouse extension, next to scd2_user_tier / cdc_apply_changelog.
+
+    Scale note: ONE full-outer equi-join on the key (both sides
+    shuffle-partitioned on it — at production scale both snapshots are
+    bucketed on the PK and the join is shuffle-free) followed by a
+    4-group partial-combined aggregate. Values compare via integer
+    cents; no floats anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.select("o_orderkey", cents.alias("cents"))
+    b_keep = (
+        o.filter(h % 100 != 0)
+        .select(
+            "o_orderkey",
+            F.when((h % 100).isin(1, 2), cents + 100).otherwise(cents).alias("cents"),
+        )
+    )
+    b_new = o.filter(h % 97 == 3).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"), cents.alias("cents")
+    )
+    b = b_keep.unionAll(b_new)
+    aj = a.alias("a")
+    bj = b.alias("b")
+    diff = aj.join(
+        bj, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("a.cents") != F.col("b.cents"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce(F.col("b.cents"), F.col("a.cents")).alias("cents"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents")
+    )

@@ -216,3 +216,43 @@ def global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+_JSON_ROUNDTRIP_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       o_totalprice,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+FROM orders
+"""
+
+
+@register("json_roundtrip", oracle=_JSON_ROUNDTRIP_ORACLE)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines codec round trip (SURVEY §2 A16 serde surface — the
+    third wire format next to csv_roundtrip and avro_roundtrip; KSQL
+    streams declare value_format='json' as commonly as 'delimited'):
+    encode rows with to_json(struct(...)), decode with from_json
+    against the explicit schema. The oracle selects the raw fields —
+    it matches iff the codec is lossless, including the
+    double-precision price (Jackson's shortest-representation doubles
+    reparse exactly).
+
+    Scale note: both directions are JVM expressions inside whole-stage
+    codegen — no files, no UDF, no Python; the schema is explicit so
+    decode is single-pass with no inference scan (sources/batch.py
+    read_json applies the same rule to on-disk JSON).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    encoded = orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+                F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            )
+        ).alias("value")
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, order_epoch BIGINT"
+    return encoded.select(F.from_json("value", schema).alias("r")).select("r.*")

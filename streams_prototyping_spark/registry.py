@@ -87,4 +87,5 @@ def load_all() -> None:
         graph_ml,
         text_mining,
         linalg,
+        vector_quant,
     )
