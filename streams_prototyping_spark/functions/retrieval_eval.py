@@ -465,7 +465,18 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MMR_CAND)
         .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
     )
-    cv = cand.join(vecs, "vec_id").select("query_id", "vec_id", "rel", "v", "sqnorm")
+    # checkpoint the candidate table BEFORE deriving the pairwise sims
+    # from it — otherwise the sim build re-executes the corpus-sized
+    # candidate generation a second time (measured ~2x the query cost).
+    # coalesce(1): the loop tables are a few hundred rows; 1 partition
+    # = 1 task per unrolled-step stage instead of an idle 32-task fleet.
+    cand = cand.coalesce(1).localCheckpoint(eager=True)
+    # every loop-side table is queries x MMR_CAND rows — broadcast
+    # them all so the unrolled steps plan as BroadcastHashJoins with no
+    # exchange (an SMJ over a 40-row table is pure scheduler overhead)
+    cv = vecs.join(F.broadcast(cand), "vec_id").select(
+        "query_id", "vec_id", "rel", "v", "sqnorm"
+    )
     a = cv.alias("a")
     b = cv.alias("b")
     sim = a.join(
@@ -482,11 +493,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sim"),
     )
-    # the greedy loop runs over queries x MMR_CAND rows only — cache the
-    # two small inputs so each unrolled step doesn't recompute the
-    # corpus-sized candidate generation
-    cand = cand.localCheckpoint(eager=True)
-    sim = sim.localCheckpoint(eager=True)
+    sim = sim.coalesce(1).localCheckpoint(eager=True)
     sel = (
         cand.select(
             "query_id", "vec_id", "rel", F.row_number().over(
@@ -499,11 +506,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(2, MMR_K + 1):
         pen = (
             sim.join(
-                sel.select("query_id", F.col("vec_id").alias("b_id")),
+                F.broadcast(sel.select("query_id", F.col("vec_id").alias("b_id"))),
                 ["query_id", "b_id"],
             )
             .join(
-                sel.select("query_id", F.col("vec_id").alias("a_id")),
+                F.broadcast(sel.select("query_id", F.col("vec_id").alias("a_id"))),
                 ["query_id", "a_id"],
                 "left_anti",
             )
@@ -515,12 +522,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
         )
         pick = (
-            cand.join(pen, ["query_id", "vec_id"])
+            cand.join(F.broadcast(pen), ["query_id", "vec_id"])
             .select("query_id", "vec_id", "rel", F.row_number().over(wt).alias("rn"))
             .filter(F.col("rn") == 1)
             .select(
                 "query_id", "vec_id", "rel", F.lit(t).cast("long").alias("mmr_rank")
             )
         )
-        sel = sel.unionAll(pick)
+        # each step references sel three times (pen's equi+anti joins,
+        # the union) — without a per-round checkpoint the final plan
+        # re-derives every earlier step per reference (the cc_star
+        # lineage lesson: iterative loops referencing their input more
+        # than once must checkpoint, not just cache)
+        sel = sel.unionAll(pick).coalesce(1).localCheckpoint(eager=True)
     return sel
