@@ -4,6 +4,10 @@ queries() entry at sf0.01 compared against its oracle_sql() via DuckDB.
 
 Usage: python scripts/drive_driver_contract.py [sf_dir] [json_out]
 
+Set SPARK_GRAFT_QUERIES=name1,name2,... (exact names, or prefix* globs)
+to check a subset — used for the targeted sf10 pass where the full
+registry's DuckDB oracles would take hours at 60M rows.
+
 When json_out is given, a machine-readable per-query record (the same
 schema-match / count-match / value-hash-match triple the driver records
 in CORRECTNESS_r{N}.json) is written there — the committable
@@ -12,6 +16,7 @@ just the driver's fixed 50-query sample.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -39,6 +44,17 @@ assert len(rows) > 0
 # --- correctness: queries() vs oracle_sql() ---
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
+_only = os.environ.get("SPARK_GRAFT_QUERIES")
+if _only:
+    pats = [p.strip() for p in _only.split(",") if p.strip()]
+    def _want(n: str) -> bool:
+        return any(
+            n == p or (p.endswith("*") and n.startswith(p[:-1])) for p in pats
+        )
+    qs = {n: f for n, f in qs.items() if _want(n)}
+    unknown = [p for p in pats if not p.endswith("*") and p not in qs]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_QUERIES names not in registry: {unknown}")
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 fails = []
 records = {}
