@@ -220,6 +220,11 @@ HEADLINE = [
     "phrase_search_positional",
     "mmr_rerank",
     "table_diff_audit",
+    # round 5c: probabilistic record linkage (blocked-pair scoring is
+    # the records module's expensive representative) and margin-based
+    # bitext-style pair mining
+    "fs_linkage_weights",
+    "margin_knn_mining",
 ]
 
 

@@ -723,3 +723,165 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= HARD_NEG_TOP_K)
     )
+
+
+# ------------------------------------------- margin-based bitext-style mining
+
+MARGIN_SIDE = 24  # vectors per side: X = even ids, Y = odd ids, < 2*SIDE
+MARGIN_K = 4      # neighborhood size for the margin normalizer
+
+_MARGIN_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+x AS (
+    SELECT vec_id AS x_id, v, sqnorm FROM vecs
+    WHERE vec_id < {2 * MARGIN_SIDE} AND vec_id % 2 = 0
+), y AS (
+    SELECT vec_id AS y_id, v, sqnorm FROM vecs
+    WHERE vec_id < {2 * MARGIN_SIDE} AND vec_id % 2 = 1
+), pairs AS (
+    SELECT x.x_id, y.y_id,
+           round({_DOT_DUCK.format(a="x.v", b="y.v")}
+                 / (sqrt(x.sqnorm) * sqrt(y.sqnorm)), 6) AS cos_sim
+    FROM x, y
+), kx AS (
+    SELECT x_id,
+           CAST(sum(CAST(cos_sim AS DECIMAL(12,6))) AS DOUBLE) AS knn_sum_x
+    FROM (
+        SELECT x_id, cos_sim,
+               row_number() OVER (PARTITION BY x_id
+                                  ORDER BY cos_sim DESC, y_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {MARGIN_K} GROUP BY x_id
+), ky AS (
+    SELECT y_id,
+           CAST(sum(CAST(cos_sim AS DECIMAL(12,6))) AS DOUBLE) AS knn_sum_y
+    FROM (
+        SELECT y_id, cos_sim,
+               row_number() OVER (PARTITION BY y_id
+                                  ORDER BY cos_sim DESC, x_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {MARGIN_K} GROUP BY y_id
+), m AS (
+    SELECT p.x_id, p.y_id, p.cos_sim,
+           round(p.cos_sim * {2 * MARGIN_K} / (kx.knn_sum_x + ky.knn_sum_y), 6)
+               AS margin
+    FROM pairs p JOIN kx USING (x_id) JOIN ky USING (y_id)
+), bx AS (
+    SELECT x_id, y_id, cos_sim, margin,
+           row_number() OVER (PARTITION BY x_id
+                              ORDER BY margin DESC, y_id) AS rn
+    FROM m
+), byy AS (
+    SELECT x_id, y_id,
+           row_number() OVER (PARTITION BY y_id
+                              ORDER BY margin DESC, x_id) AS rn
+    FROM m
+)
+SELECT b.x_id, b.y_id, b.cos_sim, b.margin,
+       (b2.x_id IS NOT NULL) AS mutual
+FROM bx b LEFT JOIN byy b2
+  ON b2.rn = 1 AND b2.x_id = b.x_id AND b2.y_id = b.y_id
+WHERE b.rn = 1
+"""
+
+
+@register("margin_knn_mining", oracle=_MARGIN_ORACLE)
+def margin_knn_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext miner): two vector sets X (even ids) and Y
+    (odd ids) are aligned by RATIO MARGIN — cos(x,y) normalized by the
+    mean of each side's {MARGIN_K}-NN cosines — instead of raw cosine,
+    which cancels hubness (a y close to everything gets a high
+    denominator and stops winning every x). Emits each x's best y with
+    the margin score and a `mutual` flag (x is also y's best x — the
+    standard acceptance rule for mined pairs).
+
+    Scale design (100 TB): the all-pairs stage here is SIDE x SIDE on
+    two broadcast-able query sets — the correctness baseline, exactly
+    like cosine_topk. At corpus scale both the candidate pairs and the
+    k-NN normalizer come from the ANN index (ann_ivf_topk's plan): the
+    margin/mutual logic is a rank-filter OVER ann output (two window
+    functions and a self-join), so nothing in this operator's shape
+    changes — only the pair generator swaps from exact to ANN.
+
+    Determinism: cosines rounded at 6 dp (the family pattern); the
+    neighborhood statistic is the exact DECIMAL(12,6) k-NN SUM (a
+    rounded mean of 1e-6-granular values sits exactly on 6-dp halves,
+    where the engines' double rounding forks), so the margin is one
+    double quotient cos*2k/(sum_x+sum_y); ranks tie-broken by id.
+    """
+    vecs = _vectors(spark, sf_dir).filter(F.col("vec_id") < 2 * MARGIN_SIDE)
+    x = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("xv"),
+        F.col("sqnorm").alias("x_sqnorm"),
+    )
+    y = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("yv"),
+        F.col("sqnorm").alias("y_sqnorm"),
+    )
+    pairs = y.crossJoin(F.broadcast(x)).select(
+        "x_id",
+        "y_id",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="xv", b="yv"))
+            / (F.sqrt("x_sqnorm") * F.sqrt("y_sqnorm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    pairs = pairs.persist()
+
+    def knn_sum(side: str, other: str) -> DataFrame:
+        # The k-NN neighborhood statistic is carried as the EXACT
+        # decimal SUM (6-dp cosines are exact decimal(12,6) values)
+        # rather than a rounded mean: a mean of k 1e-6-granular values
+        # lands exactly on 6-dp half-boundaries, where Spark's and
+        # DuckDB's double rounding disagree by 1 ulp (seen at sf0.001).
+        w = Window.partitionBy(side).orderBy(F.col("cos_sim").desc(), F.col(other))
+        return (
+            pairs.select(side, "cos_sim", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= MARGIN_K)
+            .groupBy(side)
+            .agg(
+                F.sum(F.col("cos_sim").cast("decimal(12,6)"))
+                .cast("double")
+                .alias(f"knn_sum_{side[0]}")
+            )
+        )
+
+    m = (
+        pairs.join(F.broadcast(knn_sum("x_id", "y_id")), "x_id")
+        .join(F.broadcast(knn_sum("y_id", "x_id")), "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim")
+                * F.lit(2 * MARGIN_K)
+                / (F.col("knn_sum_x") + F.col("knn_sum_y")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.col("margin").desc(), F.col("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.col("margin").desc(), F.col("x_id"))
+    ranked = m.select(
+        "x_id",
+        "y_id",
+        "cos_sim",
+        "margin",
+        F.row_number().over(wx).alias("rn_x"),
+        F.row_number().over(wy).alias("rn_y"),
+    )
+    return (
+        ranked.filter(F.col("rn_x") == 1)
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            "margin",
+            (F.col("rn_y") == 1).alias("mutual"),
+        )
+    )

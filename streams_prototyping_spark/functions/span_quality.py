@@ -286,7 +286,13 @@ def _dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(words) rows per doc (same volume as the token stream every text
     query already shuffles) keyed by a 128-bit md5 — never the raw
     text; the duplicated-gram set shrinks by the HAVING threshold
-    before the membership join back (AQE broadcasts it when small);
+    before the membership join back — which is pinned to SHUFFLE_HASH,
+    never broadcast: the dup-gram set is corpus-derived (O(duplicated
+    windows), unbounded in the corpus), and md5 strings compress ~3x
+    in shuffle files, so AQE's bytes-based estimate passes the 64 MB
+    broadcast threshold while the deserialized driver-side hash
+    relation blows the heap (observed at sf10: 50 M grams, broadcast
+    build OOM). Shuffle-hash keeps the build per-partition;
     island merge is one doc-keyed window over only the HIT positions
     (O(duplicated windows), not O(corpus)). No all-pairs anything —
     this is the suffix-array dedup recast as three keyed shuffles.
@@ -317,7 +323,7 @@ def _dup_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("ndocs") >= 2)
             .select("gram")
         )
-        hits = grams.join(dup, "gram").select("doc_id", "pos")
+        hits = grams.join(dup.hint("shuffle_hash"), "gram").select("doc_id", "pos")
         w_prev = (
             Window.partitionBy("doc_id")
             .orderBy("pos")

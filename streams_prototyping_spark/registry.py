@@ -88,4 +88,5 @@ def load_all() -> None:
         text_mining,
         linalg,
         vector_quant,
+        records,
     )

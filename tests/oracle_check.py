@@ -46,7 +46,13 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
         # spilling to disk keeps big-oracle queries (pagerank, LSH
         # self-joins) deterministic instead of environment-dependent.
         os.makedirs("/tmp/duckdb_oracle_spill", exist_ok=True)
-        con.execute("SET memory_limit='24GB'")
+        # Default fits alongside a running Spark session at sf<=1; the
+        # sf10 targeted pass needs more for the vector self-join oracles
+        # (list columns don't spill in DuckDB's hash join) — override
+        # via SPARK_GRAFT_ORACLE_MEM for those runs.
+        con.execute(
+            f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
+        )
         con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"

@@ -1,0 +1,193 @@
+"""Round-5c operator tests: margin-based pair mining (independent
+Python differential), Fellegi-Sunter linkage invariants (pair
+conservation, threshold/band consistency), k-anonymity ladder
+monotonicity — plus plan pins (no cartesians anywhere; the margin
+all-pairs stage must be a broadcast nested-loop, not a shuffle)."""
+
+import math
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+
+from streams_prototyping_spark import registry
+from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.plans.introspect import plan_facts
+
+registry.load_all()
+
+
+# ------------------------------------------------------ margin mining
+
+def _py_margin_reference(spark, sf_dir):
+    """Independent reimplementation of margin_knn_mining with plain
+    Python floats, mirroring the engine's fold order and rounding."""
+    from streams_prototyping_spark.functions.similarity import (
+        MARGIN_K,
+        MARGIN_SIDE,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2 * MARGIN_SIDE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    sqn = {i: sum(x * x for x in v) for i, v in vecs.items()}
+    xs = sorted(i for i in vecs if i % 2 == 0)
+    ys = sorted(i for i in vecs if i % 2 == 1)
+    cos = {}
+    for xi in xs:
+        for yi in ys:
+            acc = 0.0
+            for a, b in zip(vecs[xi], vecs[yi]):
+                acc += a * b
+            cos[(xi, yi)] = round(acc / (math.sqrt(sqn[xi]) * math.sqrt(sqn[yi])), 6)
+
+    def knn_sum(ids, other_ids, key):
+        out = {}
+        for i in ids:
+            top = sorted(
+                ((cos[key(i, j)], j) for j in other_ids),
+                key=lambda t: (-t[0], t[1]),
+            )[:MARGIN_K]
+            s = sum(Decimal(f"{c:.6f}") for c, _ in top)
+            out[i] = float(s)
+        return out
+
+    sx = knn_sum(xs, ys, lambda i, j: (i, j))
+    sy = knn_sum(ys, xs, lambda i, j: (j, i))
+    margin = {
+        (xi, yi): round(c * 2 * MARGIN_K / (sx[xi] + sy[yi]), 6)
+        for (xi, yi), c in cos.items()
+    }
+    best_y = {
+        xi: min(((-margin[(xi, yi)], yi) for yi in ys))[1] for xi in xs
+    }
+    best_x = {
+        yi: min(((-margin[(xi, yi)], xi) for xi in xs))[1] for yi in ys
+    }
+    return {
+        xi: (
+            best_y[xi],
+            cos[(xi, best_y[xi])],
+            margin[(xi, best_y[xi])],
+            best_x[best_y[xi]] == xi,
+        )
+        for xi in xs
+    }
+
+
+def test_margin_mining_matches_python_reference(spark, sf_dir):
+    got = {
+        r.x_id: (r.y_id, r.cos_sim, r.margin, r.mutual)
+        for r in registry.QUERIES["margin_knn_mining"](spark, sf_dir).collect()
+    }
+    want = _py_margin_reference(spark, sf_dir)
+    assert set(got) == set(want)
+    for xi in want:
+        assert got[xi] == want[xi], f"x_id={xi}: {got[xi]} != {want[xi]}"
+
+
+def test_margin_mining_shape_and_plan(spark, sf_dir):
+    from streams_prototyping_spark.functions.similarity import MARGIN_SIDE
+
+    df = registry.QUERIES["margin_knn_mining"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == MARGIN_SIDE  # exactly one best y per x
+    assert all(r.x_id % 2 == 0 and r.y_id % 2 == 1 for r in rows)
+    # mutual pairs are one-to-one: no y repeats among mutual winners
+    mut = [r.y_id for r in rows if r.mutual]
+    assert len(mut) == len(set(mut))
+    facts = plan_facts(df)
+    assert not facts.has_cartesian
+
+
+# ------------------------------------------------------ Fellegi-Sunter
+
+def test_fs_linkage_pair_conservation(spark, sf_dir):
+    """sum(n_pairs) over the report equals the blocked-pair count
+    computed independently: sum over blocks of C(size, 2)."""
+    from streams_prototyping_spark.functions.records import _fs_block_width
+
+    rows = registry.QUERIES["fs_linkage_weights"](spark, sf_dir).collect()
+    total = sum(r.n_pairs for r in rows)
+    c = load_table(spark, sf_dir, "customer")
+    bw = _fs_block_width(spark, sf_dir)
+    blocks = (
+        c.groupBy(
+            "c_nationkey",
+            F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("bb"),
+        )
+        .count()
+        .collect()
+    )
+    want = sum(r["count"] * (r["count"] - 1) // 2 for r in blocks)
+    assert total == want
+
+
+def test_fs_linkage_bands_and_decisions_consistent(spark, sf_dir):
+    from streams_prototyping_spark.functions.records import (
+        FS_T_MATCH,
+        FS_T_POSSIBLE,
+    )
+
+    rows = registry.QUERIES["fs_linkage_weights"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.weight_band == math.floor(r.min_weight)
+        assert r.weight_band == math.floor(r.max_weight)
+        assert r.min_weight <= r.max_weight
+        if r.decision == "match":
+            assert r.min_weight >= FS_T_MATCH
+        elif r.decision == "possible":
+            assert FS_T_POSSIBLE <= r.min_weight and r.max_weight < FS_T_MATCH
+        else:
+            assert r.max_weight < FS_T_POSSIBLE
+
+
+def test_fs_linkage_no_cartesian(spark, sf_dir):
+    facts = plan_facts(registry.QUERIES["fs_linkage_weights"](spark, sf_dir))
+    assert not facts.has_cartesian
+
+
+# ------------------------------------------------------ k-anonymity
+
+def test_k_anonymity_ladder_monotone(spark, sf_dir):
+    """Coarsening quasi-identifiers merges equivalence classes, so
+    min_k is non-decreasing and n_groups non-increasing up the ladder;
+    l-diversity never exceeds class size."""
+    rows = {
+        r.level: r
+        for r in registry.QUERIES["k_anonymity_audit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for lo, hi in ((0, 1), (1, 2)):
+        assert rows[hi].min_k >= rows[lo].min_k
+        assert rows[hi].n_groups <= rows[lo].n_groups
+    c = load_table(spark, sf_dir, "customer").count()
+    for r in rows.values():
+        assert 0 <= r.frac_below_k <= 1
+        assert r.min_l >= 1
+        assert r.n_records_below_k <= c
+
+
+def test_fs_em_params_valid_and_deterministic(spark, sf_dir):
+    rows = {
+        r.param: r.value
+        for r in registry.QUERIES["fs_em_params"](spark, sf_dir).collect()
+    }
+    from streams_prototyping_spark.functions.records import FS_FIELDS
+
+    names = [n for n, _, _ in FS_FIELDS]
+    assert set(rows) == {"lambda"} | {f"m_{n}" for n in names} | {
+        f"u_{n}" for n in names
+    }
+    for k, v in rows.items():
+        assert 0 < v < 1, (k, v)
+    # EM on a fixed pattern table is deterministic across invocations
+    again = {
+        r.param: r.value
+        for r in registry.QUERIES["fs_em_params"](spark, sf_dir).collect()
+    }
+    assert rows == again
