@@ -67,6 +67,57 @@ _FS_BW_SQL = (
 )
 
 
+def _fs_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared linkage record table: blocking keys + compared values.
+
+    Two-level blocking: (1) the adaptive band width bounds block count
+    growth; (2) SUB-BLOCKING caps block SIZE — real columns clump on
+    repeated values (the sf10 upscale has only ~15k distinct balances
+    across 1.5M records, so width alone left 400-record blocks and 94M
+    candidate pairs, alpha 1.3). Oversized blocks split deterministically
+    by rec_id % ceil(size / {FS_TARGET_BLOCK}) — the standard ER
+    block-size cap: candidates are bounded at O(N * target), the
+    documented tradeoff being that pairs across sub-blocks of one clump
+    are not compared (capped recall, like minhash_lsh_pairs_capped).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bw = _fs_block_width(spark, sf_dir)
+    recs0 = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("blk_nation"),
+        F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("blk_bal"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("bal_cents"),
+        *[F.expr(expr).alias(f"v_{name}") for name, expr, _ in FS_FIELDS],
+    )
+    sized = recs0.groupBy("blk_nation", "blk_bal").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return recs0.join(sized, ["blk_nation", "blk_bal"]).select(
+        recs0["*"],
+        (
+            F.col("rec_id")
+            % F.greatest(
+                F.lit(1),
+                F.expr(f"(cnt + {FS_TARGET_BLOCK} - 1) div {FS_TARGET_BLOCK}"),
+            )
+        ).alias("blk_sub"),
+    )
+
+
+def _fs_pairs(recs: DataFrame) -> DataFrame:
+    """Blocked candidate pairs (a, b aliases) — the one corpus-sized
+    join every linkage operator shares."""
+    a = recs.alias("a")
+    b = recs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.blk_nation") == F.col("b.blk_nation"))
+        & (F.col("a.blk_bal") == F.col("b.blk_bal"))
+        & (F.col("a.blk_sub") == F.col("b.blk_sub"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    )
+
+
 def _fs_weight_sql(field: str, m: float) -> str:
     """Per-field agreement/disagreement log2 weight, rounded at 6 dp
     BEFORE summation (both engines sum exact decimals)."""
@@ -98,12 +149,22 @@ def _fs_recs_cte() -> str:
     return f"""
 params AS (
     SELECT {_FS_BW_SQL} AS bw
-), recs AS MATERIALIZED (
+), recs0 AS MATERIALIZED (
     SELECT c.c_custkey AS rec_id,
            c.c_nationkey AS blk_nation,
            CAST(floor(c.c_acctbal / p.bw) AS BIGINT) AS blk_bal,
+           CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
            {cols}
     FROM customer c CROSS JOIN params p
+), sized AS (
+    SELECT blk_nation, blk_bal, count(*) AS cnt
+    FROM recs0 GROUP BY blk_nation, blk_bal
+), recs AS MATERIALIZED (
+    SELECT r.*,
+           r.rec_id % greatest(1, (s.cnt + {FS_TARGET_BLOCK} - 1)
+                                  // {FS_TARGET_BLOCK}) AS blk_sub
+    FROM recs0 r JOIN sized s
+      ON s.blk_nation = r.blk_nation AND s.blk_bal = r.blk_bal
 )"""
 
 
@@ -122,7 +183,7 @@ u AS (
     SELECT a.rec_id AS id_a, b.rec_id AS id_b, {a_cols}, {b_cols}
     FROM recs a JOIN recs b
       ON a.blk_nation = b.blk_nation AND a.blk_bal = b.blk_bal
-     AND a.rec_id < b.rec_id
+     AND a.blk_sub = b.blk_sub AND a.rec_id < b.rec_id
 ), scored AS (
     SELECT CAST({w_sum} AS DOUBLE) AS weight
     FROM cand CROSS JOIN u
@@ -166,14 +227,7 @@ def fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the same comparison-vector counts this query already
     materializes.
     """
-    c = load_table(spark, sf_dir, "customer")
-    bw = _fs_block_width(spark, sf_dir)
-    sel = [
-        F.col("c_custkey").alias("rec_id"),
-        F.col("c_nationkey").alias("blk_nation"),
-        F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("blk_bal"),
-    ] + [F.expr(expr).alias(f"v_{name}") for name, expr, _ in FS_FIELDS]
-    recs = c.select(*sel)
+    recs = _fs_recs(spark, sf_dir)
 
     n = recs.count()
     # u per field: one tiny aggregate each — driver-side scalars, the
@@ -189,14 +243,7 @@ def fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         us[name] = float(sq) / (float(n) * float(n))
 
-    a = recs.alias("a")
-    b = recs.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.blk_nation") == F.col("b.blk_nation"))
-        & (F.col("a.blk_bal") == F.col("b.blk_bal"))
-        & (F.col("a.rec_id") < F.col("b.rec_id")),
-    )
+    cand = _fs_pairs(recs)
     import math
 
     weight = None
@@ -393,7 +440,7 @@ cand AS (
     SELECT {gammas}
     FROM recs a JOIN recs b
       ON a.blk_nation = b.blk_nation AND a.blk_bal = b.blk_bal
-     AND a.rec_id < b.rec_id
+     AND a.blk_sub = b.blk_sub AND a.rec_id < b.rec_id
 ), pat AS (
     SELECT {", ".join(f"g_{n}" for n in names)}, count(*) AS n
     FROM cand GROUP BY {", ".join(f"g_{n}" for n in names)}
@@ -431,22 +478,7 @@ def fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     from decimal import Decimal
 
     names = [name for name, _, _ in FS_FIELDS]
-    c = load_table(spark, sf_dir, "customer")
-    bw = _fs_block_width(spark, sf_dir)
-    sel = [
-        F.col("c_custkey").alias("rec_id"),
-        F.col("c_nationkey").alias("blk_nation"),
-        F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("blk_bal"),
-    ] + [F.expr(expr).alias(f"v_{name}") for name, expr, _ in FS_FIELDS]
-    recs = c.select(*sel)
-    a = recs.alias("a")
-    b = recs.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.blk_nation") == F.col("b.blk_nation"))
-        & (F.col("a.blk_bal") == F.col("b.blk_bal"))
-        & (F.col("a.rec_id") < F.col("b.rec_id")),
-    ).select(
+    cand = _fs_pairs(_fs_recs(spark, sf_dir)).select(
         *[
             F.when(F.col(f"a.v_{n}") == F.col(f"b.v_{n}"), 1)
             .otherwise(0)
@@ -496,3 +528,159 @@ def fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((f"m_{n}", round(m[n], 9)))
         rows.append((f"u_{n}", round(u[n], 9)))
     return spark.createDataFrame(rows, "param string, value double")
+
+
+# ------------------------------------- greedy one-to-one match assignment
+
+MATCH_ROUNDS = 3
+
+
+def _match_oracle() -> str:
+    """Unrolled greedy mutual-best matching (the MMR-unroll pattern):
+    each round keeps pairs that are rank-1 for BOTH endpoints, then
+    removes every pair touching a matched record."""
+    rounds = []
+    prev = "p0"
+    outs = []
+    for r in range(1, MATCH_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (
+    SELECT id_a AS u, id_b AS v, score FROM {prev}
+    UNION ALL
+    SELECT id_b AS u, id_a AS v, score FROM {prev}
+), best{r} AS MATERIALIZED (
+    SELECT u, v, score FROM (
+        SELECT u, v, score,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY score DESC, v) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+), m{r} AS MATERIALIZED (
+    SELECT x.u AS id_a, x.v AS id_b, x.score
+    FROM best{r} x JOIN best{r} y ON y.u = x.v AND y.v = x.u
+    WHERE x.u < x.v
+), x{r} AS (
+    SELECT id_a AS rec FROM m{r} UNION SELECT id_b FROM m{r}
+), p{r} AS MATERIALIZED (
+    SELECT p.id_a, p.id_b, p.score FROM {prev} p
+    LEFT JOIN x{r} ta ON p.id_a = ta.rec
+    LEFT JOIN x{r} tb ON p.id_b = tb.rec
+    WHERE ta.rec IS NULL AND tb.rec IS NULL
+)""")
+        outs.append(
+            f"SELECT id_a, id_b, score, CAST({r} AS BIGINT) AS round FROM m{r}"
+        )
+        prev = f"p{r}"
+    return f"""
+WITH {_fs_recs_cte()},
+p0 AS MATERIALIZED (
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           -abs(a.bal_cents - b.bal_cents) AS score
+    FROM recs a JOIN recs b
+      ON a.blk_nation = b.blk_nation AND a.blk_bal = b.blk_bal
+     AND a.blk_sub = b.blk_sub AND a.rec_id < b.rec_id
+),{",".join(rounds)}
+{" UNION ALL ".join(outs)}
+"""
+
+
+@register("greedy_match_assign", oracle=_match_oracle())
+def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one record assignment by greedy mutual-best matching —
+    the resolution step after pair scoring (fs_linkage_weights ranks
+    pairs; THIS decides who marries whom): within the adaptive blocks,
+    each round keeps every pair that is the highest-scoring partner
+    for BOTH of its endpoints (score = balance proximity in exact
+    integer cents, ties by id), removes the matched records, and
+    repeats {MATCH_ROUNDS} rounds. Greedy mutual-best is the classic
+    distributed 1/2-approximation of maximum-weight matching — each
+    round symmetrizes the surviving pairs into directed edges, ranks
+    each record's full neighborhood in ONE window, mirror-joins the
+    rank-1 edges, then anti-joins matched records out; all keyed,
+    O(pairs).
+
+    Determinism: scores are exact int64 (cents deltas), every rank
+    tie-breaks on ids, and the round count is fixed — both engines
+    walk the identical elimination sequence.
+
+    Scale design: pair volume is O(N) by adaptive blocking; per round
+    the windows shuffle on endpoint ids and the matched-record
+    anti-join is a keyed semi-join. Round results are persisted and
+    the survivor set re-derived, never re-scored; lineage stays
+    bounded because the loop is a fixed {MATCH_ROUNDS}-round unroll.
+    """
+    pairs = _fs_pairs(_fs_recs(spark, sf_dir)).select(
+        F.col("a.rec_id").alias("id_a"),
+        F.col("b.rec_id").alias("id_b"),
+        (-F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    out = None
+    p = pairs
+    for r in range(1, MATCH_ROUNDS + 1):
+        # Symmetrize BEFORE ranking: pairs are stored ordered
+        # (id_a < id_b), so a record's candidate neighborhood is split
+        # across the two columns — per-column windows let one record
+        # win twice in a round (caught by the one-to-one invariant
+        # test; the cross-engine oracle alone could not see it, both
+        # engines computed the same wrong thing). Rank each record's
+        # FULL directed neighborhood instead.
+        d = p.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v"), "score"
+        ).unionAll(
+            p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"), "score")
+        )
+        wu = Window.partitionBy("u").orderBy(F.col("score").desc(), F.col("v"))
+        # Only each record's SINGLE best edge is ever consumed, so the
+        # rank-1 filter runs BEFORE the checkpoint (rn=1 plans as a
+        # WindowGroupLimit: per-partition top-1 pre-prune, and the
+        # stored block is O(records), not O(2*pairs)). best feeds both
+        # sides of the mirror join and p feeds the next symmetrize
+        # TWICE — a >1-fan-out iterative loop, so the LOGICAL plan
+        # quadruples per round and Catalyst analysis dominates wall
+        # clock (the cc_star lesson: persist() caches blocks but never
+        # truncates the plan). localCheckpoint cuts lineage to a leaf;
+        # the oracle twin uses AS MATERIALIZED for the same reason
+        # (DuckDB inlines plain CTEs once per reference). Each
+        # generation's blocks are released as soon as their consumers
+        # are materialized — at sf10 three live generations of 40M-row
+        # rank tables OOM'd the executor heap.
+        best = (
+            d.select("u", "v", "score", F.row_number().over(wu).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("u", "v", "score")
+            .localCheckpoint()
+        )
+        x = best.alias("x")
+        y = best.alias("y")
+        m = (
+            x.join(
+                y,
+                (F.col("y.u") == F.col("x.v")) & (F.col("y.v") == F.col("x.u")),
+            )
+            .filter(F.col("x.u") < F.col("x.v"))
+            .select(
+                F.col("x.u").alias("id_a"),
+                F.col("x.v").alias("id_b"),
+                F.col("x.score").alias("score"),
+            )
+            .localCheckpoint()
+        )
+        best.unpersist()
+        tagged = m.select("id_a", "id_b", "score", F.lit(r).cast("long").alias("round"))
+        out = tagged if out is None else out.unionAll(tagged)
+        matched = (
+            m.select(F.col("id_a").alias("rec"))
+            .union(m.select(F.col("id_b").alias("rec")))
+        )
+        p_next = (
+            p.join(matched.withColumnRenamed("rec", "id_a"), "id_a", "left_anti")
+            .join(matched.withColumnRenamed("rec", "id_b"), "id_b", "left_anti")
+            .select("id_a", "id_b", "score")
+            .localCheckpoint()
+        )
+        if r > 1:  # round-0 pairs is plain lineage, nothing to free
+            p.unpersist()
+        p = p_next
+    return out

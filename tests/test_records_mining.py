@@ -108,22 +108,36 @@ def test_margin_mining_shape_and_plan(spark, sf_dir):
 def test_fs_linkage_pair_conservation(spark, sf_dir):
     """sum(n_pairs) over the report equals the blocked-pair count
     computed independently: sum over blocks of C(size, 2)."""
-    from streams_prototyping_spark.functions.records import _fs_block_width
-
     rows = registry.QUERIES["fs_linkage_weights"](spark, sf_dir).collect()
     total = sum(r.n_pairs for r in rows)
-    c = load_table(spark, sf_dir, "customer")
-    bw = _fs_block_width(spark, sf_dir)
-    blocks = (
-        c.groupBy(
-            "c_nationkey",
-            F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("bb"),
-        )
-        .count()
-        .collect()
-    )
-    want = sum(r["count"] * (r["count"] - 1) // 2 for r in blocks)
+    want = sum(c * (c - 1) // 2 for c in _sub_block_sizes(spark, sf_dir).values())
     assert total == want
+
+
+def _sub_block_sizes(spark, sf_dir):
+    """Independent recomputation of the two-level blocking (adaptive
+    band width + size-cap sub-blocking): (nation, band, sub) -> size."""
+    from streams_prototyping_spark.functions.records import (
+        FS_TARGET_BLOCK,
+        _fs_block_width,
+    )
+
+    bw = _fs_block_width(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("bb"),
+    ).collect()
+    blocks = {}
+    for r in c:
+        blocks.setdefault((r.nat, r.bb), []).append(r.rid)
+    sizes = {}
+    for (nat, bb), rids in blocks.items():
+        nsub = max(1, (len(rids) + FS_TARGET_BLOCK - 1) // FS_TARGET_BLOCK)
+        for rid in rids:
+            k = (nat, bb, rid % nsub)
+            sizes[k] = sizes.get(k, 0) + 1
+    return sizes
 
 
 def test_fs_linkage_bands_and_decisions_consistent(spark, sf_dir):
@@ -191,3 +205,55 @@ def test_fs_em_params_valid_and_deterministic(spark, sf_dir):
         for r in registry.QUERIES["fs_em_params"](spark, sf_dir).collect()
     }
     assert rows == again
+
+
+def test_greedy_match_is_one_to_one_and_mutual_best(spark, sf_dir):
+    """Matching invariants: (1) no record appears in more than one
+    matched pair across all rounds (one-to-one); (2) a round-1 match
+    really is mutual-best — no other round-1-eligible pair involving
+    either endpoint has a strictly better (score, tie-break) key."""
+    rows = registry.QUERIES["greedy_match_assign"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.id_a not in seen and r.id_b not in seen, r
+        seen.add(r.id_a)
+        seen.add(r.id_b)
+    # recompute round-1 candidate pairs independently (two-level
+    # blocking: adaptive band width + size-cap sub-blocking)
+    from streams_prototyping_spark.functions.records import (
+        FS_TARGET_BLOCK,
+        _fs_block_width,
+    )
+
+    bw = _fs_block_width(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(f"CAST(floor(c_acctbal / {bw}) AS BIGINT)").alias("bb"),
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("cents"),
+    ).collect()
+    best = {}  # rid -> best (score, partner) seen among all blocked pairs
+    coarse = {}
+    for r in c:
+        coarse.setdefault((r.nat, r.bb), []).append(r)
+    by_block = {}
+    for (nat, bb), grp in coarse.items():
+        nsub = max(1, (len(grp) + FS_TARGET_BLOCK - 1) // FS_TARGET_BLOCK)
+        for r in grp:
+            by_block.setdefault((nat, bb, r.rid % nsub), []).append(r)
+    for grp in by_block.values():
+        grp.sort(key=lambda r: r.rid)
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                a, b = grp[i], grp[j]
+                s = -abs(a.cents - b.cents)
+                # rank key mirrors the window: score desc, partner asc
+                if best.get(a.rid) is None or (-s, b.rid) < best[a.rid][0]:
+                    best[a.rid] = ((-s, b.rid), b.rid)
+                if best.get(b.rid) is None or (-s, a.rid) < best[b.rid][0]:
+                    best[b.rid] = ((-s, a.rid), a.rid)
+    for r in rows:
+        if r.round == 1:
+            assert best[r.id_a][1] == r.id_b, r
+            assert best[r.id_b][1] == r.id_a, r
