@@ -220,10 +220,11 @@ HEADLINE = [
     "phrase_search_positional",
     "mmr_rerank",
     "table_diff_audit",
-    # round 5c: probabilistic record linkage (blocked-pair scoring is
-    # the records module's expensive representative) and margin-based
-    # bitext-style pair mining
+    # round 5c: probabilistic record linkage (blocked-pair scoring),
+    # greedy one-to-one matching (the records module's expensive
+    # member: iterative checkpointed rounds), margin-based mining
     "fs_linkage_weights",
+    "greedy_match_assign",
     "margin_knn_mining",
 ]
 
