@@ -684,3 +684,155 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.unpersist()
         p = p_next
     return out
+
+
+# ------------------------------------------------------- t-closeness audit
+
+T_CLOSE_THRESHOLD = 0.2  # groups with EMD above this flag the level
+
+
+def _t_closeness_oracle() -> str:
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {lvl} AS level, {expr} AS qi, {_SENSITIVE} AS sens, "
+        f"c_custkey FROM customer"
+        for lvl, expr in _QI_LADDER
+    )
+    return f"""
+WITH leveled AS MATERIALIZED (
+    {levels}
+), cell AS (
+    SELECT level, qi, sens, count(*) AS c FROM leveled GROUP BY level, qi, sens
+), gt AS (
+    SELECT level, qi, count(*) AS gtot FROM leveled GROUP BY level, qi
+), gdist AS (
+    SELECT level, sens, count(*) AS g FROM leveled GROUP BY level, sens
+), tot AS (
+    SELECT level, count(*) AS n, count(DISTINCT sens) AS m
+    FROM leveled GROUP BY level
+), grid AS (
+    SELECT q.level, q.qi, s.sens, coalesce(cell.c, 0) AS c0,
+           q.gtot, s.g, s.n, s.m
+    FROM gt q
+    JOIN (SELECT gdist.level, gdist.sens, gdist.g, tot.n, tot.m
+          FROM gdist JOIN tot ON tot.level = gdist.level) s
+      ON s.level = q.level
+    LEFT JOIN cell ON cell.level = q.level AND cell.qi = q.qi
+                  AND cell.sens = s.sens
+), runs AS (
+    SELECT level, qi, m,
+           row_number() OVER (PARTITION BY level, qi ORDER BY sens) AS i,
+           sum(CAST(c0 AS DOUBLE) / gtot - CAST(g AS DOUBLE) / n)
+               OVER (PARTITION BY level, qi ORDER BY sens
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM grid
+), tq AS (
+    SELECT level, qi,
+           round(CAST(sum(CAST(round(abs(run), 12) AS DECIMAL(16,12)))
+                      AS DOUBLE) / greatest(max(m) - 1, 1), 9) AS t
+    FROM runs WHERE i < m GROUP BY level, qi
+)
+SELECT level,
+       count(*) AS n_groups,
+       max(t) AS max_t,
+       CAST(sum(CASE WHEN t > {T_CLOSE_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_groups_above,
+       round(CAST(sum(CAST(t AS DECIMAL(12,9))) AS DOUBLE) / count(*), 6)
+           AS avg_t
+FROM tq GROUP BY level
+"""
+
+
+@register("t_closeness_audit", oracle=_t_closeness_oracle())
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) over the
+    same quasi-identifier generalization ladder as k_anonymity_audit:
+    per equivalence class, the ordinal earth-mover's distance between
+    the class's sensitive-attribute distribution and the global one —
+    EMD = mean of |cumulative(Q - P)| over the ordered sensitive
+    values. k/l-diversity miss skew ATTACKS (a class can be 5-anonymous
+    and 3-diverse yet 90% one sensitive value); t-closeness is the
+    metric that catches them. Reports worst-case t, the count of
+    classes above t={T_CLOSE_THRESHOLD}, and the mean per level.
+
+    Determinism: the running cumulative is an ORDERED window (both
+    engines fold in sensitive-value order); per-class EMD sums the
+    12-dp-rounded |cumulatives| as exact decimals; per-level mean sums
+    9-dp t values as exact decimals. Zero-count cells are restored by
+    a (class x sensitive-value) grid join so Q's support matches P's.
+
+    Scale design: three keyed aggregates plus one window over the
+    (classes x sensitive-cardinality) grid — the grid is corpus-row
+    bounded times a small constant (sensitive cardinality), never a
+    pair join.
+    """
+    leveled = None
+    c = load_table(spark, sf_dir, "customer")
+    for lvl, expr in _QI_LADDER:
+        part = c.select(
+            F.lit(lvl).cast("int").alias("level"),
+            F.expr(expr).alias("qi"),
+            F.expr(_SENSITIVE).alias("sens"),
+        )
+        leveled = part if leveled is None else leveled.unionAll(part)
+    leveled = leveled.persist()
+    cell = leveled.groupBy("level", "qi", "sens").agg(F.count(F.lit(1)).alias("c"))
+    gt = leveled.groupBy("level", "qi").agg(F.count(F.lit(1)).alias("gtot"))
+    glob = leveled.groupBy("level", "sens").agg(F.count(F.lit(1)).alias("g"))
+    tot = leveled.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("sens").alias("m")
+    )
+    svals = glob.join(tot, "level").select("level", "sens", "g", "n", "m")
+    grid = (
+        gt.join(svals, "level")
+        .join(cell, ["level", "qi", "sens"], "left")
+        .select(
+            "level",
+            "qi",
+            "sens",
+            F.coalesce("c", F.lit(0)).alias("c0"),
+            "gtot",
+            "g",
+            "n",
+            "m",
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("level", "qi").orderBy("sens")
+    runs = grid.select(
+        "level",
+        "qi",
+        "m",
+        F.row_number().over(wq).alias("i"),
+        F.sum(
+            F.col("c0").cast("double") / F.col("gtot")
+            - F.col("g").cast("double") / F.col("n")
+        )
+        .over(wq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run"),
+    )
+    tq = (
+        runs.filter(F.col("i") < F.col("m"))
+        .groupBy("level", "qi")
+        .agg(
+            F.round(
+                F.sum(F.round(F.abs("run"), 12).cast("decimal(16,12)")).cast(
+                    "double"
+                )
+                / F.greatest(F.max("m") - 1, F.lit(1)),
+                9,
+            ).alias("t")
+        )
+    )
+    return tq.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("t").alias("max_t"),
+        F.sum(F.when(F.col("t") > T_CLOSE_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_above"),
+        F.round(
+            F.sum(F.col("t").cast("decimal(12,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_t"),
+    )

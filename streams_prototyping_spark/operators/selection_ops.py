@@ -167,3 +167,134 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es_key",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+# ----------------------- Poisson-PPS sampling + Horvitz-Thompson audit
+
+PPS_N_TARGET = 2048  # expected sample size
+
+
+def _pps_oracle() -> str:
+    u = portable_hash64_sql("'pps:' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST({u} + 1 AS DOUBLE) / {_POW2_60!r} AS u
+    FROM orders
+), tot AS (
+    SELECT CAST(sum(cents) AS DOUBLE) AS t_cents,
+           CAST(count(*) AS BIGINT) AS n_pop
+    FROM base
+), probs AS (
+    SELECT b.o_orderkey, b.cents, b.u,
+           least(1.0, CAST(b.cents AS DOUBLE) * {PPS_N_TARGET} / t.t_cents)
+               AS pi,
+           t.t_cents, t.n_pop
+    FROM base b CROSS JOIN tot t
+), sampled AS (
+    SELECT * FROM probs WHERE u < pi
+)
+SELECT max(p.n_pop) AS n_pop,
+       round(CAST((SELECT sum(CAST(round(pi, 9) AS DECIMAL(20,9)))
+                   FROM probs) AS DOUBLE), 3) AS n_expected,
+       count(*) AS n_sampled,
+       round(max(p.t_cents) / 100, 2) AS exact_total,
+       round(CAST(sum(CAST(round(CAST(p.cents AS DOUBLE) / p.pi, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / 100, 2)
+           AS ht_total,
+       round(CAST(sum(CAST(round(1.0 / p.pi, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE), 3) AS ht_count
+FROM sampled p
+"""
+
+
+@register("pps_horvitz_thompson", oracle=_pps_oracle())
+def pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS (probability-proportional-to-size) sampling with the
+    Horvitz-Thompson estimator audit — how a pipeline estimates corpus
+    totals from a tiny sample instead of scanning everything: each
+    order is included independently with pi = min(1, n*size/total)
+    (size = price in exact cents, inclusion decided by the portable
+    hash-uniform, so the sample is reproducible across engines, runs,
+    and task retries). HT re-weights each sampled row by 1/pi: the
+    revenue estimate is near-exact BY CONSTRUCTION (pi proportional to
+    the estimand makes y/pi constant — the PPS optimality property,
+    visible in the output), while the order-COUNT estimate carries
+    real variance — the side-by-side is the point of the audit.
+
+    Determinism: pi is one double expression of exact int64 inputs in
+    identical operation order; HT contributions are rounded (6/9 dp)
+    then summed as exact decimals, so Spark's partial aggregation and
+    DuckDB's single-threaded fold agree bit-for-bit.
+
+    Scale design: one narrow projection (hash + compare) and one
+    global aggregate — no shuffle beyond the 1-row totals broadcast;
+    at 100 TB this is THE way to audit corpus statistics without a
+    full pass per question.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        (
+            (
+                portable_hash64(
+                    F.concat(F.lit("pps:"), F.col("o_orderkey").cast("string"))
+                )
+                + 1
+            ).cast("double")
+            / F.lit(_POW2_60)
+        ).alias("u"),
+    )
+    tot = base.agg(
+        F.sum("cents").cast("double").alias("t_cents"),
+        F.count(F.lit(1)).alias("n_pop"),
+    )
+    probs = base.crossJoin(F.broadcast(tot)).select(
+        "o_orderkey",
+        "cents",
+        "u",
+        F.least(
+            F.lit(1.0),
+            F.col("cents").cast("double") * PPS_N_TARGET / F.col("t_cents"),
+        ).alias("pi"),
+        "t_cents",
+        "n_pop",
+    )
+    n_expected = probs.agg(
+        F.round(
+            F.sum(F.round("pi", 9).cast("decimal(20,9)")).cast("double"), 3
+        ).alias("v")
+    )
+    sampled = probs.filter(F.col("u") < F.col("pi"))
+    return (
+        sampled.agg(
+            F.max("n_pop").alias("n_pop"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.max("t_cents") / 100, 2).alias("exact_total"),
+            F.round(
+                F.sum(
+                    F.round(F.col("cents").cast("double") / F.col("pi"), 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double")
+                / 100,
+                2,
+            ).alias("ht_total"),
+            F.round(
+                F.sum(F.round(F.lit(1.0) / F.col("pi"), 9).cast("decimal(20,9)"))
+                .cast("double"),
+                3,
+            ).alias("ht_count"),
+        )
+        .crossJoin(F.broadcast(n_expected.select(F.col("v").alias("n_expected"))))
+        .select(
+            "n_pop",
+            "n_expected",
+            "n_sampled",
+            "exact_total",
+            "ht_total",
+            "ht_count",
+        )
+    )

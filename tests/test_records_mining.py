@@ -257,3 +257,44 @@ def test_greedy_match_is_one_to_one_and_mutual_best(spark, sf_dir):
         if r.round == 1:
             assert best[r.id_a][1] == r.id_b, r
             assert best[r.id_b][1] == r.id_a, r
+
+
+def test_t_closeness_monotone_and_bounded(spark, sf_dir):
+    """EMD t is in [0,1]; coarsening the ladder merges classes toward
+    the global distribution, so worst-case t is non-increasing."""
+    rows = {
+        r.level: r
+        for r in registry.QUERIES["t_closeness_audit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert 0 <= r.avg_t <= r.max_t <= 1
+        assert 0 <= r.n_groups_above <= r.n_groups
+    assert rows[2].max_t <= rows[1].max_t <= rows[0].max_t
+    # group counts must agree with the k-anonymity ladder
+    k_rows = {
+        r.level: r
+        for r in registry.QUERIES["k_anonymity_audit"](spark, sf_dir).collect()
+    }
+    for lvl in rows:
+        assert rows[lvl].n_groups == k_rows[lvl].n_groups
+
+
+def test_pps_ht_estimates_close_and_reproducible(spark, sf_dir):
+    r = registry.QUERIES["pps_horvitz_thompson"](spark, sf_dir).collect()[0]
+    # realized sample size within 4 sd of Poisson expectation
+    import math
+
+    sd = math.sqrt(r.n_expected)
+    assert abs(r.n_sampled - r.n_expected) <= 4 * sd
+    # PPS-optimal revenue estimate: relative error well under the
+    # count estimate's (pi proportional to the estimand)
+    rev_err = abs(r.ht_total - r.exact_total) / r.exact_total
+    cnt_err = abs(r.ht_count - r.n_pop) / r.n_pop
+    assert rev_err < 0.05
+    assert cnt_err < 0.05
+    # at the test SFs n_target is a large fraction of the population
+    # (most pi cap at 1 -> near-census), so the PPS-optimality ordering
+    # rev_err <= cnt_err only shows at real scale; here both are tiny
+    again = registry.QUERIES["pps_horvitz_thompson"](spark, sf_dir).collect()[0]
+    assert again == r
