@@ -1018,3 +1018,117 @@ def experiment_readout_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff_adj * 100.0 / F.sqrt(va1 / F.col("n1") + va0 / F.col("n0")), 6).alias("t_adj"),
         F.col("th").alias("theta"),
     )
+
+
+# ---------------------------------------- isotonic calibration (PAV)
+
+_ISO_BINS_CTE = """
+b AS (
+    SELECT min(value) AS minv, max(value) AS maxv FROM events
+), p AS (
+    SELECT least(CAST(floor((value - minv) / (maxv - minv) * 10) AS INT), 9)
+               AS bin,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+    FROM events, b
+), bins AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+    FROM p GROUP BY bin
+)"""
+
+_ISO_ORACLE = f"""
+WITH {_ISO_BINS_CTE},
+r AS (
+    SELECT j.bin AS jb, k.bin AS kb,
+           CAST(sum(m.pos) AS DOUBLE) / sum(m.n) AS avg_rate
+    FROM bins j JOIN bins k ON k.bin >= j.bin
+    JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+    GROUP BY j.bin, k.bin
+), innermin AS (
+    SELECT i.bin, r.jb, min(r.avg_rate) AS mn
+    FROM bins i JOIN r ON r.jb <= i.bin AND r.kb >= i.bin
+    GROUP BY i.bin, r.jb
+), iso AS (
+    SELECT bin, round(max(mn), 6) AS iso_rate FROM innermin GROUP BY bin
+)
+SELECT bins.bin, bins.n, bins.pos,
+       round(CAST(bins.pos AS DOUBLE) / bins.n, 6) AS raw_rate,
+       iso.iso_rate
+FROM bins JOIN iso ON iso.bin = bins.bin
+"""
+
+
+@register("isotonic_calibration", oracle=_ISO_ORACLE)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the score-decile reliability
+    table: the weighted monotone fit of per-bin purchase rate, via the
+    exact minimax closed form iso_i = max_(j<=i) min_(k>=i)
+    mean(rate over bins j..k) — algebraically identical to
+    pool-adjacent-violators but expressible as three joins over the
+    10-row bin table in BOTH engines, with every range mean an exact
+    int/int ratio (no sequential pooling state to replicate).
+    This is the standard way to turn a quality-classifier's raw score
+    into a usable probability when the reliability diagram sags.
+
+    Determinism: range means are single IEEE divisions of exact int64
+    sums; min/max over identical doubles cannot fork; one 6-dp round
+    at the end.
+
+    Scale design: the corpus-sized work is the SAME one-pass 10-group
+    aggregate calibration_bins runs; the minimax runs on the 10-row
+    result (bins^3 = 1000 combinations — constants, broadcast joins).
+    At 100 TB nothing changes: PAV input is always bins, not rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("minv"), F.max("value").alias("maxv"))
+    prob = (F.col("value") - F.col("minv")) / (F.col("maxv") - F.col("minv"))
+    bins = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.least(F.floor(prob * 10).cast("int"), F.lit(9)).alias("bin"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "label"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+        .persist()
+    )
+    j = bins.select(F.col("bin").alias("jb"))
+    k = bins.select(F.col("bin").alias("kb"))
+    m = bins.select(F.col("bin").alias("mb"), "n", "pos")
+    r = (
+        j.join(F.broadcast(k), F.col("kb") >= F.col("jb"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            (F.sum("pos").cast("double") / F.sum("n")).alias("avg_rate")
+        )
+    )
+    i = bins.select(F.col("bin").alias("ib"))
+    innermin = (
+        i.join(
+            F.broadcast(r),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("avg_rate").alias("mn"))
+    )
+    iso = innermin.groupBy("ib").agg(F.round(F.max("mn"), 6).alias("iso_rate"))
+    return (
+        bins.join(iso, bins["bin"] == iso["ib"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            "iso_rate",
+        )
+    )

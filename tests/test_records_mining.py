@@ -298,3 +298,47 @@ def test_pps_ht_estimates_close_and_reproducible(spark, sf_dir):
     # rev_err <= cnt_err only shows at real scale; here both are tiny
     again = registry.QUERIES["pps_horvitz_thompson"](spark, sf_dir).collect()[0]
     assert again == r
+
+
+def test_isotonic_calibration_matches_pav_reference(spark, sf_dir):
+    """The minimax closed form must equal classic sequential
+    pool-adjacent-violators, independently implemented; the fit is
+    monotone; pooled blocks preserve the weighted mean."""
+    rows = sorted(
+        registry.QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    # sequential PAV with exact fractions
+    from fractions import Fraction
+
+    blocks = [
+        [Fraction(r.pos, r.n), r.n, r.pos] for r in rows
+    ]  # [rate, weight, pos]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0]:
+            a, b = blocks[i], blocks[i + 1]
+            merged = [
+                Fraction(a[2] + b[2], a[1] + b[1]),
+                a[1] + b[1],
+                a[2] + b[2],
+            ]
+            blocks[i : i + 2] = [merged]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand block rates back over their member bins by weight order
+    expanded = []
+    bi = 0
+    consumed = 0
+    for r in rows:
+        rate, w, _ = blocks[bi]
+        expanded.append(round(float(rate), 6))
+        consumed += r.n
+        if consumed >= w:
+            bi += 1
+            consumed = 0
+    assert [r.iso_rate for r in rows] == expanded
+    # monotone non-decreasing
+    iso = [r.iso_rate for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
