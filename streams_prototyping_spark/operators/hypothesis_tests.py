@@ -741,3 +741,174 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_min",
         "boot_max",
     )
+
+
+# -------------------------- split-conformal prediction interval audit
+
+CONF_TARGET = 0.9  # nominal coverage
+
+
+def _conformal_oracle() -> str:
+    h = portable_hash64_sql("'conf:' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+    SELECT event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS y,
+           (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS x,
+           {h} % 3 AS split
+    FROM events
+), tr AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(x * y) AS DOUBLE) AS sxy,
+           CAST(count(*) AS BIGINT) AS n_train
+    FROM base WHERE split = 0
+), fit AS (
+    SELECT n_train,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+    FROM tr
+), cal AS (
+    SELECT event_id,
+           round(abs(CAST(y AS DOUBLE) - (f.a + f.b * x)), 6) AS r
+    FROM base CROSS JOIN fit f WHERE split = 1
+), kq AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cal,
+           least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+    FROM cal
+), qhat AS (
+    SELECT r AS q FROM (
+        SELECT r, row_number() OVER (ORDER BY r, event_id) AS rn FROM cal
+    ) JOIN kq ON rn = kq.k
+), test AS (
+    SELECT count(*) AS n_test,
+           sum(CASE WHEN round(abs(CAST(y AS DOUBLE) - (f.a + f.b * x)), 6)
+                         <= q.q THEN 1 ELSE 0 END) AS covered
+    FROM base CROSS JOIN fit f CROSS JOIN qhat q WHERE split = 2
+)
+SELECT f.n_train, kq.n_cal, CAST(t.n_test AS BIGINT) AS n_test,
+       round(f.b, 6) AS slope_cents_per_hour,
+       round(f.a, 6) AS intercept_cents,
+       q.q AS qhat_cents,
+       CAST({CONF_TARGET} AS DOUBLE) AS target_coverage,
+       round(CAST(t.covered AS DOUBLE) / t.n_test, 6) AS test_coverage
+FROM fit f, kq, qhat q, test t
+"""
+
+
+@register("split_conformal_audit", oracle=_conformal_oracle())
+def split_conformal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit (Vovk; Lei et al. 2018): fit a
+    1-feature OLS (event value vs hour-of-day) on a hash-split TRAIN
+    third, take the ceil((n+1)*{CONF_TARGET})-th smallest absolute
+    calibration residual as the interval half-width qhat
+    (finite-sample coverage guarantee, no distributional assumption),
+    then report HONEST empirical coverage of yhat +/- qhat on a
+    disjoint TEST third. This is the distribution-free way to attach
+    valid uncertainty to any point predictor a pipeline deploys —
+    the audit a model gate reads before trusting predicted quality
+    scores.
+
+    Determinism: splits are hash-decided (reproducible across engines
+    and retries); the OLS moments are exact int64 sums folded through
+    IDENTICAL double expressions; residuals are rounded at 6 dp before
+    the rank (so the k-th order statistic and coverage comparisons
+    cannot fork on ulps); the quantile is exact type-1 with event-id
+    tie-break.
+
+    Scale design: two one-pass aggregates (moments, coverage) and one
+    rank for the k-th order statistic — the WindowGroupLimit-prunable
+    global ordering moves only the calibration third once. At 100 TB
+    the calibration rank would switch to approx_percentile at recorded
+    precision; both surfaces exist (histogram_quantile_audit).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("y"),
+        ((F.unix_timestamp("ts") % 86400) / 3600).cast("long").alias("x"),
+        (
+            portable_hash64(
+                F.concat(F.lit("conf:"), F.col("event_id").cast("string"))
+            )
+            % 3
+        ).alias("split"),
+    )
+    tr = base.filter(F.col("split") == 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_train"),
+    )
+    b_expr = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    fit = tr.select(
+        "n_train",
+        F.expr(b_expr).alias("b"),
+        F.expr(f"(sy - {b_expr} * sx) / n").alias("a"),
+    )
+    cal = (
+        base.filter(F.col("split") == 1)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "event_id",
+            F.round(
+                F.abs(F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("x"))),
+                6,
+            ).alias("r"),
+        )
+    )
+    kq = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr(
+            "least((9 * (count(1) + 1) + 9) div 10, count(1))"
+        ).alias("k"),
+    )
+    from pyspark.sql import Window
+
+    ranked = cal.select(
+        "r", F.row_number().over(Window.orderBy("r", "event_id")).alias("rn")
+    )
+    qhat = ranked.join(F.broadcast(kq), F.col("rn") == F.col("k")).select(
+        F.col("r").alias("q"), "n_cal"
+    )
+    test = (
+        base.filter(F.col("split") == 2)
+        .crossJoin(F.broadcast(fit.select("a", "b")))
+        .crossJoin(F.broadcast(qhat.select("q")))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.round(
+                        F.abs(
+                            F.col("y").cast("double")
+                            - (F.col("a") + F.col("b") * F.col("x"))
+                        ),
+                        6,
+                    )
+                    <= F.col("q"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round("b", 6).alias("slope_cents_per_hour"),
+            F.round("a", 6).alias("intercept_cents"),
+            F.col("q").alias("qhat_cents"),
+            F.lit(CONF_TARGET).alias("target_coverage"),
+            F.round(F.col("covered").cast("double") / F.col("n_test"), 6).alias(
+                "test_coverage"
+            ),
+        )
+    )

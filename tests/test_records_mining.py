@@ -342,3 +342,17 @@ def test_isotonic_calibration_matches_pav_reference(spark, sf_dir):
     # monotone non-decreasing
     iso = [r.iso_rate for r in rows]
     assert all(a <= b for a, b in zip(iso, iso[1:]))
+
+
+def test_split_conformal_coverage_guarantee(spark, sf_dir):
+    """Conformal coverage on the held-out test split must sit near the
+    nominal level (finite-sample: within binomial noise), qhat must be
+    positive, and the hash splits must partition the corpus."""
+    r = registry.QUERIES["split_conformal_audit"](spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "events").count()
+    assert r.n_train + r.n_cal + r.n_test == n
+    assert r.qhat_cents > 0
+    import math
+
+    sd = math.sqrt(r.target_coverage * (1 - r.target_coverage) / r.n_test)
+    assert abs(r.test_coverage - r.target_coverage) <= 5 * sd + 1.0 / r.n_cal
