@@ -430,3 +430,129 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("community").cast("long").alias("community"),
         F.col("sz").cast("long").alias("community_size"),
     )
+
+
+# ----------------------------------------------- community modularity
+
+def _modularity_oracle() -> str:
+    rounds = ",\n".join(_lp_round_cte(t) for t in range(1, LP_ROUNDS + 1))
+    return (
+        f"WITH {_UND_SQL},\n"
+        + """edges AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+), lab0 AS (
+    SELECT src AS node, src AS community FROM edges GROUP BY src
+),
+"""
+        + rounds
+        + f""",
+labf AS MATERIALIZED (SELECT node, community FROM lab{LP_ROUNDS}),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+intra AS (
+    SELECT ca.community, count(*) AS e_c
+    FROM und u
+    JOIN labf ca ON ca.node = u.src
+    JOIN labf cb ON cb.node = u.dst
+    WHERE ca.community = cb.community
+    GROUP BY ca.community
+), deg AS (
+    SELECT l.community, count(*) AS d_c
+    FROM edges e JOIN labf l ON l.node = e.src
+    GROUP BY l.community
+), sizes AS (
+    SELECT community, count(*) AS sz FROM labf GROUP BY community
+), terms AS (
+    SELECT s.community, s.sz, coalesce(i.e_c, 0) AS e_c, d.d_c,
+           round(CAST(coalesce(i.e_c, 0) AS DOUBLE) / m.m
+                 - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+                   * (CAST(d.d_c AS DOUBLE) / (2 * m.m)), 12) AS contribution
+    FROM sizes s
+    LEFT JOIN intra i ON i.community = s.community
+    JOIN deg d ON d.community = s.community
+    CROSS JOIN m
+), q AS (
+    SELECT round(CAST(sum(CAST(contribution AS DECIMAL(16,12))) AS DOUBLE), 6)
+               AS modularity
+    FROM terms
+)
+SELECT CAST(t.community AS BIGINT) AS community,
+       CAST(t.sz AS BIGINT) AS size,
+       CAST(t.e_c AS BIGINT) AS intra_edges,
+       CAST(t.d_c AS BIGINT) AS degree_sum,
+       t.contribution, q.modularity
+FROM terms t CROSS JOIN q
+"""
+    )
+
+
+@register("community_modularity", oracle=_modularity_oracle())
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    standard did-the-detector-find-real-structure score: Q = sum over
+    communities of e_c/m - (d_c/2m)^2 (intra-edge fraction minus the
+    random-graph expectation at the same degrees). Emits the
+    per-community decomposition (size, intra edges, degree mass,
+    contribution) with the global Q on every row — the table that says
+    WHICH communities carry the structure, not just whether Q > 0.
+
+    Determinism: every input is an exact integer count; contributions
+    are one identical double expression rounded at 12 dp and summed as
+    exact decimals, so the engines' aggregation orders cannot fork Q.
+
+    Scale design: the communities table comes from the shared
+    fixed-round LPA (localCheckpointed per round); intra-edge counting
+    is two keyed joins of the edge list against it (O(edges)); degree
+    mass is one keyed fold. The per-community table is O(communities)
+    — already bounded by the detector's output.
+    """
+    comm = label_prop_communities(spark, sf_dir).select(
+        F.col("part_key").alias("node"), "community"
+    ).localCheckpoint()
+    und = copurchase_und_df(spark, sf_dir)
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    ca = comm.select(F.col("node").alias("src"), F.col("community").alias("c_src"))
+    cb = comm.select(F.col("node").alias("dst"), F.col("community").alias("c_dst"))
+    intra = (
+        und.join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        _bidir(und)
+        .join(comm.select(F.col("node").alias("src"), "community"), "src")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    sizes = comm.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
+    half = F.col("d_c").cast("double") / (2 * F.col("m"))
+    terms = (
+        sizes.join(intra, "community", "left")
+        .join(deg, "community")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "sz",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            "d_c",
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+                - half * half,
+                12,
+            ).alias("contribution"),
+        )
+    )
+    q = terms.agg(
+        F.round(
+            F.sum(F.col("contribution").cast("decimal(16,12)")).cast("double"), 6
+        ).alias("modularity")
+    )
+    return terms.crossJoin(F.broadcast(q)).select(
+        F.col("community").cast("long").alias("community"),
+        F.col("sz").cast("long").alias("size"),
+        F.col("e_c").cast("long").alias("intra_edges"),
+        F.col("d_c").cast("long").alias("degree_sum"),
+        "contribution",
+        "modularity",
+    )

@@ -356,3 +356,23 @@ def test_split_conformal_coverage_guarantee(spark, sf_dir):
 
     sd = math.sqrt(r.target_coverage * (1 - r.target_coverage) / r.n_test)
     assert abs(r.test_coverage - r.target_coverage) <= 5 * sd + 1.0 / r.n_cal
+
+
+def test_community_modularity_identities(spark, sf_dir):
+    """Graph identities: sum of community degree masses = 2m, total
+    intra edges <= m, Q within [-0.5, 1], and the reported global Q
+    equals the decimal fold of per-community contributions."""
+    from decimal import Decimal
+
+    rows = registry.QUERIES["community_modularity"](spark, sf_dir).collect()
+    assert rows
+    from streams_prototyping_spark.functions.graph_ml import copurchase_und_df
+
+    m = copurchase_und_df(spark, sf_dir).count()
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    q = rows[0].modularity
+    assert all(r.modularity == q for r in rows)
+    assert -0.5 <= q <= 1.0
+    refold = round(float(sum(Decimal(f"{r.contribution:.12f}") for r in rows)), 6)
+    assert refold == q
