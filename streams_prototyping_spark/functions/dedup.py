@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table, widen
+from streams_prototyping_spark.functions.portable_hash import (
+    portable_hash64,
+    portable_hash64_sql,
+)
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import shared_stage
 
@@ -466,17 +470,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- blocked edit-distance fuzzy match
 
-_FUZZY_ORACLE = """
-SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+FUZZY_TARGET_BLOCK = 128  # size-cap: oversized token blocks sub-split
+
+_FUZZY_ORACLE = f"""
+WITH named AS MATERIALIZED (
+    SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block FROM part
+), sized AS (
+    SELECT block, count(*) AS cnt FROM named GROUP BY block
+), keyed AS MATERIALIZED (
+    SELECT n.p_name, n.block,
+           {{h}} % greatest(1, (s.cnt + {FUZZY_TARGET_BLOCK} - 1)
+                               // {FUZZY_TARGET_BLOCK}) AS sub
+    FROM named n JOIN sized s ON s.block = n.block
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
        levenshtein(a.p_name, b.p_name) AS dist
-FROM part a JOIN part b
-  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
- AND a.p_name < b.p_name
+FROM keyed a JOIN keyed b
+  ON a.block = b.block AND a.sub = b.sub AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
-@register("fuzzy_name_pairs", oracle=_FUZZY_ORACLE)
+@register(
+    "fuzzy_name_pairs",
+    oracle=_FUZZY_ORACLE.format(h=portable_hash64_sql("'fz:' || n.p_name")),
+)
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance fuzzy matching — the string-level
     near-duplicate detector complementing the token-level family
@@ -487,26 +505,50 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: blocking is the whole game — the join is an equi-join
     on the block key, so candidate count is sum(block_size²) not N².
-    At 100 TB the block key comes from a cheap canonicalization
-    (sorted tokens / phonetic code), and oversized blocks are capped or
-    salted; levenshtein runs only on the blocked pairs, JVM-side.
+    The token vocabulary is FIXED (~92 colors), so at sf10 the 2M-part
+    blocks hit ~21k names each = 2e10 levenshtein pairs — the fixed-
+    block quadratic trap (found when the sf10 sweep hung here for
+    20+ min). Oversized blocks now sub-split by a deterministic name
+    hash mod ceil(size/{FUZZY_TARGET_BLOCK}) — the FS-linkage size
+    cap: candidates bounded at O(N * target) with the documented
+    no-cross-sub-block recall tradeoff. At the driver's sf0.01 gate
+    blocks are under the target, so nsub = 1 and the pair set is
+    byte-identical to the uncapped version.
     """
     p = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    a = p.select(
-        F.col("p_name").alias("name_a"),
-        F.element_at(F.split("p_name", " "), 2).alias("block"),
+    named = p.select(
+        "p_name", F.element_at(F.split("p_name", " "), 2).alias("block")
     )
-    b = p.select(
+    sized = named.groupBy("block").agg(F.count(F.lit(1)).alias("cnt"))
+    keyed = named.join(sized, "block").select(
+        "p_name",
+        "block",
+        (
+            portable_hash64(F.concat(F.lit("fz:"), F.col("p_name")))
+            % F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(cnt + {FUZZY_TARGET_BLOCK} - 1) div {FUZZY_TARGET_BLOCK}"
+                ),
+            )
+        ).alias("sub"),
+    )
+    a = keyed.select(
+        F.col("p_name").alias("name_a"),
+        "block",
+        F.col("sub").alias("sub_a"),
+    )
+    b = keyed.select(
         F.col("p_name").alias("name_b"),
-        F.element_at(F.split("p_name", " "), 2).alias("block"),
+        "block",
+        F.col("sub").alias("sub_b"),
     )
     return (
         a.join(b, "block")
-        .filter(F.col("name_a") < F.col("name_b"))
+        .filter((F.col("sub_a") == F.col("sub_b")) & (F.col("name_a") < F.col("name_b")))
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
-        .distinct()
     )
 
 
