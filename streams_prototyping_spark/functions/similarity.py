@@ -594,9 +594,14 @@ def _rp_sign_spark(d: int) -> str:
 
 
 def _rp_dim_spark(d: int) -> str:
+    # trailing + 0e0: IEEE (-0.0 + 0.0) = +0.0, so a coordinate that
+    # rounds to negative zero in one engine cannot fork the value-hash
+    # (repr '-0.0' vs '0.0' — tuple equality hides it; the sf10 sweep
+    # caught it at 3.2M rounded cells)
     return (
         f"round(aggregate(zip_with(v, {_rp_sign_spark(d)}, (x, s) -> x * s), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / sqrt(CAST({RP_DIMS} AS DOUBLE)), 6)"
+        f" + CAST(0 AS DOUBLE)"
     )
 
 
@@ -605,7 +610,7 @@ def _rp_dim_duck(d: int) -> str:
         f"round(list_sum(list_transform(range(1, len(v) + 1), "
         f"j -> v[j] * (CASE WHEN CAST('0x' || substr(md5('rp{d}:' || j), 1, 15) "
         f"AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END))) "
-        f"/ sqrt(CAST({RP_DIMS} AS DOUBLE)), 6)"
+        f"/ sqrt(CAST({RP_DIMS} AS DOUBLE)), 6) + CAST(0 AS DOUBLE)"
     )
 
 
