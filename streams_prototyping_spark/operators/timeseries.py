@@ -454,9 +454,13 @@ WITH daily AS (
 ), keyed AS (
     SELECT day_epoch, total, ((day_epoch // 86400) + 4) % 7 AS dow FROM daily
 ), dow_mean AS (
+    -- mean in exact integer micro-dollars: (2s+n)//(2n) is round-half-
+    -- up without touching doubles — the cents sum / day count lands
+    -- EXACTLY on 6-dp halves at sf10 (3500 days of integer cents), and
+    -- round(double) forks engines there
     SELECT dow,
-           round(CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
-               AS expected
+           CAST((2 * CAST(sum(CAST(total AS DECIMAL(18,2))) * 10000 AS BIGINT)
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS expected
     FROM keyed GROUP BY dow
 ), resid AS (
     SELECT k.day_epoch, k.total, k.dow, m.expected,
@@ -487,7 +491,10 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: day-of-week uses the engine-neutral epoch-day
     arithmetic (epoch day 0 = Thursday, so +4 lands Sunday=0); the
-    dow means are decimal-summed and rounded before reuse; residuals
+    dow means are computed in exact integer micro-dollars with
+    (2s+n)//(2n) round-half-up — the cents-sum/day-count ratio lands
+    EXACTLY on 6-dp halves at sf10, where round(double) is
+    engine-dependent (the mahalanobis/bigram_lm lesson); residuals
     are exact decimal differences; sigma's sum of squares is an EXACT
     decimal product of the 6-dp residuals (12-dp squares, order-free
     exact sum); sqrt is IEEE-identical on identical
@@ -505,12 +512,21 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = daily.select(
         "day_epoch", "total", F.expr("((day_epoch div 86400) + 4) % 7").alias("dow")
     )
-    dow_mean = keyed.groupBy("dow").agg(
-        F.round(
-            F.sum(F.col("total").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("expected")
+    dow_mean = (
+        keyed.groupBy("dow")
+        .agg(
+            (F.sum(F.col("total").cast("decimal(18,2)")) * 10000)
+            .cast("long")
+            .alias("s_micro"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "dow",
+            (
+                F.expr("CAST((2 * s_micro + cnt) div (2 * cnt) AS DOUBLE)")
+                / F.lit(1e6)
+            ).alias("expected"),
+        )
     )
     resid = keyed.join(dow_mean, "dow").select(
         "day_epoch",
