@@ -536,8 +536,13 @@ WITH u AS (
 ), g AS (
     SELECT doc_id, passes FROM ({_GOPHER_ORACLE})
 ), ranked AS (
+    -- cume_dist value tiles (integer arithmetic; NLL ties share a
+    -- decile): decile = ceil(cum * N / n)
     SELECT u.doc_id, u.mean_nll, g.passes,
-           ntile({N_DECILES}) OVER (ORDER BY u.mean_nll, u.doc_id) AS decile
+           CAST((count(*) OVER (ORDER BY u.mean_nll
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * {N_DECILES} + count(*) OVER () - 1)
+                // count(*) OVER () AS BIGINT) AS decile
     FROM u JOIN g ON g.doc_id = u.doc_id
 )
 SELECT decile,
@@ -551,27 +556,38 @@ GROUP BY decile
 """
 
 
-@register("nll_decile_stats", oracle=_NLL_DECILE_ORACLE)
+@register(
+    "nll_decile_stats",
+    oracle=_NLL_DECILE_ORACLE,
+    bounded_window="quarter-nat NLL buckets of the two-level prefix sum",
+)
 def nll_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold calibration: documents bucketed into NLL deciles
-    (ties broken by doc_id for determinism), each decile reporting its
-    NLL range and the Gopher pass rate — the table you read to decide
-    where to CUT the perplexity filter (CCNet keeps the head/middle
-    deciles by exactly this kind of calibration).
+    (cume_dist value tiles — decile = ceil(cum * 10 / n), integer
+    arithmetic, docs tied on 6-dp NLL share a decile), each decile
+    reporting its NLL range and the Gopher pass rate — the table you
+    read to decide where to CUT the perplexity filter (CCNet keeps the
+    head/middle deciles by exactly this kind of calibration).
 
-    Scale note: the global ntile is a single-partition sort of
-    per-doc FEATURE rows (doc_id, nll, passes) — fine up to ~10^9 docs
-    of 17-byte rows; beyond that the decile boundaries come from
-    approx_percentile and the bucketing becomes a map-side range
-    lookup (the documented sketch path).
+    Scale design (round-6 lint): the inclusive cumulative count comes
+    from operators/ranks.bucketed_row_cum (buckets = NLL coarsened to
+    a 1/4-nat grid) — per-bucket offsets cumulate on the tiny grid
+    table, interiors run under PARTITION BY bucket RANGE frames. The
+    old global ntile single-partition-sorted every per-doc feature
+    row.
     """
-    from pyspark.sql import Window
+    from streams_prototyping_spark.operators.ranks import bucketed_row_cum
 
     u = unigram_features_df(spark, sf_dir).select("doc_id", "mean_nll")
     g = gopher_features_df(spark, sf_dir).select("doc_id", "passes")
-    ranked = u.join(g, "doc_id").withColumn(
+    joined = u.join(g, "doc_id")
+    cum = bucketed_row_cum(
+        joined, "mean_nll", lambda v: F.floor(v * 4), "cum", ascending=True
+    )
+    n_tot = joined.agg(F.count(F.lit(1)).alias("n"))
+    ranked = cum.crossJoin(F.broadcast(n_tot)).withColumn(
         "decile",
-        F.ntile(N_DECILES).over(Window.orderBy(F.col("mean_nll"), F.col("doc_id"))),
+        F.expr(f"(cum * {N_DECILES} + n - 1) div n").cast("long"),
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_docs"),

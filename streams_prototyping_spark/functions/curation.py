@@ -113,7 +113,11 @@ FROM shares
 """
 
 
-@register("domain_mixture_weights", oracle=_MIXTURE_ORACLE)
+@register(
+    "domain_mixture_weights",
+    oracle=_MIXTURE_ORACLE,
+    bounded_window="document sources",
+)
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix composition: per-source doc/token counts, raw token
     share, and temperature-scaled sampling weight

@@ -142,9 +142,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     k — the tokenizer-sizing curve. One row per k with the covered
     token count and share.
 
-    Scale: ONE word-count aggregate; the ranking window runs over the
-    distinct-word table (O(V)); the k-ladder is conditional sums in a
-    single fold, exploded into rows at the end (7 rows).
+    Scale (round-6 lint): only ranks <= max(k) matter, so the rank
+    window runs over an orderBy().limit(max_k) — TakeOrderedAndProject
+    (per-partition top-k, merged once), never a single-partition sort
+    of the vocabulary; total tokens and vocab size come from one
+    separate 1-row fold. The k-ladder is conditional sums, exploded
+    into rows at the end (7 rows).
     """
     d = load_table(spark, sf_dir, "documents")
     wc = (
@@ -152,16 +155,20 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    r = wc.select(
+    max_k = max(COVERAGE_KS)
+    top = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(max_k)
+    r = top.select(
         "n",
         F.row_number()
         .over(Window.orderBy(F.col("n").desc(), F.col("word").asc()))
         .alias("rnk"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
     )
-    a = r.agg(
+    tot = wc.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    a = r.crossJoin(F.broadcast(tot)).agg(
         F.max("total").alias("total"),
-        F.count("*").alias("vocab"),
+        F.max("vocab").alias("vocab"),
         *[
             F.sum(F.when(F.col("rnk") <= k, F.col("n")).otherwise(0)).alias(f"c{k}")
             for k in COVERAGE_KS

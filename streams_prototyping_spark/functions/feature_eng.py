@@ -156,7 +156,11 @@ FROM v
 """
 
 
-@register("woe_iv_mktsegment", oracle=_WOE_ORACLE)
+@register(
+    "woe_iv_mktsegment",
+    oracle=_WOE_ORACLE,
+    bounded_window="5 market segments",
+)
 def woe_iv_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence / information value of market segment vs a
     positive-balance label, Laplace-smoothed (+0.5 per class per bin).
@@ -257,7 +261,11 @@ FROM v
 """
 
 
-@register("psi_drift_report", oracle=_PSI_ORACLE)
+@register(
+    "psi_drift_report",
+    oracle=_PSI_ORACLE,
+    bounded_window="distinct 2-dp cents of the early period",
+)
 def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of order totals, late half vs early
     half of the date range, over exact equi-depth deciles trained on
@@ -527,7 +535,11 @@ FROM v
 """
 
 
-@register("mutual_information_value_type", oracle=_MI_ORACLE)
+@register(
+    "mutual_information_value_type",
+    oracle=_MI_ORACLE,
+    bounded_window="distinct 2-dp cents x event types",
+)
 def mutual_information_value_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and value quartile from
     the 5x{MI_BINS} contingency table — detects the nonlinear

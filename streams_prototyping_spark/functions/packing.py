@@ -44,7 +44,11 @@ FROM packed
 """
 
 
-@register("sequence_packing", oracle=_PACKING_ORACLE)
+@register(
+    "sequence_packing",
+    oracle=_PACKING_ORACLE,
+    bounded_window="4096-doc_id buckets of the two-level prefix sum",
+)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequential packing of documents into {CTX_TOKENS}-token
     context bins: each doc starts at the running token offset of its
@@ -53,16 +57,23 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     EOS handling downstream deals with that, as in standard packed
     pretraining batches.
 
-    Scale note: one running-sum window. A single global ORDER BY is the
-    textbook scale trap — production packs per shard
-    (partitionBy(split/shard)), which this plan becomes by adding the
-    shard to the window spec; Spark executes the global form as one
-    range-partitioned sort, which is still a single shuffle.
+    Scale note: the running sum is the two-level bucket-parallel
+    prefix sum (operators/ranks.bucketed_running_sums, buckets of 4096
+    doc_ids) — per-bucket token subtotals cumulate on the tiny bucket
+    table, interiors run under PARTITION BY bucket. No single-partition
+    ORDER BY of the corpus anywhere (round-6 lint: the old global
+    window serialized every document through one task).
     """
+    from streams_prototyping_spark.operators.ranks import bucketed_running_sums
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    packed = bucketed_running_sums(
+        toks,
+        F.floor(F.col("doc_id") / 4096),
+        [F.col("doc_id").asc()],
+        {"cum_tokens": F.col("n_tokens")},
+    )
     start = F.col("cum_tokens") - F.col("n_tokens")
     return packed.select(
         "doc_id",
@@ -98,19 +109,27 @@ FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
-@register("token_budget_select", oracle=_BUDGET_ORACLE)
+@register(
+    "token_budget_select",
+    oracle=_BUDGET_ORACLE,
+    bounded_window="1/64-quality-grid buckets of the two-level prefix sum",
+)
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection under a token budget: rank documents by quality
     (ties → doc_id) and keep the prefix whose cumulative token count
     fits {TOKEN_BUDGET} — "train on the best N tokens", the selection
     rule quality scoring exists to feed.
 
-    Scale note: same single running-sum window as sequence_packing; at
-    corpus scale the exact global rank is replaced by a quality-score
-    histogram cutoff (two scans, no global sort) — the window form is
-    the specification the histogram approximation is checked against.
+    Scale note: the cumulative token count over the quality-descending
+    order is the two-level bucket-parallel prefix sum
+    (operators/ranks.bucketed_running_sums; buckets = 6-dp quality
+    score negated and coarsened to 1/64 grid so the bucket id is
+    monotone along q DESC). Per-bucket subtotals cumulate on the tiny
+    score-grid table; interiors run under PARTITION BY bucket — no
+    single-partition global sort of the corpus (round-6 lint).
     """
     from streams_prototyping_spark.functions.text_transform import quality_score_col
+    from streams_prototyping_spark.operators.ranks import bucketed_running_sums
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
@@ -118,11 +137,15 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         quality_score_col("text").alias("q"),
     )
-    w = Window.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = bucketed_running_sums(
+        scored,
+        F.floor(F.col("q") * -64),
+        [F.col("q").desc(), F.col("doc_id").asc()],
+        {"cum_tokens": F.col("n_tokens")},
     )
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    return ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "q", "cum_tokens"
+    )
 
 
 # ----------------------------------------------- deterministic epoch order
@@ -193,7 +216,11 @@ FROM keyed
 """
 
 
-@register("dataset_interleave", oracle=_INTERLEAVE_ORACLE)
+@register(
+    "dataset_interleave",
+    oracle=_INTERLEAVE_ORACLE,
+    bounded_window="unit sched_key buckets of the two-level prefix sum",
+)
 def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted interleave: each source's documents are
     spaced along a global schedule at intervals of 1/weight (weight =
@@ -203,9 +230,11 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering that domain_mixture_weights' ratios get compiled into.
 
     Scale note: per-source ranks are one keyed window; the global
-    order is a sort on the schedule key (inherent to emitting a total
-    order — production writes it once per mixture revision, or
-    range-partitions consumers on sched_key).
+    position over the schedule key is a two-level bucket-parallel
+    running COUNT (operators/ranks.bucketed_running_sums with a lit(1)
+    measure, buckets = floor(sched_key): O(sqrt(largest source))
+    buckets) — emitting the total order never single-partitions the
+    corpus (round-6 lint).
     """
     d = load_table(spark, sf_dir, "documents")
     wt = d.groupBy("source").agg(
@@ -226,13 +255,18 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rank",
         F.round(F.col("src_rank") / F.col("weight"), 6).alias("sched_key"),
     )
-    return keyed.select(
+    from streams_prototyping_spark.operators.ranks import bucketed_running_sums
+
+    pos = bucketed_running_sums(
+        keyed,
+        F.floor(F.col("sched_key")),
+        [F.col("sched_key").asc(), F.col("source").asc(), F.col("doc_id").asc()],
+        {"global_pos": F.lit(1)},
+    )
+    return pos.select(
         "doc_id",
         "source",
         "src_rank",
         "sched_key",
-        F.row_number()
-        .over(Window.orderBy("sched_key", "source", "doc_id"))
-        .cast("long")
-        .alias("global_pos"),
+        F.col("global_pos").cast("long").alias("global_pos"),
     )

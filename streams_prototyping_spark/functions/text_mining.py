@@ -246,7 +246,11 @@ FROM s
 """
 
 
-@register("heaps_law_fit", oracle=_HEAPS_ORACLE)
+@register(
+    "heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    bounded_window="4096-doc_id buckets of the two-level prefix sum",
+)
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V = K * n^beta over the cumulative
     vocabulary-vs-tokens curve in doc_id order: beta (and ln K) by
@@ -254,8 +258,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100x corpus scale-up. Cumulative distinct uses the first-seen
     trick: one min-fold per word, then a running sum over O(docs).
 
-    Scale note: no expanding-frame distinct anywhere; the curve table
-    is O(docs) and the fit is a 1-row epilogue.
+    Scale note: no expanding-frame distinct anywhere; both running
+    sums are the two-level bucket-parallel prefix sum
+    (operators/ranks.bucketed_running_sums, 4096-doc_id buckets) — the
+    O(docs) curve never single-partitions (round-6 lint) — and the fit
+    is a 1-row epilogue.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -264,20 +271,18 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_words = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_doc.join(new_words, "doc_id", "left")
-        .select(
+    from streams_prototyping_spark.operators.ranks import bucketed_running_sums
+
+    curve = bucketed_running_sums(
+        per_doc.join(new_words, "doc_id", "left").select(
             "doc_id",
             F.col("n_toks"),
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-        )
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(wcum).alias("tokens_cum"),
-            F.sum("n_new").over(wcum).alias("vocab_cum"),
-        )
-    )
+        ),
+        F.floor(F.col("doc_id") / 4096),
+        [F.col("doc_id").asc()],
+        {"tokens_cum": F.col("n_toks"), "vocab_cum": F.col("n_new")},
+    ).select("doc_id", "tokens_cum", "vocab_cum")
     pts = curve.where(F.col("vocab_cum") > 0).select(
         "tokens_cum",
         "vocab_cum",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.operators.common import dsum_sql
+from streams_prototyping_spark.operators.ranks import bucketed_row_cum
 from streams_prototyping_spark.registry import register
 
 _Q14_ORACLE = """
@@ -98,7 +99,11 @@ FROM per_nation
 """
 
 
-@register("pct_of_total", oracle=_PCT_TOTAL_ORACLE)
+@register(
+    "pct_of_total",
+    oracle=_PCT_TOTAL_ORACLE,
+    bounded_window="25 nations",
+)
 def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total share: window aggregate OVER () on top of a
     grouped aggregate — the market-share/report-card pattern.
@@ -429,7 +434,11 @@ FROM per_day
 """
 
 
-@register("cumulative_distinct_users", oracle=_CUMULATIVE_DISTINCT_ORACLE)
+@register(
+    "cumulative_distinct_users",
+    oracle=_CUMULATIVE_DISTINCT_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per day via the FIRST-SEEN trick:
     a user contributes to the cumulative line only on their first day,
@@ -861,39 +870,57 @@ WITH base AS (
     SELECT b.*, (SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT)
                  FROM orders) AS anchor
     FROM base b
-), rfm AS (
+), vals AS (
     SELECT o_custkey,
            (anchor - last_epoch) // 86400 AS recency_days,
            frequency,
-           round(monetary, 6) AS monetary,
-           CAST(ntile({RFM_TILES}) OVER (
-               ORDER BY (anchor - last_epoch) // 86400 ASC, o_custkey)
-               AS BIGINT) AS r_score,
-           CAST(ntile({RFM_TILES}) OVER (
-               ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
-           CAST(ntile({RFM_TILES}) OVER (
-               ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+           round(monetary, 6) AS monetary
     FROM anchored
+), rfm AS (
+    -- cume_dist-based value tiles: tile = ceil(cum * T / n) in pure
+    -- integer arithmetic; ties share a tile (value-deterministic, no
+    -- custkey tiebreak needed)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           count(*) OVER () AS n,
+           count(*) OVER (ORDER BY recency_days ASC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+           count(*) OVER (ORDER BY frequency DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+           count(*) OVER (ORDER BY monetary DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+    FROM vals
 )
 SELECT o_custkey, recency_days, frequency, monetary,
-       r_score, f_score, m_score,
-       r_score || '-' || f_score || '-' || m_score AS segment
+       CAST((cr * {RFM_TILES} + n - 1) // n AS BIGINT) AS r_score,
+       CAST((cf * {RFM_TILES} + n - 1) // n AS BIGINT) AS f_score,
+       CAST((cm * {RFM_TILES} + n - 1) // n AS BIGINT) AS m_score,
+       ((cr * {RFM_TILES} + n - 1) // n) || '-' ||
+       ((cf * {RFM_TILES} + n - 1) // n) || '-' ||
+       ((cm * {RFM_TILES} + n - 1) // n) AS segment
 FROM rfm
 """
 
 
-@register("customer_rfm_segments", oracle=_RFM_ORACLE)
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_ORACLE,
+    bounded_window="value-range buckets of the two-level prefix sum",
+)
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order,
     anchored at the corpus max date), frequency and decimal-exact
-    monetary value, each quintile-scored (ntile with custkey tiebreak
-    for determinism) and concatenated into the classic segment code.
+    monetary value, each scored into RFM_TILES cume_dist-based value
+    tiles (tile = ceil(cum * T / n), integer arithmetic; customers
+    tied on a dimension share its tile) and concatenated into the
+    classic segment code.
 
-    Scale note: one customer-keyed aggregate, a broadcast 1-row
-    anchor, and three global ntile windows over the (already
-    aggregated) customer table — the windows sort customers, not
-    orders; a larger deployment swaps ntile for percent_rank cuts
-    computed from a broadcast quantile table to avoid the single-sort.
+    Scale design (round-5 verdict item 1): one customer-keyed
+    aggregate, a broadcast 1-row anchor, then per-dimension inclusive
+    cumulative counts via operators/ranks.bucketed_row_cum — bucket
+    offsets cumulate on the tiny bucket table, interiors run under
+    PARTITION BY bucket RANGE frames. No single-partition sort of the
+    customer table anywhere (the old ntile design serialized all
+    customers through one task three times).
     """
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
@@ -911,17 +938,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.round("monetary", 6).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = anchored.select(
+    cum = bucketed_row_cum(
+        anchored, "recency_days", lambda v: F.floor(v / 64), "cr", ascending=True
+    )
+    cum = bucketed_row_cum(
+        cum, "frequency", lambda v: F.floor(v / 8), "cf", ascending=False
+    )
+    cum = bucketed_row_cum(
+        cum, "monetary", lambda v: F.floor(v / 65536.0), "cm", ascending=False
+    )
+    n_tot = anchored.agg(F.count(F.lit(1)).alias("n"))
+    tile = lambda c: F.expr(f"({c} * {RFM_TILES} + n - 1) div n").cast("long")
+    scored = cum.crossJoin(F.broadcast(n_tot)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(RFM_TILES).over(wr).cast("long").alias("r_score"),
-        F.ntile(RFM_TILES).over(wf).cast("long").alias("f_score"),
-        F.ntile(RFM_TILES).over(wm).cast("long").alias("m_score"),
+        tile("cr").alias("r_score"),
+        tile("cf").alias("f_score"),
+        tile("cm").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -1028,7 +1063,11 @@ FROM net
 """
 
 
-@register("orders_in_flight", oracle=_INFLIGHT_ORACLE)
+@register(
+    "orders_in_flight",
+    oracle=_INFLIGHT_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def orders_in_flight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval concurrency via boundary counting: each order is open
     from its order date until the day after its last shipment; the
@@ -1478,7 +1517,11 @@ WHERE d_events > 0
 """
 
 
-@register("kaplan_meier_survival", oracle=_KM_ORACLE)
+@register(
+    "kaplan_meier_survival",
+    oracle=_KM_ORACLE,
+    bounded_window="distinct day-granular durations (fixed time span)",
+)
 def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion curve with right censoring:
     duration = days from a user's first event to first purchase, or to

@@ -891,7 +891,11 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("point_in_range_join", oracle=_RANGE_ORACLE)
+@register(
+    "point_in_range_join",
+    oracle=_RANGE_ORACLE,
+    bounded_window="distinct 2-dp value cents",
+)
 def point_in_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-range join at scale: lineitem prices against ten
     equi-depth, variable-width order-price bands. The naive plan is a

@@ -67,34 +67,41 @@ WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
 """
 
 
-@register("pareto_frontier_parts", oracle=_PARETO_ORACLE)
+@register(
+    "pareto_frontier_parts",
+    oracle=_PARETO_ORACLE,
+    bounded_window="distinct 2-dp retail prices (bounded value grid)",
+)
 def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline of the part catalog: minimize price, maximize size.
     Dominated iff some part is strictly cheaper with >= size, or same
     price with strictly larger size (equal points both survive —
-    strict Pareto dominance). Sort-and-sweep: one integer range-frame
-    window, no dominance self-join.
+    strict Pareto dominance). Sort-and-sweep, but the sweep runs over
+    the DISTINCT-price table: one keyed max per price, a running max
+    over distinct prices, then a join back — no dominance self-join.
 
-    Scale note: one range shuffle on price; the sweep window is a
-    running max. Linear after the sort at any scale; >2 objectives
-    would pre-tile by grid cell (documented seam).
+    Scale note (round-6 lint): the only global window cumulates over
+    distinct 2-dp prices (bounded value domain — the aggregate's own
+    grouping key), never over part rows; row-level work is one keyed
+    aggregate and one shuffle join on price_cents.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("p_size"),
     )
-    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+    per_price = p.groupBy("price_cents").agg(
+        F.max("p_size").alias("best_same_price")
+    )
+    w_cheaper = Window.orderBy("price_cents").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_same = Window.partitionBy("price_cents")
-    swept = p.select(
-        "p_partkey",
+    sweep = per_price.select(
         "price_cents",
-        "p_size",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(w_same).alias("best_same_price"),
+        "best_same_price",
+        F.max("best_same_price").over(w_cheaper).alias("best_cheaper"),
     )
+    swept = p.join(sweep, "price_cents")
     return swept.where(
         (F.col("best_cheaper").isNull() | (F.col("p_size") > F.col("best_cheaper")))
         & (F.col("p_size") >= F.col("best_same_price"))
@@ -138,12 +145,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inclusion probability is proportional to weight; the sample is
     deterministic and reproducible across engines and runs.
 
-    Scale note: the key is a map-side projection; WindowGroupLimit
-    prunes each partition to its local top-{ES_K} before the global
-    row_number rank, so the single-partition exchange that the global
-    ORDER BY window requires moves only ~k rows per input partition —
-    not the table. (A true TakeOrderedAndProject via orderBy().limit(k)
-    would avoid the exchange entirely but loses the rnk column.)
+    Scale note: the key is a map-side projection; orderBy().limit(k)
+    plans as TakeOrderedAndProject (per-partition top-{ES_K}, merged at
+    the driver — no single-partition exchange of the table), and the
+    rnk column is then a row_number over the already-{ES_K}-row result
+    (round-5 verdict item 1: limit FIRST, rank the K survivors).
     """
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     u = (
@@ -156,7 +162,8 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.log(u) / F.col("n_chars"), 12).alias("es_key"),
     )
-    ranked = keyed.withColumn(
+    topk = keyed.orderBy(F.col("es_key").desc(), F.col("doc_id")).limit(ES_K)
+    ranked = topk.withColumn(
         "rnk",
         F.row_number().over(Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))),
     )

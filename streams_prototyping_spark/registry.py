@@ -22,14 +22,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Queries whose plan contains an empty-partition window over an
+# AGGREGATED input, with the human-stated reason the key domain is
+# bounded (the fact the plan lint cannot prove mechanically — see
+# plans/introspect.global_windows). tests/test_plans.py fails any
+# aggregated global window without an entry here, and any stale entry.
+BOUNDED_WINDOWS: dict[str, str] = {}
 
 
-def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    bounded_window: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query.
 
     ``oracle`` is the DuckDB-runnable ANSI SQL twin; omit it only for
     genuinely non-SQL-expressible operators (the driver then records a
     weaker rows-only check).
+
+    ``bounded_window`` declares WHY the query's empty-partition
+    window(s) over aggregated input are safe at 100 TB — the value
+    domain that bounds the window's row count (e.g. "distinct 2-dp
+    cents", "calendar days", "histogram bins"). Required by the plan
+    lint for every such window; forbidden when the plan has none.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -38,6 +54,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if bounded_window is not None:
+            BOUNDED_WINDOWS[name] = bounded_window
         return fn
 
     return deco

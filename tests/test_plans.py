@@ -262,3 +262,34 @@ def test_dup_substring_spans_plan_shape(spark, sf_dir):
     assert "Window" in plan
     import re as _re
     assert not _re.search(r"partitionBy=\[\]", plan)
+
+
+def test_global_window_lint_full_registry(spark, sf_dir):
+    """Round-6 lint (VERDICT r5 item 2): no registered query may plan
+    an empty-partition Window over RAW (non-aggregated, non-limited)
+    input — that is 'Exchange SinglePartition', the parallelism ceiling
+    that correctness tests and single-box scaling alphas cannot see.
+    Windows over AGGREGATED input are allowed only with an explicit
+    bounded_window annotation naming the key domain, and annotations
+    must not go stale. Covers every registered query (plan build only,
+    no execution)."""
+    from streams_prototyping_spark.plans.introspect import global_windows
+
+    problems = []
+    agg_queries = set()
+    for name, fn in sorted(registry.QUERIES.items()):
+        gw = global_windows(fn(spark, sf_dir))
+        raw = [d for c, d in gw if c == "raw"]
+        if raw:
+            problems.append(f"{name}: RAW global window {raw}")
+        if any(c == "aggregated" for c, _ in gw):
+            agg_queries.add(name)
+            if name not in registry.BOUNDED_WINDOWS:
+                problems.append(
+                    f"{name}: aggregated global window without a "
+                    f"bounded_window annotation"
+                )
+    stale = set(registry.BOUNDED_WINDOWS) - agg_queries
+    if stale:
+        problems.append(f"stale bounded_window annotations: {sorted(stale)}")
+    assert not problems, "\n".join(problems)
