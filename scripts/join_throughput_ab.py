@@ -73,9 +73,11 @@ def _sustained(progress):
     return rates[len(rates) // 2] if rates else 0.0
 
 
-def run_cell(spark, provider: str, partitions: int) -> dict:
+def run_cell(spark, provider: str, partitions: int, extra_conf: dict | None = None, label: str = "") -> dict:
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    for k, v in (extra_conf or {}).items():
+        spark.conf.set(k, str(v))
     imps = _rate_events(spark, RATE // 5).select(
         F.col("ts").alias("imp_ts"),
         F.col("event_id").alias("impression_id"),
@@ -124,15 +126,71 @@ def run_cell(spark, provider: str, partitions: int) -> dict:
         "shuffle_partitions": partitions,
         "sustained_rows_per_sec": round(_sustained(progress)),
         "batches": len(progress),
+        **({"label": label} if label else {}),
         **state,
     }
     print(json.dumps(rec), flush=True)
     return rec
 
 
+def tuned_cells(spark) -> list:
+    """--tuned mode (VERDICT r5 items 4+7): validate the state-sizing
+    helper's pick against the measured grid, then attack the per-batch
+    commit cost itself via snapshot cadence
+    (minDeltasForSnapshot: default 10 — every 10 delta commits the
+    maintenance thread rebuilds a full snapshot from deltas; raising it
+    trades recovery time for less background rebuild I/O)."""
+    from streams_prototyping_spark.streaming.state_sizing import (
+        estimate_join_state_rows,
+        recommended_state_partitions,
+    )
+
+    est = estimate_join_state_rows(
+        RATE // 5 + RATE // 15, watermark_seconds=60,
+        join_window_seconds=60, n_sides=1,
+    )
+    rec_parts = recommended_state_partitions(est)
+    cells = [
+        run_cell(spark, HDFS, 32, label="core-count default"),
+        run_cell(spark, HDFS, rec_parts, label=f"state_sizing pick ({rec_parts})"),
+        run_cell(spark, HDFS, 8, label="r5 grid winner"),
+        run_cell(
+            spark, HDFS, 8,
+            extra_conf={"spark.sql.streaming.stateStore.minDeltasForSnapshot": 50},
+            label="8 parts + minDeltasForSnapshot=50",
+        ),
+        run_cell(
+            spark, HDFS, 8,
+            extra_conf={"spark.sql.streaming.stateStore.minDeltasForSnapshot": 100},
+            label="8 parts + minDeltasForSnapshot=100",
+        ),
+        run_cell(
+            spark, HDFS, 8,
+            extra_conf={
+                "spark.sql.streaming.stateStore.maintenanceInterval": "15s",
+            },
+            label="8 parts + maintenanceInterval=15s",
+        ),
+    ]
+    return cells
+
+
 def main() -> None:
     spark = get_spark("join-ab")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--tuned" in sys.argv:
+        cells = tuned_cells(spark)
+        print("\n| config | sustained rows/s | state rows | commit ms |")
+        print("|---|---|---|---|")
+        for c in cells:
+            print(
+                f"| {c.get('label')} | {c['sustained_rows_per_sec']:,} "
+                f"| {c.get('state_rows', '-')} | {c.get('commit_ms', '-')} |"
+            )
+        best = max(cells, key=lambda c: c["sustained_rows_per_sec"])
+        print(json.dumps({"metric": "join_tuning_ab", "best": best, "cells": cells}))
+        spark.stop()
+        return
     cells = []
     for provider in (HDFS, ROCKSDB):
         for parts in (8, 32, 64):

@@ -140,7 +140,7 @@ def main() -> None:
         lines = [
             "# SCALING"
             + ("_SF10" if sf10_mode else "")
-            + " — measured growth exponents (round 5)",
+            + " — measured growth exponents (round 6)",
             "",
             "Produced by `python scripts/scaling_curve.py --md"
             + (

@@ -120,6 +120,22 @@ def main() -> None:
     # state (insert + probe + watermark eviction), the heaviest per-row
     # work in the engine; a 60 s watermark bounds buffered state to
     # ~2 min of stream on each side.
+    # Size state partitions from estimated state volume, not core count
+    # (round-5 A/B: per-batch commit overhead scales with partitions;
+    # see streaming/state_sizing.py). Must happen BEFORE the query
+    # starts — the count pins at the first checkpoint.
+    from streams_prototyping_spark.streaming.state_sizing import (
+        configure_stateful_shuffle,
+        estimate_join_state_rows,
+    )
+
+    est = estimate_join_state_rows(
+        RATE // 5 + RATE // 15, watermark_seconds=60,
+        join_window_seconds=60, n_sides=1,
+    )
+    n_parts = configure_stateful_shuffle(spark, est)
+    print(json.dumps({"state_partitions": n_parts, "est_state_rows": est}))
+
     imps = _rate_events(spark, RATE // 5).select(
         F.col("ts").alias("imp_ts"),
         F.col("event_id").alias("impression_id"),

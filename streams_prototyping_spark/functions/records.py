@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import release_local_checkpoint
 
 # ------------------------------------------ Fellegi-Sunter linkage weights
 
@@ -68,7 +69,22 @@ _FS_BW_SQL = (
 
 
 def _fs_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared linkage record table: blocking keys + compared values.
+    """Shared linkage record table: blocking keys + compared values —
+    persisted through stage_cache.shared_stage (ADVICE r5: the linkage
+    family triggers ~5 actions over it — recs.count(), one collect per
+    FS field for the u-probabilities, plus each main query — which
+    previously re-ran the customer scan + block-size join every time;
+    the cache also gives release_all() lifetime management under the
+    bench harness)."""
+    from streams_prototyping_spark.stage_cache import shared_stage
+
+    return shared_stage(
+        spark, sf_dir, "fs_recs", lambda: _fs_recs_build(spark, sf_dir)
+    )
+
+
+def _fs_recs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the linkage record table (uncached form).
 
     Two-level blocking: (1) the adaptive band width bounds block count
     growth; (2) SUB-BLOCKING caps block SIZE — real columns clump on
@@ -116,6 +132,19 @@ def _fs_pairs(recs: DataFrame) -> DataFrame:
         & (F.col("a.blk_sub") == F.col("b.blk_sub"))
         & (F.col("a.rec_id") < F.col("b.rec_id")),
     )
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    """Driver-side rounding matching DuckDB's rule (round-half-AWAY-
+    from-zero, both signs). Python's round() is banker's (half-even) —
+    a driver-computed scalar mirrored by a DuckDB round() must never
+    use it, or an exact half at the target precision forks the oracle
+    (ADVICE r5: fs_em_params E-step weights / fs_linkage_weights log2
+    weights)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _fs_weight_sql(field: str, m: float) -> str:
@@ -248,8 +277,8 @@ def fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     weight = None
     for name, _, m in FS_FIELDS:
-        agree_w = round(math.log2(m / us[name]), 6)
-        disagree_w = round(math.log2((1.0 - m) / (1.0 - us[name])), 6)
+        agree_w = _round_half_away(math.log2(m / us[name]), 6)
+        disagree_w = _round_half_away(math.log2((1.0 - m) / (1.0 - us[name])), 6)
         term = (
             F.when(
                 F.col(f"a.v_{name}") == F.col(f"b.v_{name}"), F.lit(agree_w)
@@ -470,12 +499,14 @@ def fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.
 
     Determinism: E-step weights are snapped to exact DECIMAL(14,12)
-    grid points in both engines (double round -> decimal cast in
-    DuckDB, format-string quantize in Python), so every M-step sum is
-    exact decimal arithmetic; the double ratio/clamp chains use the
-    same operation order on both sides.
+    grid points in both engines under the SAME rounding rule —
+    DuckDB's round() is half-away-from-zero, so the Python side
+    quantizes with ROUND_HALF_UP (_round_half_away), never Python's
+    banker's round(). Every M-step sum is then exact decimal
+    arithmetic; the double ratio/clamp chains use the same operation
+    order on both sides.
     """
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     names = [name for name, _, _ in FS_FIELDS]
     cand = _fs_pairs(_fs_recs(spark, sf_dir)).select(
@@ -504,7 +535,9 @@ def fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, f in enumerate(names):
                 pm = pm * (m[f] if gs[i] == 1 else 1 - m[f])
                 pu = pu * (u[f] if gs[i] == 1 else 1 - u[f])
-            w = Decimal(f"{round(pm / (pm + pu), 12):.12f}")
+            w = Decimal(pm / (pm + pu)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
             weighted.append((gs, n, w))
         s = sum((n * w for _, n, w in weighted), Decimal(0))
         t = sum(n for _, n, _ in weighted)
@@ -523,10 +556,10 @@ def fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam = max(min(float(s) / t, 1 - 1e-6), 1e-6)
         m, u = new_m, new_u
 
-    rows = [("lambda", round(lam, 9))]
+    rows = [("lambda", _round_half_away(lam, 9))]
     for n in names:
-        rows.append((f"m_{n}", round(m[n], 9)))
-        rows.append((f"u_{n}", round(u[n], 9)))
+        rows.append((f"m_{n}", _round_half_away(m[n], 9)))
+        rows.append((f"u_{n}", _round_half_away(u[n], 9)))
     return spark.createDataFrame(rows, "param string, value double")
 
 
@@ -644,8 +677,10 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the oracle twin uses AS MATERIALIZED for the same reason
         # (DuckDB inlines plain CTEs once per reference). Each
         # generation's blocks are released as soon as their consumers
-        # are materialized — at sf10 three live generations of 40M-row
-        # rank tables OOM'd the executor heap.
+        # are materialized via release_local_checkpoint — Dataset
+        # .unpersist() is a NO-OP for localCheckpoint blocks (ADVICE
+        # r5: it only consults the SQL cache manager); at sf10 three
+        # live generations of 40M-row rank tables OOM'd the heap.
         best = (
             d.select("u", "v", "score", F.row_number().over(wu).alias("rn"))
             .filter(F.col("rn") == 1)
@@ -667,7 +702,7 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        best.unpersist()
+        release_local_checkpoint(best)
         tagged = m.select("id_a", "id_b", "score", F.lit(r).cast("long").alias("round"))
         out = tagged if out is None else out.unionAll(tagged)
         matched = (
@@ -681,7 +716,7 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         if r > 1:  # round-0 pairs is plain lineage, nothing to free
-            p.unpersist()
+            release_local_checkpoint(p)
         p = p_next
     return out
 

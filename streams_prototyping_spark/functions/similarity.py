@@ -826,16 +826,25 @@ def margin_knn_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("yv"),
         F.col("sqnorm").alias("y_sqnorm"),
     )
-    pairs = y.crossJoin(F.broadcast(x)).select(
-        "x_id",
-        "y_id",
-        F.round(
-            F.expr(_DOT_SPARK.format(a="xv", b="yv"))
-            / (F.sqrt("x_sqnorm") * F.sqrt("y_sqnorm")),
-            6,
-        ).alias("cos_sim"),
-    )
-    pairs = pairs.persist()
+    def _build_pairs() -> DataFrame:
+        return y.crossJoin(F.broadcast(x)).select(
+            "x_id",
+            "y_id",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="xv", b="yv"))
+                / (F.sqrt("x_sqnorm") * F.sqrt("y_sqnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+
+    # shared_stage, not a bare persist(): the bench/oracle sweeps call
+    # each query function repeatedly in one session, and an unmanaged
+    # persist leaks its cached blocks for the session lifetime
+    # (ADVICE r5); the stage cache dedups rebuilds and release_all()
+    # frees everything after a sweep.
+    from streams_prototyping_spark.stage_cache import shared_stage
+
+    pairs = shared_stage(spark, sf_dir, "margin_knn_pairs", _build_pairs)
 
     def knn_sum(side: str, other: str) -> DataFrame:
         # The k-NN neighborhood statistic is carried as the EXACT

@@ -583,7 +583,11 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_inter"),
     )
-    row = sa.crossJoin(sb).crossJoin(su).crossJoin(ex)
+    row = (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(ex))
+    )
     eu = est(F.col("nu"), F.col("tu"))
     return row.select(
         F.lit(KMV_K).alias("k"),

@@ -350,7 +350,10 @@ def _diff_version_b_sql() -> str:
     """Version B of orders, derived deterministically from version A:
     ~1% of keys dropped (hash%100 = 0), ~2% price-mutated (+1.00,
     hash%100 in 1..2), ~1% new keys appended (hash%97 = 3, re-keyed by
-    +100000000). DuckDB twin of the Spark builder below."""
+    +max(o_orderkey) — derived from the data, NOT a constant, so the
+    synthetic keys can never collide with real ones at ANY scale
+    factor; ADVICE r5: a fixed 1e8 offset would silently collide past
+    the sf100 upscale). DuckDB twin of the Spark builder below."""
     h = _DIFF_HASH
     return f"""
     SELECT o_orderkey,
@@ -359,7 +362,7 @@ def _diff_version_b_sql() -> str:
                 ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
     FROM orders WHERE {h} % 100 <> 0
     UNION ALL
-    SELECT o_orderkey + 100000000 AS o_orderkey,
+    SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
     FROM orders WHERE {h} % 97 = 3
     """
@@ -418,8 +421,17 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((h % 100).isin(1, 2), cents + 100).otherwise(cents).alias("cents"),
         )
     )
-    b_new = o.filter(h % 97 == 3).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"), cents.alias("cents")
+    # Offset derived from the data (broadcast 1-row max), mirroring the
+    # oracle's scalar subquery: synthetic keys occupy (kmax, 2*kmax]
+    # and cannot collide with real keys at any scale factor.
+    kmax = o.agg(F.max("o_orderkey").alias("kmax"))
+    b_new = (
+        o.filter(h % 97 == 3)
+        .crossJoin(F.broadcast(kmax))
+        .select(
+            (F.col("o_orderkey") + F.col("kmax")).alias("o_orderkey"),
+            cents.alias("cents"),
+        )
     )
     b = b_keep.unionAll(b_new)
     aj = a.alias("a")

@@ -67,6 +67,24 @@ def shared_stage(
     return df
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the RDD blocks behind a ``localCheckpoint()``-ed DataFrame.
+
+    ``Dataset.unpersist()`` is a NO-OP for these: localCheckpoint
+    persists the underlying RDD directly, and unpersist only consults
+    the SQL cache manager (ADVICE r5). The release has to reach the
+    checkpointed RDD itself, which after localCheckpoint is the
+    ``rdd`` field of the plan's LogicalRDD leaf. Best-effort: if the
+    shape is unexpected, fall back to ContextCleaner GC (the blocks
+    are reclaimed when the RDD is garbage-collected, just later)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_all() -> None:
     """Unpersist and forget every cached stage (safe to call anytime)."""
     for key, df in list(_CACHE.items()):

@@ -1,0 +1,54 @@
+"""State-partition auto-sizing (VERDICT r5 item 4): the round-5 A/B
+proved stateful-query throughput is per-batch state-COMMIT-bound — 8
+state partitions ~2x the throughput of 32 on the same workload. These
+tests pin the rule that turns that finding into code."""
+
+from streams_prototyping_spark.streaming.state_sizing import (
+    MAX_PARTITIONS,
+    MIN_PARTITIONS,
+    configure_stateful_shuffle,
+    estimate_join_state_rows,
+    recommended_state_partitions,
+)
+
+
+def test_estimate_join_state_rows():
+    # 100k rows/s per side, 60 s watermark + 60 s join window, 2 sides
+    assert estimate_join_state_rows(100_000, 60, 60) == 100_000 * 120 * 2
+    # windowed aggregate: single side, no join window
+    assert estimate_join_state_rows(1000, 30, 0, n_sides=1) == 30_000
+
+
+def test_small_state_gets_the_ab_winner_not_the_core_count():
+    """The A/B regime: ~2M resident rows x 64 B = 128 MiB of state.
+    The rule must pick the low-partition configuration (the measured
+    ~268k rows/s cell), NOT the 32-core default (the ~142k cell)."""
+    n = recommended_state_partitions(2_000_000, row_width_bytes=64)
+    assert n == MIN_PARTITIONS  # 128 MiB needs 2 partitions; floor = 8
+    assert n < 32
+
+
+def test_partitions_scale_with_state_volume():
+    # 1e9 rows x 64 B = 64 GiB -> 1024 partitions, clamped to the cap
+    assert recommended_state_partitions(10**9, 64) == MAX_PARTITIONS
+    # 2 GiB of state -> 32 partitions of 64 MiB each
+    assert recommended_state_partitions((2 << 30) // 64, 64) == 32
+    # zero state still gets the parallelism floor
+    assert recommended_state_partitions(0, 64) == MIN_PARTITIONS
+
+
+def test_monotone_in_state_size():
+    prev = 0
+    for rows in (0, 10**5, 10**7, 10**8, 10**9, 10**10):
+        n = recommended_state_partitions(rows, 64)
+        assert n >= prev
+        prev = n
+
+
+def test_configure_sets_shuffle_partitions(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = configure_stateful_shuffle(spark, 2_000_000, 64)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
