@@ -139,29 +139,62 @@ def soak(spark, provider: str, changelog: bool) -> dict:
     return rec
 
 
-def main() -> None:
-    cells = []
-    # fresh session per cell: an HDFS-provider heap blowout must not
-    # poison the RocksDB cells that follow
-    for provider, changelog in ((HDFS, False), (ROCKSDB, False), (ROCKSDB, True)):
-        spark = get_spark("state-soak")
-        spark.sparkContext.setLogLevel("ERROR")
+def _run_one_cell(cell: str) -> None:
+    provider, changelog = {
+        "hdfs": (HDFS, False),
+        "rocksdb": (ROCKSDB, False),
+        "rocksdb-changelog": (ROCKSDB, True),
+    }[cell]
+    spark = get_spark("state-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        soak(spark, provider, changelog)
+    finally:
         try:
-            cells.append(soak(spark, provider, changelog))
-        finally:
-            try:
-                spark.stop()
-            except Exception:
-                pass
-    print("\n| provider | final state rows | final state MB | tail rows/s | tail batch s |")
-    print("|---|---|---|---|---|")
+            spark.stop()
+        except Exception:
+            pass
+
+
+def main() -> None:
+    cell = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--cell=")), None)
+    if cell:
+        _run_one_cell(cell)
+        return
+    # One SUBPROCESS per cell: the HDFS cell is EXPECTED to kill its
+    # JVM with heap exhaustion (that is the measurement), which also
+    # kills the py4j gateway of the hosting python process — so each
+    # cell gets its own interpreter.
+    import subprocess
+
+    cells = []
+    for c in ("hdfs", "rocksdb", "rocksdb-changelog"):
+        out = subprocess.run(
+            [sys.executable, __file__, f"--cell={c}"]
+            + [a for a in sys.argv[1:] if a.startswith("--")],
+            capture_output=True,
+            text=True,
+            timeout=SECS + 240,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+                cells.append(rec)
+                print(json.dumps(rec), flush=True)
+                break
+        else:
+            cells.append({"provider": c, "error": "cell produced no record",
+                          "stderr_tail": out.stderr[-300:]})
+    print("\n| provider | final state rows | final state MB | tail rows/s | tail batch s | outcome |")
+    print("|---|---|---|---|---|---|")
     for c in cells:
         print(
-            f"| {c['provider']} | {c['final_state_rows']:,} | {c['final_state_mb']} "
-            f"| {c['tail_sustained_rps']:,} | {c['tail_batch_s']} |"
+            f"| {c['provider']} | {c.get('final_state_rows', 0):,} "
+            f"| {c.get('final_state_mb', '-')} "
+            f"| {c.get('tail_sustained_rps', 0):,} | {c.get('tail_batch_s', '-')} "
+            f"| {c.get('error', 'completed')} |"
         )
     print(json.dumps({"metric": "state_store_soak", "cells": cells}))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -21,9 +21,13 @@ The sizing rule
   watermarked aggregate, rows ~ open windows x keys; for a
   stream-stream join, rows ~ (watermark + join window) seconds x input
   rows/second summed over both sides (symmetric-hash keeps both).
-- ``target_partition_bytes`` (default 64 MiB) keeps each partition's
-  store snapshot small enough that the HDFS-backed provider's on-heap
-  map and per-batch delta write stay cheap, with headroom for skew.
+- ``target_partition_bytes`` (default 256 MiB): err LOW on partition
+  count. The round-6 --tuned measurement showed the commit-cost curve
+  is much steeper than a naive bytes-per-partition model — at ~2M
+  resident rows, 16 partitions measured 140k rows/s (per-batch commit
+  12.4s summed) vs 8 partitions at 221k (2.7s): halving partitions
+  quartered commit cost. 256 MiB per partition is comfortably inside
+  both providers' per-store capacity and keeps the count minimal.
 - ``min_partitions`` (default 8) is the parallelism floor: state
   insert/probe is CPU work that still wants several cores even when
   the state is tiny (the A/B's winning cell).
@@ -43,7 +47,7 @@ import math
 
 from pyspark.sql import SparkSession
 
-TARGET_PARTITION_BYTES = 64 << 20  # 64 MiB of state per partition
+TARGET_PARTITION_BYTES = 256 << 20  # 256 MiB of state per partition
 MIN_PARTITIONS = 8
 MAX_PARTITIONS = 512
 

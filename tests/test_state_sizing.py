@@ -29,12 +29,22 @@ def test_small_state_gets_the_ab_winner_not_the_core_count():
 
 
 def test_partitions_scale_with_state_volume():
-    # 1e9 rows x 64 B = 64 GiB -> 1024 partitions, clamped to the cap
-    assert recommended_state_partitions(10**9, 64) == MAX_PARTITIONS
-    # 2 GiB of state -> 32 partitions of 64 MiB each
-    assert recommended_state_partitions((2 << 30) // 64, 64) == 32
+    # 1e10 rows x 64 B = 640 GiB -> 2560 partitions, clamped to the cap
+    assert recommended_state_partitions(10**10, 64) == MAX_PARTITIONS
+    # 8 GiB of state -> 32 partitions of 256 MiB each
+    assert recommended_state_partitions((8 << 30) // 64, 64) == 32
     # zero state still gets the parallelism floor
     assert recommended_state_partitions(0, 64) == MIN_PARTITIONS
+
+
+def test_tuned_ab_workload_picks_the_measured_winner():
+    """The --tuned A/B workload (offered 133k rows/s, 120 s horizon):
+    the conservative offered-rate estimate is ~16M rows = 1 GiB, and
+    the rule must land on 8 partitions — the measured 221k rows/s cell
+    (16 partitions measured 140k; the commit-cost cliff sits between
+    8 and 16)."""
+    est = estimate_join_state_rows(133_333, 60, 60, n_sides=1)
+    assert recommended_state_partitions(est, 64) == 8
 
 
 def test_monotone_in_state_size():
