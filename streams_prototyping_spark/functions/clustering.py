@@ -482,14 +482,24 @@ def _semdedup_oracle() -> str:
     dot = _DOT_DUCK.format(a="x.v", b="y.v")
     return f"""
 WITH {_lloyd_ctes()},
-van AS (
+van0 AS (
     SELECT vec_id, cell, v,
-           list_sum(list_transform(v, e -> e * e)) AS sqnorm
+           list_sum(list_transform(v, e -> e * e)) AS sqnorm,
+           count(*) OVER (PARTITION BY cell) AS cn
     FROM afinal
+), van AS (
+    -- deterministic sub-block size cap (the fs_recs / capped-LSH
+    -- pattern): oversized cells split so pair work stays
+    -- O(cell * TARGET); pairs across sub-blocks are not compared
+    SELECT vec_id, cell, v, sqnorm,
+           vec_id % greatest(1, CAST(ceil(cn / {TARGET_CELL_SIZE}.0) AS BIGINT))
+               AS sub
+    FROM van0
 ), pr AS (
     SELECT y.vec_id AS vec_id,
            round({dot} / (sqrt(x.sqnorm) * sqrt(y.sqnorm)), 6) AS cos_sim
-    FROM van x JOIN van y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    FROM van x JOIN van y
+      ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id < y.vec_id
 ), d AS (
     SELECT vec_id, count(*) AS n_near_below FROM pr
     WHERE cos_sim >= {SEMDEDUP_MIN_COS} GROUP BY vec_id
@@ -510,23 +520,44 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-farthest-from-centroid; the cluster-bucketed candidate shape
     is the point.
 
-    Scale note: the pair join is keyed on cell — O(cell_size^2) per
-    cell, never a corpus cross product; K grows with the corpus
-    (K = clamp(ceil(n / {TARGET_CELL_SIZE}), {K_CELLS}, {MAX_K_CELLS}),
-    _k_cells — identical in the oracle) so per-cell pair work stays
-    bounded while the join stays an equi-join. Shares the trained
-    assignment stage with kmeans_lloyd (built once per session).
+    Scale note (round-6 fix): the pair join is keyed on (cell, sub).
+    K adapts with the corpus (clamp(ceil(n / TARGET_CELL_SIZE),
+    K_CELLS, MAX_K_CELLS), _k_cells — identical in the oracle) BUT is
+    capped to bound k-means training cost, so past K*TARGET vectors
+    the cells themselves grow — the round-6 sf10 sweep caught exactly
+    that as alpha 2.04 (277 s at sf10: 819k vectors / 64 cells =
+    12.8k-row cells, O(cell^2) pairs). The fix is the repo's standard
+    deterministic sub-block size cap (fs_recs, capped LSH): oversized
+    cells split by vec_id % ceil(cell_n / {TARGET_CELL_SIZE}), pair
+    work bounded at O(n * TARGET), with the documented recall trade —
+    duplicates across sub-blocks of one cell are not compared. Shares
+    the trained assignment stage with kmeans_lloyd (built once per
+    session).
     """
     from streams_prototyping_spark.functions.similarity import (
         _DOT_SPARK,
         _SQNORM_SPARK,
     )
 
-    a = _final_assign(spark, sf_dir).select(
+    a0 = _final_assign(spark, sf_dir).select(
         "vec_id",
         "cell",
         "v",
         F.expr(_SQNORM_SPARK.format(v="v")).alias("sqnorm"),
+    )
+    cn = a0.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    a = a0.join(F.broadcast(cn), "cell").select(
+        "vec_id",
+        "cell",
+        "v",
+        "sqnorm",
+        (
+            F.col("vec_id")
+            % F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("cn") / float(TARGET_CELL_SIZE)),
+            )
+        ).alias("sub"),
     )
     x = a.alias("x")
     y = a.alias("y")
@@ -534,6 +565,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(
             y,
             (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.sub") == F.col("y.sub"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(

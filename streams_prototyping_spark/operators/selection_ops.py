@@ -305,3 +305,104 @@ def pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ht_count",
         )
     )
+
+
+# ------------------------------- quota sampling per source (stratified)
+
+QS_TOTAL = 256  # total sample budget across sources
+
+
+def _qs_oracle() -> str:
+    u = portable_hash64_sql("'qs:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH sz AS (
+    SELECT source, count(*) AS n,
+           CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT sum(w) AS sw FROM sz
+), quota AS (
+    SELECT source, n,
+           least(n, greatest(1, CAST(ceil(
+               {QS_TOTAL} * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+           ) AS BIGINT))) AS q
+    FROM sz CROSS JOIN tot
+), ranked AS (
+    SELECT d.doc_id, d.source,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY {u}, d.doc_id) AS rnk
+    FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(q.q AS BIGINT) AS quota
+FROM ranked r JOIN quota q ON q.source = r.source
+WHERE r.rnk <= q.q
+"""
+
+
+@register(
+    "quota_sample_per_source",
+    oracle=_qs_oracle(),
+    bounded_window=None,  # all windows partitioned by source
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: a {QS_TOTAL}-document budget split
+    across sources proportionally to sqrt(source size) (the sub-linear
+    upsampling rule mixture recipes use — same weighting as
+    dataset_interleave), each source contributing its q highest-ranked
+    documents under a deterministic per-document hash order. The
+    hash-ranked prefix IS a uniform sample within each source, and the
+    whole selection is reproducible across engines and runs (RNG-free,
+    like every sampler in this engine).
+
+    Determinism: per-source weights are 6-dp-rounded sqrt counts
+    summed as exact decimals (a raw double sum's order-dependence
+    could fork the quota at a ceil boundary); ranks tie-break on
+    doc_id.
+
+    Scale design: source sizes are one partial-combined aggregate
+    (broadcast back as O(sources) rows); ranking is a source-
+    partitioned window with a LITERAL rank<={QS_TOTAL} pre-filter —
+    InferWindowGroupLimit prunes each partition to its local top
+    {QS_TOTAL} before the shuffle (the column-valued quota filter
+    then trims to q_s <= {QS_TOTAL} rows per source). No global sort,
+    no single-partition window, shuffle volume O(sources x {QS_TOTAL}).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sz = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt(F.count(F.lit(1))), 6).cast("decimal(18,6)").alias("w"),
+    )
+    tot = sz.agg(F.sum("w").alias("sw"))
+    quota = sz.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.least(
+            F.col("n"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(
+                    F.lit(QS_TOTAL)
+                    * F.col("w").cast("double")
+                    / F.col("sw").cast("double")
+                ),
+            ),
+        ).alias("quota"),
+    )
+    u = portable_hash64(F.concat(F.lit("qs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(u, F.col("doc_id"))
+    ranked = (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        # literal bound first: rewritten to WindowGroupLimit (per-
+        # partition top-k pre-prune); the data-dependent quota bound
+        # below cannot be (it is a column, not a literal)
+        .filter(F.col("rnk") <= QS_TOTAL)
+    )
+    return ranked.join(F.broadcast(quota.select("source", "quota")), "source").where(
+        F.col("rnk") <= F.col("quota")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("quota").cast("long").alias("quota"),
+    )
