@@ -169,13 +169,25 @@ def main() -> None:
 
     cells = []
     for c in ("hdfs", "rocksdb", "rocksdb-changelog"):
-        out = subprocess.run(
-            [sys.executable, __file__, f"--cell={c}"]
-            + [a for a in sys.argv[1:] if a.startswith("--")],
-            capture_output=True,
-            text=True,
-            timeout=SECS + 240,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, f"--cell={c}"]
+                + [a for a in sys.argv[1:] if a.startswith("--")],
+                capture_output=True,
+                text=True,
+                timeout=SECS + 240,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hung cell (e.g. a JVM wedged in GC-death rather than
+            # dying cleanly) is itself a measurement: record it and let
+            # the remaining provider cells + summary table run (ADVICE r6)
+            tail = (e.stderr or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            cells.append({"provider": c, "error": f"cell hung > {SECS + 240}s",
+                          "stderr_tail": tail[-300:]})
+            print(json.dumps(cells[-1]), flush=True)
+            continue
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 rec = json.loads(line)

@@ -69,14 +69,35 @@ def _sustained(progress: list[dict]) -> float:
     return rates[len(rates) // 2] if rates else 0.0
 
 
-def probe(name: str, out_df, min_batches: int = 6, output_mode: str = "update") -> dict:
-    q = (
-        out_df.writeStream.format("noop")
-        .outputMode(output_mode)
-        .trigger(processingTime="2 seconds")
-        .queryName(name)
-        .start()
-    )
+def probe(
+    name: str,
+    out_df,
+    min_batches: int = 6,
+    output_mode: str = "update",
+    sizing: dict | None = None,
+) -> dict:
+    if sizing is not None:
+        # the PRODUCTION path (r6 verdict item 1): state partitions are
+        # sized from the estimated state volume inside start_stateful,
+        # not by whatever the session default happens to be
+        from streams_prototyping_spark.streaming.state_sizing import start_stateful
+
+        q = start_stateful(
+            out_df,
+            format="noop",
+            output_mode=output_mode,
+            query_name=name,
+            processing_time="2 seconds",
+            **sizing,
+        )
+    else:
+        q = (
+            out_df.writeStream.format("noop")
+            .outputMode(output_mode)
+            .trigger(processingTime="2 seconds")
+            .queryName(name)
+            .start()
+        )
     deadline = time.time() + SECS
     while time.time() < deadline:
         done = [
@@ -106,8 +127,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
-    # App 1: windowed AVG aggregation (Aggregations.java topology)
-    results.append(probe("windowed_avg_stream", windowed_avg_stream(_rate_events(spark, RATE))))
+    # App 1: windowed AVG aggregation (Aggregations.java topology) —
+    # sized via the production start_stateful path (state here is one
+    # row per open 30 s window, so the conservative rate-x-horizon
+    # estimate still lands on the parallelism floor)
+    results.append(
+        probe(
+            "windowed_avg_stream",
+            windowed_avg_stream(_rate_events(spark, RATE)),
+            sizing={
+                "rows_per_second": RATE,
+                "watermark_seconds": 60,
+                "n_sides": 1,
+            },
+        )
+    )
 
     # App 2: stream-stream windowed left join (StreamStreamJoin.java).
     # Sparse-match workload BY DESIGN: the wide user_id key space means
@@ -120,21 +154,29 @@ def main() -> None:
     # state (insert + probe + watermark eviction), the heaviest per-row
     # work in the engine; a 60 s watermark bounds buffered state to
     # ~2 min of stream on each side.
-    # Size state partitions from estimated state volume, not core count
-    # (round-5 A/B: per-batch commit overhead scales with partitions;
-    # see streaming/state_sizing.py). Must happen BEFORE the query
-    # starts — the count pins at the first checkpoint.
+    # State partitions are sized from estimated state volume, not core
+    # count (round-5 A/B: per-batch commit overhead scales with
+    # partitions; see streaming/state_sizing.py) — via start_stateful,
+    # the same call path production pipelines use, so this probe row IS
+    # the evidence the engine lands on the winning cell by itself.
     from streams_prototyping_spark.streaming.state_sizing import (
-        configure_stateful_shuffle,
         estimate_join_state_rows,
+        recommended_state_partitions,
     )
 
     est = estimate_join_state_rows(
         RATE // 5 + RATE // 15, watermark_seconds=60,
         join_window_seconds=60, n_sides=1,
     )
-    n_parts = configure_stateful_shuffle(spark, est)
-    print(json.dumps({"state_partitions": n_parts, "est_state_rows": est}))
+    print(
+        json.dumps(
+            {
+                "state_partitions": recommended_state_partitions(est),
+                "est_state_rows": est,
+                "sized_via": "start_stateful",
+            }
+        )
+    )
 
     imps = _rate_events(spark, RATE // 5).select(
         F.col("ts").alias("imp_ts"),
@@ -152,6 +194,7 @@ def main() -> None:
             "ads_with_clicks_stream",
             ads_with_clicks_stream(imps, clicks, watermark="60 seconds"),
             output_mode="append",  # stream-stream outer joins are append-only
+            sizing={"est_state_rows": est},
         )
     )
 

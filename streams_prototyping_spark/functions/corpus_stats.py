@@ -362,8 +362,11 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .agg(F.count("*").alias("n_uni_total"))
         .crossJoin(
-            d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b"))
-            .agg(F.count("*").alias("n_bg_total"))
+            F.broadcast(
+                d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b")).agg(
+                    F.count("*").alias("n_bg_total")
+                )
+            )
         )
     )
     f1 = unif.select(F.col("word").alias("w1"), F.col("n").alias("n_w1"))

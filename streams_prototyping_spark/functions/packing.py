@@ -127,6 +127,14 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone along q DESC). Per-bucket subtotals cumulate on the tiny
     score-grid table; interiors run under PARTITION BY bucket — no
     single-partition global sort of the corpus (round-6 lint).
+
+    Residual bound (ADVICE r6): the 1/64 grid is <=65 occupied buckets,
+    so one bucket interior is still a single task over O(n/65) rows —
+    a constant-factor improvement that removes the single-partition
+    exchange, not per-task O(1). The knob is the grid density: a
+    quality score concentrating mass in one 1/64 cell (or a corpus
+    where n/65 outgrows a task) calls for a finer grid or a
+    span-derived width.
     """
     from streams_prototyping_spark.functions.text_transform import quality_score_col
     from streams_prototyping_spark.operators.ranks import bucketed_running_sums

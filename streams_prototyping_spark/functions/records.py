@@ -135,16 +135,23 @@ def _fs_pairs(recs: DataFrame) -> DataFrame:
 
 
 def _round_half_away(x: float, dp: int) -> float:
-    """Driver-side rounding matching DuckDB's rule (round-half-AWAY-
-    from-zero, both signs). Python's round() is banker's (half-even) —
-    a driver-computed scalar mirrored by a DuckDB round() must never
-    use it, or an exact half at the target precision forks the oracle
-    (ADVICE r5: fs_em_params E-step weights / fs_linkage_weights log2
-    weights)."""
+    """Driver-side rounding matching DuckDB's ALGORITHM, not just its
+    rule: DuckDB rounds doubles as ``round(x * 10^dp) / 10^dp`` (C
+    round = half away from zero on the SCALED double), so this helper
+    must do the same multiply-then-round. Quantizing the exact binary
+    value of the RAW double diverges at representation boundaries —
+    e.g. 0.0000005 is exactly 4.999...e-7 in binary, so quantize gives
+    0.0 while DuckDB's 0.0000005*10^6 = 0.5 (exact) rounds to 1e-6
+    (ADVICE r6). Python's round() is banker's (half-even) and must
+    never be used here either (ADVICE r5: fs_em_params E-step weights /
+    fs_linkage_weights log2 weights). Decimal(scaled) is the exact
+    binary value of the scaled double; quantize-to-integer HALF_UP on
+    it is bit-for-bit C round()."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    q = Decimal(1).scaleb(-dp)
-    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+    power = 10.0 ** dp
+    r = Decimal(x * power).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    return float(r) / power
 
 
 def _fs_weight_sql(field: str, m: float) -> str:

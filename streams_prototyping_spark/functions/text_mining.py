@@ -419,7 +419,7 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = toks.agg(F.countDistinct("doc_id").alias("n"))
         cnt = toks.groupBy("w", "source").agg(F.count(F.lit(1)).alias("c"))
         lik = (
-            vocab.crossJoin(src.select("source", "n_toks"))
+            vocab.crossJoin(F.broadcast(src.select("source", "n_toks")))
             .crossJoin(F.broadcast(vn))
             .join(cnt, ["w", "source"], "left")
             .select(

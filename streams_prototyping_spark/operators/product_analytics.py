@@ -921,6 +921,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITION BY bucket RANGE frames. No single-partition sort of the
     customer table anywhere (the old ntile design serialized all
     customers through one task three times).
+
+    Residual bound (ADVICE r6, honest version of the claim): the fixed
+    grids here are COARSE on narrow domains — frequency/8 is ~6
+    occupied buckets on TPC-H order counts — so each bucket interior is
+    still one task holding O(n_customers / occupied_buckets) rows. That
+    is a constant-factor parallelism improvement plus removal of the
+    single-partition EXCHANGE (rows no longer all move to one machine),
+    not an unconditional per-task O(1). At a scale where a bucket
+    interior outgrows a task, narrow the widths (the ranks.py knob) or
+    derive them from the observed span; the frequency dimension's
+    domain (orders per customer) grows ~log with SF, so the fixed grid
+    holds far past sf10 (measured: SCALING_SF10.md).
     """
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(

@@ -65,8 +65,15 @@ def _children(node):
 _LIMIT_NODES = ("GlobalLimit", "WindowGroupLimit")
 _AGG_NODES = ("Aggregate", "Deduplicate")
 # Literal / generated leaves (quantile spines, spark.range bin ids,
-# 1-row parameter frames) — bounded by construction.
-_LITERAL_LEAVES = ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD")
+# 1-row parameter frames) — bounded by construction. LogicalRDD is
+# deliberately NOT here (ADVICE r6): localCheckpoint() materializes
+# arbitrarily large corpus-sized frames as LogicalRDD leaves, so
+# treating the node class as bounded would let an empty-partition
+# window over checkpointed data silently pass the exact lint built to
+# hard-fail that shape. A genuinely small driver-created frame that
+# feeds a global window must instead be capped in-plan (limit/top-k)
+# or aggregated + annotated like every other input.
+_LITERAL_LEAVES = ("LocalRelation", "OneRowRelation", "Range")
 _CLASS_RANK = {"raw": 0, "aggregated": 1, "bounded": 2}
 
 

@@ -44,8 +44,12 @@ exchanges, so this knob is the only control there is.
 from __future__ import annotations
 
 import math
+from typing import TYPE_CHECKING, Optional
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
 
 TARGET_PARTITION_BYTES = 256 << 20  # 256 MiB of state per partition
 MIN_PARTITIONS = 8
@@ -97,3 +101,69 @@ def configure_stateful_shuffle(
     n = recommended_state_partitions(est_state_rows, row_width_bytes, **kwargs)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+def start_stateful(
+    df: DataFrame,
+    *,
+    est_state_rows: Optional[int] = None,
+    rows_per_second: Optional[float] = None,
+    watermark_seconds: float = 0.0,
+    join_window_seconds: float = 0.0,
+    n_sides: int = 1,
+    row_width_bytes: int = 64,
+    format: str = "noop",
+    output_mode: str = "update",
+    query_name: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    processing_time: Optional[str] = None,
+    options: Optional[dict] = None,
+) -> "StreamingQuery":
+    """THE production entry point for a stateful streaming pipeline:
+    size the state partitions from the estimated state volume, THEN
+    start the query — closing the gap the r6 verdict flagged, where
+    the measured 2x partition-sizing rule (BASELINE.md A/B: 8
+    partitions ~220k rows/s vs ~140k at the 16/32 core-count default)
+    lived only in the probe scripts while the pipeline builders
+    started on whatever the session default happened to be, pinned
+    forever at the first checkpoint.
+
+    State estimate: pass ``est_state_rows`` directly, or the workload
+    facts (``rows_per_second`` PER SIDE + ``watermark_seconds`` [+
+    ``join_window_seconds``, ``n_sides=2`` for a stream-stream join])
+    and the helper derives it via :func:`estimate_join_state_rows`.
+
+    The chosen count is pinned at the query's FIRST checkpoint (module
+    caveat), so this must run against a FRESH ``checkpoint_dir``; on
+    an existing checkpoint Spark ignores the conf and keeps the
+    pinned count — correct, and exactly why sizing belongs here, at
+    query start, not mid-flight.
+
+    NOTE the helper intentionally does NOT restore the previous
+    ``spark.sql.shuffle.partitions``: micro-batch 0 plans
+    asynchronously after ``start()`` returns and reads the session
+    conf at that point — restoring immediately would race the very
+    setting this function exists to apply. Run batch work in the same
+    process from a separate ``spark.newSession()`` (shared
+    SparkContext, independent SQLConf) if the low stateful count would
+    hurt it; AQE makes the batch side largely insensitive anyway.
+    """
+    if est_state_rows is None:
+        if rows_per_second is None:
+            raise ValueError(
+                "pass est_state_rows or rows_per_second(+watermark_seconds)"
+            )
+        est_state_rows = estimate_join_state_rows(
+            rows_per_second, watermark_seconds, join_window_seconds, n_sides
+        )
+    configure_stateful_shuffle(df.sparkSession, est_state_rows, row_width_bytes)
+    writer = df.writeStream.format(format).outputMode(output_mode)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    return writer.start()

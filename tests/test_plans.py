@@ -271,8 +271,12 @@ def test_global_window_lint_full_registry(spark, sf_dir):
     that correctness tests and single-box scaling alphas cannot see.
     Windows over AGGREGATED input are allowed only with an explicit
     bounded_window annotation naming the key domain, and annotations
-    must not go stale. Covers every registered query (plan build only,
-    no execution)."""
+    must not go stale. Covers every registered query. NOTE: mostly
+    plan-build work, but NOT execution-free — the iterative/shared-
+    stage queries (fs_em_params, greedy_match_assign, the cached ANN
+    index stages) run eager localCheckpoints and driver-side
+    convergence collects while CONSTRUCTING their plans, so this test
+    executes real Spark jobs over sf_dir (~90 s; ADVICE r6)."""
     from streams_prototyping_spark.plans.introspect import global_windows
 
     problems = []

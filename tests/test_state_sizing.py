@@ -62,3 +62,66 @@ def test_configure_sets_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_start_stateful_pins_sized_partitions_at_checkpoint(spark, sf_dir, tmp_path):
+    """VERDICT r6 item 1: the production pipeline path itself must land
+    on the A/B-winning partition count. Start ads_with_clicks_stream
+    through start_stateful() on a FRESH checkpoint and verify the count
+    that got PINNED INTO THE CHECKPOINT (state/0/<partition-id> dirs —
+    the on-disk fact Spark replays forever after) equals the sizing
+    rule's recommendation, not the session default."""
+    import pyspark.sql.functions as F
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import ads_with_clicks_stream
+    from streams_prototyping_spark.streaming.sources import create_stream
+    from streams_prototyping_spark.streaming.state_sizing import start_stateful
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    imp = ev.select(
+        F.col("event_id").alias("impression_id"),
+        F.col("ts").alias("imp_ts"),
+        "user_id",
+        (F.col("user_id") % 10).cast("long").alias("ad_id"),
+    )
+    clk = ev.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"),
+    )
+    ipath, cpath = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imp.write.parquet(ipath)
+    clk.write.parquet(cpath)
+    s_imp = create_stream(spark, "imp", imp.schema, transport="file", path=ipath)
+    s_clk = create_stream(spark, "clk", clk.schema, transport="file", path=cpath)
+
+    # A 300k rows/s-per-side production estimate -> ~4.6 GiB of state ->
+    # NOT the floor and NOT the session default: proves the value flowed
+    # through the rule, not either constant.
+    ckpt = str(tmp_path / "ckpt")
+    expected = recommended_state_partitions(
+        estimate_join_state_rows(300_000, 60, 60, n_sides=2)
+    )
+    assert expected != MIN_PARTITIONS and str(expected) != before
+    try:
+        q = start_stateful(
+            ads_with_clicks_stream(s_imp, s_clk, watermark="60 seconds"),
+            rows_per_second=300_000,
+            watermark_seconds=60,
+            join_window_seconds=60,
+            n_sides=2,
+            format="memory",
+            output_mode="append",
+            query_name="ssj_sized",
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(expected)
+        state0 = tmp_path / "ckpt" / "state" / "0"
+        part_dirs = [p for p in state0.iterdir() if p.name.isdigit()]
+        assert len(part_dirs) == expected
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
