@@ -232,6 +232,13 @@ HEADLINE = [
 GATE_PER_QUERY = 1.5   # a query may not slow more than 1.5x round-over-round
 GATE_TOTAL = 1.2       # nor the shared-set total more than 1.2x
 GATE_NOISE_S = 0.5     # absolute slack: sub-second timings jitter ~100s of ms
+# Drift symmetry (VERDICT r6 item 3): a GREEN run whose total is below
+# this ratio means the box/code is now much faster than the committed
+# baseline — which silently WIDENS the regression the 1.2x threshold
+# tolerates (at 0.8x observed, a true ~1.5x regression still reads
+# green). Slow drift falsified the r5 gate; fast drift blunts it the
+# same way, so both directions demand a re-baseline.
+GATE_DRIFT_LOW = 0.9
 
 
 def compare_gate(
@@ -241,11 +248,18 @@ def compare_gate(
     per_query: float = GATE_PER_QUERY,
     total: float = GATE_TOTAL,
     noise_s: float = GATE_NOISE_S,
+    drift_low: float = GATE_DRIFT_LOW,
 ) -> dict:
     """Pure comparison: fresh vs previous per-query seconds over the
     SHARED query set. Returns {ok, violations, totals}; a violation is
     a query slower than per_query x AND more than noise_s slower in
-    absolute terms, or the shared total exceeding total x."""
+    absolute terms, or the shared total exceeding total x.
+
+    ``stale_baseline`` flags a green run whose total ratio fell below
+    ``drift_low``: not a failure (fast is good), but the baseline no
+    longer bounds regressions tightly — re-baseline with the two-idle-
+    runs protocol (two back-to-back runs on an idle box, commit the
+    second) before trusting the next green."""
     shared = sorted(set(fresh) & set(prev))
     violations = []
     for q in shared:
@@ -257,16 +271,27 @@ def compare_gate(
     t_prev = sum(prev[q] for q in shared)
     t_fresh = sum(fresh[q] for q in shared)
     total_ok = t_fresh <= t_prev * total or t_fresh - t_prev <= noise_s
+    total_ratio = round(t_fresh / t_prev, 3) if t_prev else None
+    stale = total_ratio is not None and total_ratio < drift_low
     return {
         "ok": not violations and total_ok,
         "n_shared": len(shared),
         "violations": violations,
         "total_prev_s": round(t_prev, 3),
         "total_fresh_s": round(t_fresh, 3),
-        "total_ratio": round(t_fresh / t_prev, 3) if t_prev else None,
+        "total_ratio": total_ratio,
         "total_ok": total_ok,
+        "stale_baseline": stale,
+        "stale_note": (
+            "total ratio %.3f < %.2f: baseline is stale-fast; the %.1fx "
+            "total threshold now tolerates a ~%d%% true regression — "
+            "re-baseline (two idle runs, commit the second)"
+            % (total_ratio, drift_low, total, round((total / total_ratio - 1) * 100))
+            if stale
+            else ""
+        ),
         "thresholds": {"per_query": per_query, "total": total,
-                       "noise_s": noise_s},
+                       "noise_s": noise_s, "drift_low": drift_low},
     }
 
 
@@ -390,10 +415,13 @@ def main() -> None:
         print(
             json.dumps(
                 {"gate": report["ok"], "violations": report["violations"],
-                 "total_ratio": report["total_ratio"]}
+                 "total_ratio": report["total_ratio"],
+                 "stale_baseline": report["stale_baseline"]}
             ),
             file=sys.stderr,
         )
+        if report["stale_baseline"]:
+            print("GATE WARNING: " + report["stale_note"], file=sys.stderr)
         if not report["ok"]:
             sys.exit(1)
 

@@ -118,6 +118,7 @@ def build(
     src_dir: str = SRC,
     replicas: int = REPLICAS,
     marker_name: str = "_SUCCESS_SF1",
+    partitions: int = 16,
 ) -> str:
     """Key-shifted upscale of ``src_dir`` by ``replicas``x into
     ``out_dir``. Chaining builds bigger decades (sf0.1 -> sf1 -> sf10)
@@ -151,7 +152,7 @@ def build(
         allr = parts[0]
         for p in parts[1:]:
             allr = allr.unionByName(p)
-        allr.repartition(16).write.mode("overwrite").parquet(
+        allr.repartition(partitions).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
     Path(marker).touch()

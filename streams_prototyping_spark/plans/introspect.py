@@ -141,6 +141,41 @@ def global_windows(df: DataFrame) -> list[tuple[str, str]]:
     return out
 
 
+def global_window_input_counts(df: DataFrame) -> list[tuple[str, int]]:
+    """MEASURE each empty-partition window's input instead of trusting
+    the annotation (r6 verdict item 2): execute every such window's
+    CHILD subtree and count its rows. A ``bounded_window`` annotation
+    claims the key domain does not track corpus size — plan walking
+    cannot prove that semantic fact, but running the child at several
+    scale factors can FALSIFY it: an annotated input whose row count
+    grows ~linearly with the corpus re-opens the single-partition class
+    the lint exists to close (scripts/annotation_cardinality.py sweeps
+    sf0.1/sf1/sf10 and tests/test_plans.py reds on corpus-tracking
+    growth in the committed artifact).
+
+    Returns ``[(input_class, n_rows), ...]`` for each empty-partition
+    window whose input class is not ``bounded``.
+    """
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().optimizedPlan()
+    out: list[tuple[str, int]] = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            child = _children(node)[0]
+            cls = _window_input_class(child)
+            if cls != "bounded":
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, child
+                )
+                out.append((cls, DataFrame(jdf, spark).count()))
+        for k in _children(node):
+            walk(k)
+
+    walk(plan)
+    return out
+
+
 def plan_facts(df: DataFrame) -> PlanFacts:
     simple = explain_str(df, "simple")
     formatted = explain_str(df, "formatted")

@@ -91,3 +91,22 @@ def test_gate_only_compares_shared_queries():
     fresh = {"a": 1.1, "new": 50.0}
     rep = bench.compare_gate(fresh, prev)
     assert rep["n_shared"] == 1 and rep["ok"]
+
+
+def test_gate_flags_stale_fast_baseline():
+    """VERDICT r6 item 3: drift symmetry. A green run far BELOW the
+    baseline (box/code now much faster) silently widens the tolerated
+    regression — the gate must flag it for re-baselining, without
+    failing (fast is not a regression)."""
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    fast = {f"q{i}": 0.8 for i in range(20)}  # ratio 0.8 < drift_low 0.9
+    rep = bench.compare_gate(fast, prev)
+    assert rep["ok"]  # green: nothing regressed
+    assert rep["stale_baseline"]
+    assert "re-baseline" in rep["stale_note"]
+    # mildly-faster runs do not nag
+    mild = {f"q{i}": 0.95 for i in range(20)}
+    rep2 = bench.compare_gate(mild, prev)
+    assert rep2["ok"] and not rep2["stale_baseline"]
+    # identical runs neither
+    assert not bench.compare_gate(prev, prev)["stale_baseline"]
