@@ -109,6 +109,7 @@ def probe(
             break
         time.sleep(1.0)
     progress = [json.loads(p.json) for p in q.recentProgress]
+    spark = out_df.sparkSession
     q.stop()
     sustained = _sustained(progress)
     rec = {
@@ -118,6 +119,14 @@ def probe(
         "secs": SECS,
         "batches": len(progress),
     }
+    if sizing is not None:
+        rec["state_partitions"] = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        prov = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        rec["provider"] = "rocksdb" if "RocksDB" in prov else "hdfs"
     print(json.dumps(rec), flush=True)
     return rec
 

@@ -55,6 +55,55 @@ TARGET_PARTITION_BYTES = 256 << 20  # 256 MiB of state per partition
 MIN_PARTITIONS = 8
 MAX_PARTITIONS = 512
 
+# Provider crossover (BASELINE.md, round-6 soak): the HDFS-backed
+# provider is ~2x faster while resident state sits safely under the
+# executor heap, and a CLIFF past it — GCLocker thrash then JVM death
+# at ~heap-sized state (3.5 GiB state on a 3 GiB heap was fatal,
+# 1.8 GiB fine). RocksDB kept running at 10x that state volume. So:
+# flip to RocksDB when estimated state bytes approach half the heap.
+PROVIDER_FLIP_HEAP_FRACTION = 0.5
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def _mem_str_bytes(s: str) -> int:
+    """'8g' / '512m' / '24576k' / plain bytes -> bytes (JVM -Xmx syntax)."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def executor_heap_bytes(spark: SparkSession) -> int:
+    """The heap that holds HDFS-backed state: executor memory on a
+    cluster, driver memory in local mode (executors run in-process)."""
+    master = spark.conf.get("spark.master", "")
+    key = "spark.driver.memory" if master.startswith("local") else "spark.executor.memory"
+    try:
+        return _mem_str_bytes(spark.conf.get(key))
+    except Exception:
+        return 1 << 30  # Spark's 1g default
+
+
+def recommend_state_provider(
+    est_state_rows: int,
+    row_width_bytes: int = 64,
+    heap_bytes: int = 1 << 30,
+    flip_fraction: float = PROVIDER_FLIP_HEAP_FRACTION,
+) -> str:
+    """'hdfs' while estimated state stays under ``flip_fraction`` of the
+    executor heap, else 'rocksdb' — the measured crossover rule
+    (BASELINE.md: HDFS is ~2x faster well inside the heap and dies
+    rather than degrades past it; RocksDB runs healthy at 10x that
+    volume on native memory + disk)."""
+    state_bytes = max(0, est_state_rows) * row_width_bytes
+    return "rocksdb" if state_bytes >= heap_bytes * flip_fraction else "hdfs"
+
 
 def estimate_join_state_rows(
     rows_per_second: float,
@@ -112,6 +161,7 @@ def start_stateful(
     join_window_seconds: float = 0.0,
     n_sides: int = 1,
     row_width_bytes: int = 64,
+    provider: Optional[str] = "auto",
     format: str = "noop",
     output_mode: str = "update",
     query_name: Optional[str] = None,
@@ -132,6 +182,12 @@ def start_stateful(
     facts (``rows_per_second`` PER SIDE + ``watermark_seconds`` [+
     ``join_window_seconds``, ``n_sides=2`` for a stream-stream join])
     and the helper derives it via :func:`estimate_join_state_rows`.
+
+    The same estimate also drives the state-store PROVIDER choice
+    (``provider="auto"``, the default): HDFS-backed under half-heap
+    state (~2x faster there), RocksDB past it (the HDFS ceiling is JVM
+    death — BASELINE.md soak). ``provider="hdfs"``/``"rocksdb"`` forces
+    a side; ``provider=None`` leaves the session conf untouched.
 
     The chosen count is pinned at the query's FIRST checkpoint (module
     caveat), so this must run against a FRESH ``checkpoint_dir``; on
@@ -156,7 +212,23 @@ def start_stateful(
         est_state_rows = estimate_join_state_rows(
             rows_per_second, watermark_seconds, join_window_seconds, n_sides
         )
-    configure_stateful_shuffle(df.sparkSession, est_state_rows, row_width_bytes)
+    spark = df.sparkSession
+    configure_stateful_shuffle(spark, est_state_rows, row_width_bytes)
+    # Provider crossover (BASELINE.md rule, engine behavior as of r7):
+    # 'auto' picks HDFS under half-heap state and RocksDB past it —
+    # the HDFS ceiling is JVM death, not degradation, so the flip must
+    # happen at start, where the provider (like the partition count)
+    # becomes part of the checkpoint's identity. Pass provider=None to
+    # leave the session's configured provider untouched.
+    if provider == "auto":
+        provider = recommend_state_provider(
+            est_state_rows, row_width_bytes, executor_heap_bytes(spark)
+        )
+    if provider is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _ROCKSDB_PROVIDER if provider == "rocksdb" else _HDFS_PROVIDER,
+        )
     writer = df.writeStream.format(format).outputMode(output_mode)
     if query_name:
         writer = writer.queryName(query_name)

@@ -125,3 +125,74 @@ def test_start_stateful_pins_sized_partitions_at_checkpoint(spark, sf_dir, tmp_p
         assert len(part_dirs) == expected
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_mem_str_parsing():
+    from streams_prototyping_spark.streaming.state_sizing import _mem_str_bytes
+
+    assert _mem_str_bytes("8g") == 8 << 30
+    assert _mem_str_bytes("512m") == 512 << 20
+    assert _mem_str_bytes("24576k") == 24576 << 10
+    assert _mem_str_bytes("1073741824") == 1 << 30
+    assert _mem_str_bytes("1.5g") == int(1.5 * (1 << 30))
+
+
+def test_provider_crossover_rule():
+    """BASELINE.md soak rule: HDFS under half-heap state (it was ~2x
+    faster at 2M rows on an 8g heap), RocksDB at/past it (3.5 GiB state
+    on a 3 GiB heap killed the JVM; RocksDB ran healthy at 10x)."""
+    from streams_prototyping_spark.streaming.state_sizing import (
+        recommend_state_provider,
+    )
+
+    heap = 3 << 30
+    # the soak's fatal HDFS cell: 3.6M rows x 512B payload ~ 1.8 GiB > half
+    assert recommend_state_provider(3_600_000, 512, heap) == "rocksdb"
+    # the r5 A/B regime: 2M x 64B = 128 MiB on an 8 GiB heap -> HDFS wins
+    assert recommend_state_provider(2_000_000, 64, 8 << 30) == "hdfs"
+    # boundary: exactly half the heap flips (the cliff is fatal; err early)
+    assert recommend_state_provider((heap // 2) // 64, 64, heap) == "rocksdb"
+    assert recommend_state_provider((heap // 2) // 64 - 1, 64, heap) == "hdfs"
+
+
+def test_start_stateful_auto_flips_provider(spark, sf_dir, tmp_path):
+    """A state estimate past half the executor heap must start the
+    query on the RocksDB provider (and a small one must start on — or
+    return to — HDFS), because the HDFS ceiling is JVM death and the
+    provider pins at the first checkpoint like the partition count."""
+    import pyspark.sql.functions as F
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import windowed_avg_stream
+    from streams_prototyping_spark.streaming.sources import create_stream
+    from streams_prototyping_spark.streaming.state_sizing import (
+        executor_heap_bytes,
+        start_stateful,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    events = load_table(spark, sf_dir, "events").select("ts", "value").limit(50)
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    heap = executor_heap_bytes(spark)
+    big = (heap // 2) // 64 + 1  # rows such that est state > half heap
+    try:
+        for est, want in ((big, "RocksDB"), (1000, "HDFS")):
+            stream = create_stream(
+                spark, "ev", events.schema, transport="file", path=path
+            )
+            q = start_stateful(
+                windowed_avg_stream(stream),
+                est_state_rows=est,
+                format="memory",
+                output_mode="complete",
+                query_name=f"wavg_{want}",
+                checkpoint_dir=str(tmp_path / f"ckpt_{want}"),
+            )
+            q.processAllAvailable()
+            q.stop()
+            assert want in spark.conf.get(key)
+    finally:
+        spark.conf.unset(key)
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
