@@ -868,3 +868,84 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
         )
     )
+
+
+# ------------------------------------------- cross-doc n-gram novelty
+
+_TRIGRAMS_SPARK = """
+CASE WHEN size(split(text, ' ')) >= 3
+     THEN transform(sequence(1, size(split(text, ' ')) - 2),
+          i -> concat_ws(' ', element_at(split(text, ' '), i),
+                              element_at(split(text, ' '), i + 1),
+                              element_at(split(text, ' '), i + 2)))
+     ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+_TRIGRAMS_DUCK = """
+CASE WHEN len(string_split(text, ' ')) >= 3
+     THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+          i -> (string_split(text, ' '))[i] || ' '
+            || (string_split(text, ' '))[i + 1] || ' '
+            || (string_split(text, ' '))[i + 2])
+     ELSE [] END
+"""
+
+_NOVELTY_ORACLE = f"""
+WITH pg AS (
+    SELECT DISTINCT doc_id, g.gram
+    FROM documents, unnest({_TRIGRAMS_DUCK}) AS g(gram)
+), df AS (
+    SELECT gram, count(*) AS gdf FROM pg GROUP BY gram
+)
+SELECT pg.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE df.gdf = 1) AS n_novel,
+       round(CAST(count(*) FILTER (WHERE df.gdf = 1) AS DOUBLE) / count(*), 6)
+           AS novelty
+FROM pg JOIN df USING (gram)
+GROUP BY pg.doc_id
+"""
+
+
+@register("cross_doc_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def cross_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus 3-gram novelty: the fraction of a
+    document's DISTINCT word trigrams that appear in no other document
+    (document frequency 1). The complement of the near-dup detectors:
+    where MinHash/SimHash find documents that repeat the corpus,
+    novelty scores what each document ADDS — low-novelty documents are
+    boilerplate/template mass even when no single pair crosses a
+    dedup threshold (the within-doc twin is repetition_stats; this is
+    the across-doc axis). Docs under 3 words have no trigrams and drop
+    out in both engines.
+
+    Scale design: the postings pattern (same as tfidf_cosine_pairs) —
+    explode distinct (doc, gram), one gram-keyed partial-combined
+    aggregate for document frequency, one gram-keyed join back — the
+    df side is gram-cardinality-sized, so no broadcast HINT is given:
+    at production scale it shuffle-joins keyed on gram; at small SF
+    Catalyst's stats legitimately elect a broadcast (observed in
+    PLANS.md) — then one doc-keyed aggregate. All shuffles are keyed;
+    nothing corpus-sized crosses a single task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pg = (
+        d.select("doc_id", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("gram"))
+        .distinct()
+    )
+    df = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        pg.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).cast("long").alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -337,3 +337,60 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dmean("boiler_frac").alias("mean_boiler_frac"),
         )
     )
+
+
+# ------------------------------------------------- per-source hard doc cap
+
+SOURCE_CAP = 256  # max documents kept per source (quality-ranked)
+
+_CAP_ORACLE = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({{quality}})),
+ranked AS (
+    SELECT d.doc_id, d.source, q.quality_score AS quality,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY q.quality_score DESC, d.doc_id) AS rnk
+    FROM documents d JOIN q USING (doc_id)
+)
+SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {SOURCE_CAP}
+"""
+
+
+def _cap_oracle() -> str:
+    from streams_prototyping_spark.functions.text import _QUALITY_ORACLE
+
+    return _CAP_ORACLE.format(quality=_QUALITY_ORACLE)
+
+
+@register("source_doc_cap", oracle=_cap_oracle())
+def source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most {SOURCE_CAP} documents per
+    source, ranked by quality (ties -> doc_id) — the C4-style per-host
+    frequency cap that stops any single domain from dominating the
+    training mix. Complements quota_sample_per_source (sqrt-
+    proportional BUDGETS chosen uniformly) with the other standard
+    shape: a HARD ceiling choosing the BEST documents.
+
+    Scale design: the rank is a source-partitioned window with a
+    LITERAL bound, so Catalyst rewrites it to WindowGroupLimit —
+    every task pre-prunes to its local top {SOURCE_CAP} per source
+    BEFORE the shuffle; shuffle volume is O(sources x {SOURCE_CAP}),
+    never corpus-sized. No global sort, no single-partition window.
+    """
+    from streams_prototyping_spark.functions.text_transform import quality_score_col
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", quality_score_col("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", "source", "quality", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= SOURCE_CAP)
+        .select("doc_id", "source", "quality", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -242,3 +242,67 @@ def ctr_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_clicked.cast("double") / F.nullif(n_unclicked, F.lit(0)))
         .alias("ctr"),
     )
+
+
+# --------------------------------------------- Wilson lower-bound CTR
+
+WILSON_Z = 1.96  # 95% two-sided
+
+_WILSON_ORACLE = (
+    _STREAMS_CTE
+    + f"""
+, agg AS (
+    SELECT ad_id,
+           count(*) AS n_impressions,
+           count(click_id) AS n_clicked,
+           CAST(count(click_id) AS DOUBLE) / count(*) AS p,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM joined GROUP BY ad_id
+)
+SELECT ad_id, n_impressions, n_clicked,
+       round(p, 6) AS ctr,
+       round(
+           (p + {WILSON_Z} * {WILSON_Z} / (2 * n)
+              - {WILSON_Z} * sqrt(p * (1 - p) / n
+                                  + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
+           / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lb
+FROM agg
+"""
+)
+
+
+@register("wilson_ci_ctr", oracle=_WILSON_ORACLE)
+def wilson_ci_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower confidence bound on each ad's CTR — the
+    uncertainty-aware extension of ctr_per_ad (reference declared
+    semantics, StreamStreamJoin.java:40-42): ranking ads by the raw
+    ratio overrates low-traffic ads; ranking by the Wilson lower bound
+    (the classic 'sort by lower bound of a Bernoulli proportion' rule)
+    is what an ad server actually orders by.
+
+    Determinism: p, n are exact-integer-derived doubles; the bound is
+    one fixed IEEE expression tree mirrored token-for-token in the
+    oracle SQL, rounded at 6 dp on both sides.
+
+    Scale: identical plan shape to ctr_per_ad — the keyed join then one
+    partial-combined aggregate per ad; the bound is a scalar expression
+    on O(ads) rows.
+    """
+    joined = _ads_with_clicks(spark, sf_dir)
+    z = F.lit(WILSON_Z)
+    agg = joined.groupBy("ad_id").agg(
+        F.count(F.lit(1)).alias("n_impressions"),
+        F.count("click_id").alias("n_clicked"),
+    )
+    p = F.col("n_clicked").cast("double") / F.col("n_impressions")
+    n = F.col("n_impressions").cast("double")
+    lb = (
+        p + z * z / (2 * n) - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    return agg.select(
+        "ad_id",
+        "n_impressions",
+        "n_clicked",
+        F.round(p, 6).alias("ctr"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )

@@ -299,6 +299,35 @@ def test_global_window_lint_full_registry(spark, sf_dir):
     assert not problems, "\n".join(problems)
 
 
+def test_cross_joins_declare_broadcast():
+    """Repo convention, now linted instead of remembered (VERDICT r6
+    item 6): every ``.crossJoin(`` in engine source must broadcast its
+    argument explicitly — scalar/aggregate frames are tiny, but without
+    the hint the initial plan is a CartesianProduct and correct
+    execution depends on AQE guessing the size right. Only the explicit
+    tiny-demo (cross_join_small) is exempt."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "streams_prototyping_spark"
+    allowed = {("operators/advanced.py", "r.crossJoin(p)")}
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        rel = str(py.relative_to(pkg))
+        for m in re.finditer(r"\.crossJoin\(", src):
+            rest = src[m.end():].lstrip()
+            line = src[: m.start()].count("\n") + 1
+            snippet = src.splitlines()[line - 1].strip()
+            if (rel, snippet) in allowed:
+                continue
+            if not (rest.startswith("F.broadcast(") or rest.startswith("broadcast(")):
+                offenders.append(f"{rel}:{line}: {snippet}")
+    assert not offenders, (
+        "crossJoin without an explicit broadcast hint:\n" + "\n".join(offenders)
+    )
+
+
 def test_bounded_window_annotations_measured():
     """VERDICT r6 item 2: the bounded_window annotations are semantic
     claims the plan lint cannot prove — so they are MEASURED instead
