@@ -10,13 +10,20 @@ survive a 100x scale-up.
 
 Prints one JSON line and (with --md) rewrites SCALING.md.
 
-Usage: python scripts/scaling_curve.py [--md] [--sf1] [--all] [--sf10] [query ...]
+Usage: python scripts/scaling_curve.py [--md] [--sf1] [--all] [--sf10]
+       [--sf100] [query ...]
 
 --sf10: measure the THIRD decade (sf0.1 -> sf1 -> sf10, ~60M lineitem
 rows via scripts/make_sf10.py's chained upscale) for the curated
 expensive set and fit alpha on the sf1 -> sf10 step. Writes
 SCALING_SF10.md with --md (SCALING.md keeps the full-headline sf1
 table).
+
+--sf100 (VERDICT r6 item 5): the FOURTH decade — measure sf10 and
+sf100 only (600M lineitem rows / ~1.5M documents via make_sf100.py;
+the smaller decades are already on record in SCALING*.md) and fit
+alpha on the sf10 -> sf100 step for the flagship families. Writes
+SCALING_SF100.md with --md. Run with SPARK_GRAFT_DRIVER_MEM=24g.
 
 --all (VERDICT r4 item 2): measure EVERY bench.py headline query
 instead of the curated 24, and fit only the sf0.1 -> sf1 step (the
@@ -73,10 +80,15 @@ SFS = ["0.001", "0.01", "0.1"]
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--md", "--sf1", "--all", "--sf10")]
+    argv = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--md", "--sf1", "--all", "--sf10", "--sf100")
+    ]
     write_md = "--md" in sys.argv[1:]
     all_mode = "--all" in sys.argv[1:]
     sf10_mode = "--sf10" in sys.argv[1:]
+    sf100_mode = "--sf100" in sys.argv[1:]
     with_sf1 = "--sf1" in sys.argv[1:] or all_mode or sf10_mode
     if all_mode:
         from bench import HEADLINE
@@ -91,18 +103,27 @@ def main() -> None:
 
     from streams_prototyping_spark.data import TABLES, load_table
 
-    sfs = ["0.1"] if (all_mode or sf10_mode) else list(SFS)
-    dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
-    if with_sf1:
-        from scripts.make_sf1 import build
-
-        dirs["1"] = build(spark)
-        sfs.append("1")
-    if sf10_mode:
+    if sf100_mode:
         from scripts.make_sf10 import build_sf10
+        from scripts.make_sf100 import build_sf100
 
-        dirs["10"] = build_sf10(spark)
-        sfs.append("10")
+        sfs = ["10"]
+        dirs = {"10": build_sf10(spark)}
+        dirs["100"] = build_sf100(spark)
+        sfs.append("100")
+    else:
+        sfs = ["0.1"] if (all_mode or sf10_mode) else list(SFS)
+        dirs = {sf: f"/root/testdata/sf{sf}" for sf in sfs}
+        if with_sf1:
+            from scripts.make_sf1 import build
+
+            dirs["1"] = build(spark)
+            sfs.append("1")
+        if sf10_mode:
+            from scripts.make_sf10 import build_sf10
+
+            dirs["10"] = build_sf10(spark)
+            sfs.append("10")
 
     results: dict[str, dict[str, float]] = {q: {} for q in queries}
     rowcounts: dict[str, int] = {}
@@ -139,14 +160,18 @@ def main() -> None:
         rows_line = ", ".join(f"sf{sf}={rowcounts[sf]:,}" for sf in sfs)
         lines = [
             "# SCALING"
-            + ("_SF10" if sf10_mode else "")
-            + " — measured growth exponents (round 6)",
+            + ("_SF100" if sf100_mode else ("_SF10" if sf10_mode else ""))
+            + " — measured growth exponents (round 7)",
             "",
             "Produced by `python scripts/scaling_curve.py --md"
             + (
-                " --sf10"
-                if sf10_mode
-                else (" --all" if all_mode else (" --sf1" if with_sf1 else ""))
+                " --sf100"
+                if sf100_mode
+                else (
+                    " --sf10"
+                    if sf10_mode
+                    else (" --all" if all_mode else (" --sf1" if with_sf1 else ""))
+                )
             )
             + "` on local[32]."
             + (
@@ -187,7 +212,11 @@ def main() -> None:
             "plan still shows alpha well above 1 on the top step. Queries",
             "flagged SUPERLINEAR get a plan re-audit before the next round.",
         ]
-        md_name = "SCALING_SF10.md" if sf10_mode else "SCALING.md"
+        md_name = (
+            "SCALING_SF100.md"
+            if sf100_mode
+            else ("SCALING_SF10.md" if sf10_mode else "SCALING.md")
+        )
         Path(__file__).resolve().parent.parent.joinpath(md_name).write_text(
             "\n".join(lines) + "\n"
         )

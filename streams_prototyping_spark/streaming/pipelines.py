@@ -850,3 +850,67 @@ def dim_moments_stream(vecs: DataFrame) -> DataFrame:
             "s2"
         ),
     )
+
+
+# --------------------------------------------- per-source admission cap
+
+_ADMIT_STATE_SCHEMA = "n_admitted long"
+_ADMIT_OUT_SCHEMA = "doc_id long, source string, admit_seq long"
+
+
+def _admit_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-source admission counter: emit rows while the running count
+    stays within the cap (carried in every row as `cap` — constant per
+    query), then drop. Rows replay in (ingest_ts, doc_id) order within
+    the micro-batch; the counter carries across batches, so admission
+    is exactly 'first cap documents per source in event-time order'
+    for in-order delivery. State: ONE long per source, forever."""
+    n = state.get[0] if state.exists else 0
+    out = {"doc_id": [], "source": [], "admit_seq": []}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ingest_ts", "doc_id"])
+        cap = int(pdf["cap"].iloc[0])
+        for doc_id in pdf["doc_id"]:
+            if n >= cap:
+                continue  # over cap: dropped; counter stays at cap
+            n += 1
+            out["doc_id"].append(int(doc_id))
+            out["source"].append(key[0])
+            out["admit_seq"].append(n)
+    state.update((int(n),))
+    yield pd.DataFrame(out)
+
+
+def source_cap_admission_stream(docs: DataFrame, cap: int = 256) -> DataFrame:
+    """Streaming per-source admission cap — the ingest-time twin of the
+    batch source_doc_cap (functions/curation.py): admit at most ``cap``
+    documents per source into the hot window, in arrival (event-time)
+    order, drop the rest. A batch job can re-rank by quality at
+    leisure; the STREAM's job is bounding what any one domain can push
+    into the pipeline right now (crawler politeness / firehose-abuse
+    control) — so the streaming semantics is first-K-by-event-time, not
+    best-K-by-quality, and the convergence test pins exactly that
+    against a batch row_number twin.
+
+    State: one counter per source (O(sources) longs, no watermark
+    needed — the counter IS the bound). Emission: admitted rows only,
+    with their per-source admission sequence number.
+
+    Input schema: (doc_id long, source string, ingest_ts timestamp).
+    """
+    keyed = docs.select(
+        "doc_id", "source", "ingest_ts", F.lit(cap).alias("cap")
+    )
+    return keyed.groupBy("source").applyInPandasWithState(
+        _admit_update,
+        outputStructType=_ADMIT_OUT_SCHEMA,
+        stateStructType=_ADMIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -733,3 +733,64 @@ def test_stream_stream_join_state_eviction(spark, tmp_path):
     state = (progress or {}).get("stateOperators") or []
     if state:
         assert state[0]["numRowsTotal"] <= 4, state[0]
+
+
+def test_source_cap_admission_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming per-source admission cap (the ingest twin of
+    source_doc_cap): replayed in time-ordered file chunks, the admitted
+    set must equal the batch 'first CAP docs per source by
+    (ingest_ts, doc_id)' — including the cross-batch counter carry
+    (a source whose cap is half-used by chunk 1 admits exactly the
+    remainder from chunk 2)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import (
+        source_cap_admission_stream,
+    )
+
+    CAP = 13
+    t0 = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("ingest_ts", t0 + F.make_interval(secs=F.col("doc_id") % 600))
+    )
+    # two time-ordered replay chunks -> counter must carry across batches
+    path = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") % 600 < 300).coalesce(1).write.parquet(f"{path}/c1")
+    docs.filter(F.col("doc_id") % 600 >= 300).coalesce(1).write.parquet(f"{path}/c2")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/c*")
+    )
+    q = (
+        source_cap_admission_stream(stream, cap=CAP)
+        .writeStream.format("memory")
+        .queryName("cap_admit")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.source, r.admit_seq)
+        for r in spark.table("cap_admit").collect()
+    }
+    w = Window.partitionBy("source").orderBy("ingest_ts", "doc_id")
+    want = {
+        (r.doc_id, r.source, r.admit_seq)
+        for r in docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("admit_seq")
+        )
+        .filter(F.col("admit_seq") <= CAP)
+        .collect()
+    }
+    assert got == want
+    # and the cap actually bound: every source is exactly at CAP here
+    per_src = {}
+    for _, s, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v == CAP for v in per_src.values())
