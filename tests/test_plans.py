@@ -365,3 +365,21 @@ def test_bounded_window_annotations_measured():
         "bounded_window annotations FALSIFIED by measurement "
         f"(corpus-tracking or over the single-task cap): {reds}"
     )
+
+
+def test_source_doc_cap_uses_group_limit(spark, sf_dir):
+    """The per-source cap must pre-prune via WindowGroupLimit (literal
+    rank bound) — shuffle volume O(sources x cap), never corpus-sized."""
+    plan = _plan(spark, sf_dir, "source_doc_cap")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_join_is_keyed(spark, sf_dir):
+    """The df join back must be keyed on gram (broadcast at small SF by
+    stats, shuffle at scale) — never a nested loop."""
+    plan = _plan(spark, sf_dir, "cross_doc_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # document frequency aggregates partially before any join
+    assert "partial_count" in plan
