@@ -58,6 +58,14 @@ def bootstrap_store() -> dict:
         for line in text.splitlines():
             cells = [c.strip() for c in line.strip().strip("|").split("|")]
             if len(cells) >= 5 and re.match(r"^[a-z0-9_]+$", cells[0]):
+                # only the MAIN per-query table: its flag column is
+                # empty or SUPERLINEAR. The r6 MD also contained a
+                # before/after rewrite table whose rows this regex
+                # matches — taking those produced 12 corrupt entries
+                # on the first bootstrap (caught by their numeric
+                # 'flag'), so anything else is rejected here.
+                if len(cells) > 5 and cells[5] not in ("", "SUPERLINEAR"):
+                    continue
                 try:
                     queries[cells[0]] = {
                         "sec_sf0.1": float(cells[1]),

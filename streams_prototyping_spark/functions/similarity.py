@@ -274,11 +274,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_ORACLE = f"""
 WITH {_VECTORS_CTE_DUCK},
 {_BUCKETS_CTE_DUCK},
+bn AS (SELECT bucket, count(*) AS bn FROM bucketed GROUP BY bucket),
+subbed AS (
+    SELECT b.vec_id, b.v, b.sqnorm, b.bucket,
+           b.vec_id % GREATEST(1, CAST(ceil(bn.bn / {TARGET_BUCKET_OCC}.0) AS BIGINT)) AS sub
+    FROM bucketed b JOIN bn USING (bucket)
+),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DOT_DUCK.format(a="a.v", b="b.v")} / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) AS cos_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM subbed a JOIN subbed b
+      ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {NEAR_DUP_MIN_COS}
 """
@@ -293,14 +299,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: same two-phase shape as MinHash dedup — cheap bucketing
     for candidate recall, exact cosine only within buckets.
+
+    Round-7 fix (the r7 sweep's own catch, alpha 1.33 at sf10): the
+    adaptive depth keeps EXPECTED occupancy at {TARGET_BUCKET_OCC}, but
+    heavy duplication defeats it — near-copies agree on every
+    hyperplane, so no amount of depth splits their bucket, and the
+    within-bucket pair join (and the pair OUTPUT itself) grows
+    quadratically in the duplication rate (the sf10 upscale is exactly
+    such a corpus: ~100 near-copies per base vector). Standard repo fix
+    (semantic_dedup/fs_recs): oversized buckets split deterministically
+    by vec_id % ceil(occupancy / {TARGET_BUCKET_OCC}), bounding pair
+    work at O(n x {TARGET_BUCKET_OCC}) with the documented recall
+    trade — near-dup pairs across sub-blocks of one mega-bucket are not
+    emitted (a dedup DECISION pipeline loses nothing: any sub-block's
+    pairs already mark its members duplicated). No-op below
+    {TARGET_BUCKET_OCC} occupancy, so driver-SF oracle results are
+    unchanged.
     """
     bucketed = _bucketed(spark, sf_dir)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    bn = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    subbed = bucketed.join(F.broadcast(bn), "bucket").select(
+        "vec_id",
+        "v",
+        "sqnorm",
+        "bucket",
+        (
+            F.col("vec_id")
+            % F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("bn") / float(TARGET_BUCKET_OCC)),
+            )
+        ).alias("sub"),
+    )
+    a = subbed.alias("a")
+    b = subbed.alias("b")
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
