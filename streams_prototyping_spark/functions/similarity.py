@@ -34,7 +34,14 @@ from streams_prototyping_spark.stage_cache import shared_stage
 N_QUERIES = 5      # query set: vec_id < 5
 TOP_K = 5
 LSH_BITS = 4       # minimum hyperplane count (vec_id < bits)
-MAX_LSH_BITS = 12  # depth cap (4096 buckets)
+# Depth cap raised 12 -> 24 in round 7: the sf100 sweep showed 2M
+# vectors need 14 bits to hold TARGET_BUCKET_OCC, and a CLEAN (low-
+# duplication) corpus capped at 12 bits gets occupancy n/4096 — the
+# quadratic-self-join hole the adaptive depth exists to close. 24 bits
+# (16M buckets) holds the occupancy target to ~2B vectors; bucket ids
+# stay comfortably inside a long. (Heavy-duplication corpora are the
+# sub-block cap's job — depth cannot split exact near-copies.)
+MAX_LSH_BITS = 24
 TARGET_BUCKET_OCC = 128  # target vectors per bucket — see _lsh_bits
 ANN_TOP_K = 3
 NEAR_DUP_MIN_COS = 0.35
