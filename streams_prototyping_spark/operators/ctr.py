@@ -256,16 +256,16 @@ _WILSON_ORACLE = (
            count(*) AS n_impressions,
            count(click_id) AS n_clicked,
            CAST(count(click_id) AS DOUBLE) / count(*) AS p,
-           CAST(count(*) AS DOUBLE) AS n
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST({WILSON_Z} AS DOUBLE) AS z
     FROM joined GROUP BY ad_id
 )
 SELECT ad_id, n_impressions, n_clicked,
        round(p, 6) AS ctr,
-       round(
-           (p + {WILSON_Z} * {WILSON_Z} / (2 * n)
-              - {WILSON_Z} * sqrt(p * (1 - p) / n
-                                  + {WILSON_Z} * {WILSON_Z} / (4 * n * n)))
-           / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lb
+       round(GREATEST(CAST(0 AS DOUBLE),
+           (p + z * z / (2 * n)
+              - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+           / (1 + z * z / n)), 6) AS wilson_lb
 FROM agg
 """
 )
@@ -282,7 +282,12 @@ def wilson_ci_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: p, n are exact-integer-derived doubles; the bound is
     one fixed IEEE expression tree mirrored token-for-token in the
-    oracle SQL, rounded at 6 dp on both sides.
+    oracle SQL, rounded at 6 dp on both sides. The z literal is CAST to
+    DOUBLE in the SQL: DuckDB evaluates a bare 1.96 * 1.96 as
+    DECIMAL-exact 3.8416 while Spark's double gives 3.841599...9997 —
+    the sf0.01 gate missed it (rounding masked all 10 ads) and the sf1
+    check caught it, which is exactly why changed queries re-verify at
+    higher SFs.
 
     Scale: identical plan shape to ctr_per_ad — the keyed join then one
     partial-combined aggregate per ad; the bound is a scalar expression
@@ -296,9 +301,16 @@ def wilson_ci_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("n_clicked").cast("double") / F.col("n_impressions")
     n = F.col("n_impressions").cast("double")
-    lb = (
-        p + z * z / (2 * n) - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-    ) / (1 + z * z / n)
+    # clamp at 0: the bound is [0,1] mathematically, but for p=0 the
+    # two algebraically-equal z-terms differ by one ulp and the raw
+    # expression can land at -1e-17 -> round -> IEEE negative zero,
+    # which DuckDB prints as -0.0 and Spark as 0.0 (caught by the
+    # sf0.001 parity test; the clamp is standard for Wilson anyway)
+    lb = F.greatest(
+        F.lit(0.0),
+        (p + z * z / (2 * n) - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+        / (1 + z * z / n),
+    )
     return agg.select(
         "ad_id",
         "n_impressions",
