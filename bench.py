@@ -272,7 +272,7 @@ def compare_gate(
     t_fresh = sum(fresh[q] for q in shared)
     total_ok = t_fresh <= t_prev * total or t_fresh - t_prev <= noise_s
     total_ratio = round(t_fresh / t_prev, 3) if t_prev else None
-    stale = total_ratio is not None and total_ratio < drift_low
+    stale = total_ratio is not None and 0 < total_ratio < drift_low
     return {
         "ok": not violations and total_ok,
         "n_shared": len(shared),

@@ -216,13 +216,19 @@ def main() -> None:
             }
         STORE.write_text(json.dumps(store, indent=1) + "\n")
         write_md(store)
-        worst = max(rec["queries"].items(), key=lambda kv: kv[1]["alpha"])
+        worst = (
+            max(rec["queries"].items(), key=lambda kv: kv[1]["alpha"])
+            if rec["queries"]
+            else None
+        )
         print(
             json.dumps(
                 {
                     "chunk_done": f"{i + len(chunk)}/{len(todo)}",
                     "total_measured": len(store["queries"]),
-                    "chunk_worst_alpha": [worst[0], worst[1]["alpha"]],
+                    "chunk_worst_alpha": (
+                        [worst[0], worst[1]["alpha"]] if worst else None
+                    ),
                 }
             ),
             flush=True,

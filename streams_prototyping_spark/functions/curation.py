@@ -394,3 +394,80 @@ def source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= SOURCE_CAP)
         .select("doc_id", "source", "quality", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# -------------------------------------------- per-source token budget cap
+
+SOURCE_TOKEN_BUDGET = 600  # max training tokens admitted per source
+
+_TOKEN_CAP_ORACLE = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({{quality}})),
+toks AS (
+    SELECT d.doc_id, d.source,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           q.quality_score AS quality
+    FROM documents d JOIN q USING (doc_id)
+),
+summed AS (
+    SELECT doc_id, source, n_tokens, quality,
+           sum(n_tokens) OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_tokens
+    FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM summed WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+"""
+
+
+def _token_cap_oracle() -> str:
+    from streams_prototyping_spark.functions.text import _QUALITY_ORACLE
+
+    return _TOKEN_CAP_ORACLE.format(quality=_QUALITY_ORACLE)
+
+
+@register("source_token_cap", oracle=_token_cap_oracle())
+def source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget: admit each source's documents in
+    quality order (ties -> doc_id) while the source's cumulative token
+    count stays within {SOURCE_TOKEN_BUDGET} — the unit a training-data
+    loader actually budgets (source_doc_cap's twin: docs bound the
+    CARDINALITY a domain contributes, this bounds its gradient SHARE).
+    The admitted set is a PREFIX of the quality ranking (cum_tokens is
+    monotone along the order), so the decision is deterministic and the
+    streaming twin (token_cap_admission_stream) can reproduce it with
+    one counter per source.
+
+    Scale design: one corpus-sized shuffle keyed by source (inherent:
+    per-source token totals need the source's rows together), then a
+    source-PARTITIONED running sum — no empty-partition window, no
+    global sort. Skewed sources are AQE's skew-split case; the output
+    is bounded at O(sources x budget/avg_doc_tokens) rows.
+    """
+    from streams_prototyping_spark.functions.text_transform import quality_score_col
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        quality_score_col("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+    )

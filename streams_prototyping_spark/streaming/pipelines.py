@@ -20,7 +20,7 @@ StreamStreamJoin.java:107-131).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -871,10 +871,14 @@ def _admit_update(
     for in-order delivery. State: ONE long per source, forever."""
     n = state.get[0] if state.exists else 0
     out = {"doc_id": [], "source": [], "admit_seq": []}
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ingest_ts", "doc_id"])
+    # A group's micro-batch arrives as MULTIPLE Arrow chunks when it
+    # exceeds arrow.maxRecordsPerBatch; sorting per chunk would make
+    # the admitted SET depend on the chunking (order decides which rows
+    # fit under the cap, unlike the order-insensitive aggregate state
+    # fns above). Materialize the whole group, sort once, cap once.
+    pdfs = [p for p in batches if len(p)]
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ingest_ts", "doc_id"])
         cap = int(pdf["cap"].iloc[0])
         for doc_id in pdf["doc_id"]:
             if n >= cap:
@@ -913,4 +917,140 @@ def source_cap_admission_stream(docs: DataFrame, cap: int = 256) -> DataFrame:
         stateStructType=_ADMIT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------ per-source TOKEN budget cap
+
+_TOKCAP_STATE_SCHEMA = "cum_tokens long"
+_TOKCAP_OUT_SCHEMA = (
+    "doc_id long, source string, n_tokens long, cum_tokens long"
+)
+_TOKCAP_WIN_OUT_SCHEMA = (
+    "doc_id long, source string, win_start long, n_tokens long, cum_tokens long"
+)
+
+
+def _token_cap_update(
+    key: Tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key token budget: the counter accumulates EVERY arriving
+    doc's tokens in (ingest_ts, doc_id) order and a doc is admitted iff
+    the running total stays within the budget — so the admitted set is
+    the exact PREFIX a batch cumsum-filter computes, and the counter
+    carry makes that hold across micro-batches. State: ONE long.
+    Whole-group materialize-then-sort (not per chunk): admission order
+    decides the output set, and a large group spans Arrow chunks."""
+    if state.hasTimedOut:
+        state.remove()  # windowed key past its lateness horizon
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "cum_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+        return
+    cum = state.get[0] if state.exists else 0
+    out = {"doc_id": [], "source": [], "n_tokens": [], "cum_tokens": []}
+    pdfs = [p for p in batches if len(p)]
+    budget = None
+    timeout_at = None
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["ingest_ts", "doc_id"])
+        budget = int(pdf["budget"].iloc[0])
+        if "timeout_at" in pdf.columns:
+            timeout_at = int(pdf["timeout_at"].iloc[0])
+        for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+            cum += int(n_tokens)
+            if cum > budget:
+                continue  # over budget: dropped; counter keeps counting
+            out["doc_id"].append(int(doc_id))
+            out["source"].append(key[0])
+            out["n_tokens"].append(int(n_tokens))
+            out["cum_tokens"].append(cum)
+    state.update((int(cum),))
+    if timeout_at is not None:
+        state.setTimeoutTimestamp(timeout_at)
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "source": pd.Series(out["source"], dtype="object"),
+            "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+            "cum_tokens": pd.Series(out["cum_tokens"], dtype="int64"),
+        }
+    )
+
+
+def token_cap_admission_stream(
+    docs: DataFrame,
+    budget: int = 2048,
+    window_seconds: Optional[int] = None,
+    lateness_seconds: int = 600,
+) -> DataFrame:
+    """Streaming per-source TOKEN budget — the rate-control twin of the
+    batch source_token_cap (functions/curation.py) and the tokens/sec
+    unit of source_cap_admission_stream's doc cap (VERDICT r7 item 5):
+    admit documents while the source's cumulative token inflow stays
+    within ``budget``, in event-time order, drop the rest. The counter
+    counts ALL arriving tokens (admitted or not), so the admitted set
+    is a monotone prefix — exactly reproducible by a batch cumsum
+    (convergence-tested), and a source that crossed its budget stays
+    closed without per-doc state.
+
+    Two modes:
+    - window_seconds=None — lifetime budget per source. State:
+      O(sources) longs, no watermark needed (the counter IS the bound).
+    - window_seconds=W — budget per (source, W-second event-time
+      window): tokens-per-window rate limiting. State: O(sources x
+      live windows); expired windows are dropped by an event-time
+      timeout at window end + ``lateness_seconds`` (requires the input
+      to carry a watermark, which this function sets).
+
+    Input schema: (doc_id long, source string, ingest_ts timestamp,
+    n_tokens long).
+    """
+    keyed = docs.withColumn("budget", F.lit(int(budget)))
+    if window_seconds is None:
+        return keyed.groupBy("source").applyInPandasWithState(
+            _token_cap_update,
+            outputStructType=_TOKCAP_OUT_SCHEMA,
+            stateStructType=_TOKCAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    win = int(window_seconds)
+    keyed = (
+        keyed.withWatermark("ingest_ts", f"{int(lateness_seconds)} seconds")
+        .withColumn(
+            "win_start",
+            (F.unix_timestamp("ingest_ts") - F.unix_timestamp("ingest_ts") % win),
+        )
+        .withColumn(
+            # state eviction point: window end + lateness, in epoch MS
+            # (setTimeoutTimestamp takes milliseconds)
+            "timeout_at",
+            (F.col("win_start") + win + int(lateness_seconds)) * 1000,
+        )
+    )
+
+    def _win_update(key, batches, state):
+        for pdf in _token_cap_update((key[0],), batches, state):
+            pdf = pdf.copy()
+            pdf["win_start"] = pd.Series(
+                [int(key[1])] * len(pdf), dtype="int64"
+            )
+            yield pdf[
+                ["doc_id", "source", "win_start", "n_tokens", "cum_tokens"]
+            ]
+
+    return keyed.groupBy("source", "win_start").applyInPandasWithState(
+        _win_update,
+        outputStructType=_TOKCAP_WIN_OUT_SCHEMA,
+        stateStructType=_TOKCAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

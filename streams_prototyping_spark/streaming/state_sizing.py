@@ -44,6 +44,7 @@ exchanges, so this knob is the only control there is.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import TYPE_CHECKING, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,8 +72,12 @@ _HDFS_PROVIDER = (
 
 
 def _mem_str_bytes(s: str) -> int:
-    """'8g' / '512m' / '24576k' / plain bytes -> bytes (JVM -Xmx syntax)."""
+    """'8g' / '512m' / '512mb' / '24576k' / plain bytes -> bytes (Spark
+    accepts both single-letter JVM suffixes and two-letter 'mb'/'gb'
+    forms)."""
     s = s.strip().lower()
+    if s.endswith("b") and len(s) >= 2 and s[-2].isalpha():
+        s = s[:-1]  # '512mb' -> '512m'; plain '...b' bytes stays numeric
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
@@ -81,12 +86,20 @@ def _mem_str_bytes(s: str) -> int:
 
 def executor_heap_bytes(spark: SparkSession) -> int:
     """The heap that holds HDFS-backed state: executor memory on a
-    cluster, driver memory in local mode (executors run in-process)."""
+    cluster, driver memory in local mode (executors run in-process).
+    A parse failure falls back to Spark's 1g default LOUDLY — an
+    overestimate here can keep the HDFS provider in exactly the
+    over-half-heap JVM-death regime the auto-flip exists to avoid."""
     master = spark.conf.get("spark.master", "")
     key = "spark.driver.memory" if master.startswith("local") else "spark.executor.memory"
     try:
         return _mem_str_bytes(spark.conf.get(key))
     except Exception:
+        warnings.warn(
+            f"state_sizing: could not read/parse {key}; assuming the 1g "
+            "Spark default for the provider-flip heap estimate",
+            stacklevel=2,
+        )
         return 1 << 30  # Spark's 1g default
 
 

@@ -110,3 +110,9 @@ def test_gate_flags_stale_fast_baseline():
     assert rep2["ok"] and not rep2["stale_baseline"]
     # identical runs neither
     assert not bench.compare_gate(prev, prev)["stale_baseline"]
+    # a near-zero fresh total (ratio rounds to 0.0) must not divide by
+    # zero inside the stale note (ADVICE r7) — and 0.0 is not "stale",
+    # it is a broken measurement
+    tiny = {f"q{i}": 0.0001 for i in range(20)}
+    rep3 = bench.compare_gate(tiny, prev)
+    assert rep3["ok"] and not rep3["stale_baseline"]

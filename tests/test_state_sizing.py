@@ -135,6 +135,35 @@ def test_mem_str_parsing():
     assert _mem_str_bytes("24576k") == 24576 << 10
     assert _mem_str_bytes("1073741824") == 1 << 30
     assert _mem_str_bytes("1.5g") == int(1.5 * (1 << 30))
+    # Spark also accepts two-letter suffixes (ADVICE r7: '512mb' read
+    # as the 1g fallback would overestimate the heap and hold the HDFS
+    # provider in the JVM-death regime the flip exists to avoid)
+    assert _mem_str_bytes("512mb") == 512 << 20
+    assert _mem_str_bytes("8GB") == 8 << 30
+    assert _mem_str_bytes("24576kb") == 24576 << 10
+
+
+def test_heap_fallback_warns():
+    """An unparseable heap string must not SILENTLY become 1 GiB.
+    spark.driver.memory is a static conf, so drive the fallback path
+    through a stub session rather than mutating the live one."""
+    import warnings as _w
+
+    from streams_prototyping_spark.streaming.state_sizing import (
+        executor_heap_bytes,
+    )
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "local[4]" if key == "spark.master" else "not-a-size"
+
+    class _Stub:
+        conf = _Conf()
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert executor_heap_bytes(_Stub()) == 1 << 30
+    assert any("state_sizing" in str(c.message) for c in caught)
 
 
 def test_provider_crossover_rule():

@@ -794,3 +794,194 @@ def test_source_cap_admission_converges_to_batch(spark, sf_dir, tmp_path):
     for _, s, _ in got:
         per_src[s] = per_src.get(s, 0) + 1
     assert all(v == CAP for v in per_src.values())
+
+
+def test_source_cap_admission_spans_arrow_chunks(spark, tmp_path):
+    """applyInPandasWithState delivers a large group's micro-batch as
+    MULTIPLE Arrow chunks (arrow.maxRecordsPerBatch). The admitted set
+    must still be 'first CAP by (ingest_ts, doc_id)' over the WHOLE
+    micro-batch — a per-chunk sort admits whichever rows arrived in the
+    early chunks instead (ADVICE r7). Rows are written in DESCENDING
+    event-time order so storage order disagrees with event order: with
+    chunked per-chunk sorting, the old code admitted the LATEST rows."""
+    import pyspark.sql.functions as F
+
+    from streams_prototyping_spark.streaming.pipelines import (
+        source_cap_admission_stream,
+    )
+
+    N, CAP, CHUNK = 500, 100, 50
+    t0 = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    rows = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("s0").alias("source"),
+            (t0 + F.make_interval(secs=(N - 1) - F.col("id"))).alias("ingest_ts"),
+        )
+        .orderBy("doc_id")  # storage order = descending ingest_ts
+    )
+    path = str(tmp_path / "docs")
+    rows.coalesce(1).write.parquet(path)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(CHUNK))
+    try:
+        stream = spark.readStream.schema(
+            "doc_id long, source string, ingest_ts timestamp"
+        ).parquet(path)
+        q = (
+            source_cap_admission_stream(stream, cap=CAP)
+            .writeStream.format("memory")
+            .queryName("cap_admit_chunks")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        (r.doc_id, r.admit_seq)
+        for r in spark.table("cap_admit_chunks").collect()
+    }
+    # earliest ingest_ts = highest doc_id: first CAP by event time are
+    # doc_ids N-1 .. N-CAP, admit_seq 1..CAP in that order
+    want = {(N - 1 - i, i + 1) for i in range(CAP)}
+    assert got == want
+
+
+def test_token_cap_admission_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming per-source TOKEN budget (VERDICT r7 item 5): replayed
+    in time-ordered chunks, the admitted set must equal the batch
+    'prefix of (ingest_ts, doc_id) order whose cumulative tokens fit
+    the budget' — cumsum counts ALL docs (monotone prefix), and the
+    counter carries across micro-batches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streams_prototyping_spark.data import load_table
+    from streams_prototyping_spark.streaming.pipelines import (
+        token_cap_admission_stream,
+    )
+
+    BUDGET = 700
+    t0 = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("ingest_ts", t0 + F.make_interval(secs=F.col("doc_id") % 600))
+    )
+    path = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") % 600 < 300).coalesce(1).write.parquet(f"{path}/c1")
+    docs.filter(F.col("doc_id") % 600 >= 300).coalesce(1).write.parquet(f"{path}/c2")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, n_tokens long, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/c*")
+    )
+    q = (
+        token_cap_admission_stream(stream, budget=BUDGET)
+        .writeStream.format("memory")
+        .queryName("tok_admit")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.source, r.n_tokens, r.cum_tokens)
+        for r in spark.table("tok_admit").collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ingest_ts", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.doc_id, r.source, r.n_tokens, r.cum_tokens)
+        for r in docs.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= BUDGET)
+        .collect()
+    }
+    assert got == want
+    assert got  # the budget actually admitted something
+    # and it actually bound: at least one source was cut off
+    n_all = docs.count()
+    assert len(got) < n_all
+
+
+def test_token_cap_windowed_budget_and_state_expiry(spark, tmp_path):
+    """Windowed mode: the budget resets per (source, event-time
+    window) — tokens-per-window rate limiting — and state for closed
+    windows is dropped by the event-time timeout instead of
+    accumulating forever."""
+    import pyspark.sql.functions as F
+
+    from streams_prototyping_spark.streaming.pipelines import (
+        token_cap_admission_stream,
+    )
+
+    WIN, BUDGET, LATE = 60, 100, 30
+    t0 = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    # one source, 3 windows x 5 docs x 30 tokens: budget 100 admits
+    # exactly 3 docs (cum 30,60,90; the 4th would hit 120) per window
+    rows = spark.range(15).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s0").alias("source"),
+        F.lit(30).cast("long").alias("n_tokens"),
+        (t0 + F.make_interval(secs=F.col("id") * 12)).alias("ingest_ts"),
+    )
+    path = str(tmp_path / "docs")
+    # time-ordered replay in 3 chunks so windows close as the
+    # watermark advances past them
+    for i in range(3):
+        rows.filter((F.col("doc_id") >= i * 5) & (F.col("doc_id") < (i + 1) * 5)) \
+            .coalesce(1).write.parquet(f"{path}/c{i}")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, n_tokens long, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/c*")
+    )
+    q = (
+        token_cap_admission_stream(
+            stream, budget=BUDGET, window_seconds=WIN, lateness_seconds=LATE
+        )
+        .writeStream.format("memory")
+        .queryName("tok_admit_win")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    got = {
+        (r.doc_id, r.win_start, r.cum_tokens)
+        for r in spark.table("tok_admit_win").collect()
+    }
+    # doc i is at t = 12i s -> window floor(12i/60)*60; docs 0..4 in
+    # win 0, 5..9 in win 60, 10..14 in win 120; first 3 of each admitted
+    base = 1717200000  # irrelevant absolute epoch; compute from data
+    wins = sorted({w for _, w, _ in got})
+    assert len(wins) == 3 and wins[1] - wins[0] == 60 and wins[2] - wins[1] == 60
+    per_win = {}
+    for _, w, c in got:
+        per_win.setdefault(w, []).append(c)
+    assert all(sorted(v) == [30, 60, 90] for v in per_win.values())
+    # state expiry: closed windows' state was removed by the event-time
+    # timeout — total state rows stay below the total window count
+    state = (progress or {}).get("stateOperators") or []
+    if state:
+        assert state[0]["numRowsTotal"] <= 2, state[0]
