@@ -477,8 +477,12 @@ SEMDEDUP_MIN_COS = 0.30  # within-cell cosine above this => semantic duplicate
 
 
 def _semdedup_oracle() -> str:
-    from streams_prototyping_spark.functions.similarity import _DOT_DUCK
+    from streams_prototyping_spark.functions.similarity import (
+        _DOT_DUCK,
+        _SPLIT_HASH_DUCK,
+    )
 
+    _SPLIT_HASH_DUCK_SEM = _SPLIT_HASH_DUCK.format(id="vec_id")
     dot = _DOT_DUCK.format(a="x.v", b="y.v")
     return f"""
 WITH {_lloyd_ctes()},
@@ -490,9 +494,14 @@ van0 AS (
 ), van AS (
     -- deterministic sub-block size cap (the fs_recs / capped-LSH
     -- pattern): oversized cells split so pair work stays
-    -- O(cell * TARGET); pairs across sub-blocks are not compared
+    -- O(cell * TARGET); pairs across sub-blocks are not compared.
+    -- The id is md5-hashed before the modulo (round-8 fix, see
+    -- similarity._SPLIT_HASH_SPARK): raw-id residues are non-uniform
+    -- for structured id assignments (key-shifted strides), which left
+    -- sub-blocks unbalanced and the cap ineffective.
     SELECT vec_id, cell, v, sqnorm,
-           vec_id % greatest(1, CAST(ceil(cn / {TARGET_CELL_SIZE}.0) AS BIGINT))
+           {_SPLIT_HASH_DUCK_SEM}
+               % greatest(1, CAST(ceil(cn / {TARGET_CELL_SIZE}.0) AS BIGINT))
                AS sub
     FROM van0
 ), pr AS (
@@ -528,7 +537,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that as alpha 2.04 (277 s at sf10: 819k vectors / 64 cells =
     12.8k-row cells, O(cell^2) pairs). The fix is the repo's standard
     deterministic sub-block size cap (fs_recs, capped LSH): oversized
-    cells split by vec_id % ceil(cell_n / {TARGET_CELL_SIZE}), pair
+    cells split into ceil(cell_n / {TARGET_CELL_SIZE}) sub-blocks by a
+    hashed id (round-8: raw-id modulo is residue-biased for key-shifted
+    upscale strides — see similarity._SPLIT_HASH_SPARK), pair
     work bounded at O(n * TARGET), with the documented recall trade —
     duplicates across sub-blocks of one cell are not compared. Shares
     the trained assignment stage with kmeans_lloyd (built once per
@@ -536,6 +547,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from streams_prototyping_spark.functions.similarity import (
         _DOT_SPARK,
+        _SPLIT_HASH_SPARK,
         _SQNORM_SPARK,
     )
 
@@ -552,7 +564,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "sqnorm",
         (
-            F.col("vec_id")
+            F.expr(_SPLIT_HASH_SPARK.format(id="vec_id"))
             % F.greatest(
                 F.lit(1).cast("long"),
                 F.ceil(F.col("cn") / float(TARGET_CELL_SIZE)),

@@ -91,7 +91,9 @@ def _fs_recs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated values (the sf10 upscale has only ~15k distinct balances
     across 1.5M records, so width alone left 400-record blocks and 94M
     candidate pairs, alpha 1.3). Oversized blocks split deterministically
-    by rec_id % ceil(size / {FS_TARGET_BLOCK}) — the standard ER
+    into ceil(size / {FS_TARGET_BLOCK}) sub-blocks keyed by a hashed
+    rec_id (round-8: raw-id modulo is residue-biased under key-shifted
+    upscale strides — similarity._SPLIT_HASH_SPARK) — the standard ER
     block-size cap: candidates are bounded at O(N * target), the
     documented tradeoff being that pairs across sub-blocks of one clump
     are not compared (capped recall, like minhash_lsh_pairs_capped).
@@ -108,13 +110,17 @@ def _fs_recs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = recs0.groupBy("blk_nation", "blk_bal").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    from streams_prototyping_spark.functions.similarity import _SPLIT_HASH_SPARK
+
     return recs0.join(sized, ["blk_nation", "blk_bal"]).select(
         recs0["*"],
         (
-            F.col("rec_id")
+            F.expr(_SPLIT_HASH_SPARK.format(id="rec_id"))
             % F.greatest(
-                F.lit(1),
-                F.expr(f"(cnt + {FS_TARGET_BLOCK} - 1) div {FS_TARGET_BLOCK}"),
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"CAST((cnt + {FS_TARGET_BLOCK} - 1) div {FS_TARGET_BLOCK} AS BIGINT)"
+                ),
             )
         ).alias("blk_sub"),
     )
@@ -197,8 +203,9 @@ params AS (
     FROM recs0 GROUP BY blk_nation, blk_bal
 ), recs AS MATERIALIZED (
     SELECT r.*,
-           r.rec_id % greatest(1, (s.cnt + {FS_TARGET_BLOCK} - 1)
-                                  // {FS_TARGET_BLOCK}) AS blk_sub
+           CAST('0x' || substr(md5(CAST(r.rec_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % greatest(1, (s.cnt + {FS_TARGET_BLOCK} - 1)
+                             // {FS_TARGET_BLOCK}) AS blk_sub
     FROM recs0 r JOIN sized s
       ON s.blk_nation = r.blk_nation AND s.blk_bal = r.blk_bal
 )"""

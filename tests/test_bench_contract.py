@@ -45,6 +45,43 @@ def test_headline_covers_every_query_module():
     assert bare == {}, f"query modules without a headline representative: {bare}"
 
 
+def test_headline_has_each_modules_most_expensive():
+    """VERDICT r7 item 4: the family-most-expensive rule, checked
+    against the COMMITTED full-bench timings instead of prose. For
+    every query module, the most expensive registered member (per
+    BENCH_LOCAL_FULL.json) must be headline — with a jitter guard: a
+    non-headline member may out-time the module's headline max only
+    within 1.3x + 0.3 s (two near-equal siblings can swap places
+    between rounds without both being headline). Queries newer than
+    the committed artifact have no timing yet and are exempt until the
+    next --full refresh records them."""
+    import json
+    from pathlib import Path
+
+    full_path = Path(bench.__file__).parent / "BENCH_LOCAL_FULL.json"
+    full = json.loads(full_path.read_text())["queries"]
+    qs = _loaded()
+    headline = set(bench.HEADLINE)
+    by_module: dict = {}
+    for name, fn in qs.items():
+        if name in full:
+            by_module.setdefault(fn.__module__, []).append(name)
+    offenders = {}
+    for mod, names in by_module.items():
+        head_max = max((full[n] for n in names if n in headline), default=0.0)
+        for n in names:
+            if n not in headline and full[n] > 1.3 * head_max + 0.3:
+                offenders[n] = {
+                    "module": mod,
+                    "sec": full[n],
+                    "headline_max": head_max,
+                }
+    assert offenders == {}, (
+        "registered queries exceed their module's headline member at the "
+        f"committed full-bench timings (add them to HEADLINE): {offenders}"
+    )
+
+
 def test_full_mode_is_whole_registry():
     """--full benches sorted(registry.QUERIES) — nothing silently
     dropped (the 'no silent caps' rule). The mode reads the registry at
