@@ -838,6 +838,95 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- cluster separation audit
+
+_SILHOUETTE_ORACLE = f"""
+WITH {{lloyd}},
+od AS (
+    SELECT q.vec_id, q.cell, q.sqd, min({_SQD_DUCK}) AS osqd
+    FROM afinal q CROSS JOIN c{N_ITERS} c
+    WHERE c.cell <> q.cell
+    GROUP BY q.vec_id, q.cell, q.sqd
+),
+s AS (
+    SELECT cell,
+           CASE WHEN greatest(sqrt(sqd), sqrt(osqd)) = 0 THEN 0.0
+                ELSE round((sqrt(osqd) - sqrt(sqd))
+                           / greatest(sqrt(sqd), sqrt(osqd)), 6) END AS sil
+    FROM od
+)
+SELECT cell, count(*) AS n_members,
+       round(CAST(sum(CAST(sil AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+           AS mean_silhouette
+FROM s GROUP BY cell
+"""
+
+
+@register(
+    "kmeans_silhouette",
+    oracle=_SILHOUETTE_ORACLE.format(lloyd=_lloyd_ctes()),
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid silhouette of the trained k-means: for each
+    vector, s = (d_other - d_own) / max(d_own, d_other) with d_own the
+    distance to its own centroid and d_other the distance to the
+    NEAREST OTHER centroid — the O(N*K) simplified silhouette (the
+    classic O(N^2) form computes pairwise member distances; the
+    centroid form is the standard audit at index-build scale). Mean s
+    per cell ~ 1 means well-separated cells; ~ 0 means the cell
+    boundary cuts through a dense region — exactly the condition under
+    which semantic_dedup's within-cell candidate generation loses
+    near-duplicate pairs across the boundary, so this is the
+    trust-but-verify audit a SemDeDup deployment runs before acting on
+    its dedup decisions.
+
+    Scale design: the assignment stage is shared (built once per
+    session, checkpointed table in production); the audit itself is a
+    broadcast crossJoin against the K-row centroid table with map-side
+    partial min (the _assign shape), so the corpus is read once and
+    never shuffled at full width — O(N*K) compute, O(K) output. Both
+    engines round the per-vector silhouette at 6 dp and aggregate the
+    mean as exact decimals, so the oracle hash is stable.
+    """
+    a = _final_assign(spark, sf_dir)
+    cent = trained_centroids(spark, sf_dir).select(
+        F.col("cell").alias("c_cell"), "cv"
+    )
+    od = (
+        a.crossJoin(F.broadcast(cent))
+        .filter(F.col("c_cell") != F.col("cell"))
+        .select(
+            "vec_id",
+            "cell",
+            "sqd",
+            F.expr(_SQD_SPARK).alias("osqd"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("cell").alias("cell"),
+            F.first("sqd").alias("sqd"),
+            F.min("osqd").alias("osqd"),
+        )
+    )
+    d_own = F.sqrt("sqd")
+    d_other = F.sqrt("osqd")
+    sil = F.when(F.greatest(d_own, d_other) == 0, F.lit(0.0)).otherwise(
+        F.round((d_other - d_own) / F.greatest(d_own, d_other), 6)
+    )
+    return (
+        od.select("cell", sil.alias("sil"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("sil").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
 def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF centroid table (cell, cv) after N_ITERS Lloyd
     updates — the artifact a production deployment persists and ships

@@ -165,12 +165,37 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- kNN label eval
 
 KNN_K = 3
+# Round-8 cap (the sf100 sweep's catch, alpha 1.62/876 s at sf100): the
+# LOO eval used EVERY vector as a query against its WHOLE bucket, so
+# candidate volume is sum(bn^2) — quadratic in the duplication rate,
+# exactly the blowup the sub-block caps bound elsewhere. A sub-block
+# cap is wrong HERE (it would shrink the neighbor POOL and change what
+# the metric measures); the principled bound for an accuracy ESTIMATE
+# is sampling the QUERY side: at most KNN_QUERY_CAP hash-selected
+# queries per bucket, each still ranked against its full bucket.
+# Total candidate volume is bounded at O(n * cap) for ANY duplication
+# rate; below-cap buckets evaluate every vector, so small corpora are
+# (mostly) unchanged and the estimate stays exact where sampling isn't
+# needed. Selection is the portable md5 hash (salt 'knq:') with vec_id
+# tie-break — deterministic, identical in both engines, independent of
+# the sub-split hash's salt.
+KNN_QUERY_CAP = 128
 
 _KNN_ORACLE = f"""
 WITH {_VECTORS_CTE_DUCK},
 {_BUCKETS_CTE_DUCK},
 lab AS (SELECT vec_id, label FROM embeddings),
-q AS (SELECT vec_id AS query_id, v, sqnorm, bucket FROM bucketed),
+q AS (
+    SELECT vec_id AS query_id, v, sqnorm, bucket FROM (
+        SELECT vec_id, v, sqnorm, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY CAST('0x' || substr(md5('knq:' ||
+                                CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                            vec_id) AS qrn
+        FROM bucketed
+    ) WHERE qrn <= {KNN_QUERY_CAP}
+),
 nbrs AS (
     SELECT q.query_id, c.vec_id, {_COS_EXPR_DUCK} AS cos_sim
     FROM q JOIN bucketed c
@@ -219,19 +244,37 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors whose bucket has no other member are excluded (n_eval
     counts evaluated vectors only).
 
-    Scale note: candidate generation is the SAME keyed bucket
-    self-join as `embedding_near_dup_pairs`, reusing the persisted
-    LSH index stage; everything downstream runs on O(vectors * k)
-    rows. Exact-kNN-over-everything would be the cross product this
-    repo bans.
+    Scale note: candidate generation is the same keyed bucket join as
+    `embedding_near_dup_pairs`, reusing the persisted LSH index stage;
+    everything downstream runs on O(queries * k) rows. Exact-kNN-over-
+    everything would be the cross product this repo bans. The QUERY
+    side is capped at {KNN_QUERY_CAP} hash-selected vectors per bucket
+    (see KNN_QUERY_CAP above — the round-8 sf100 catch): the accuracy
+    estimate is computed over a deterministic per-bucket subsample when
+    buckets are oversized, bounding total candidate volume at
+    O(n * {KNN_QUERY_CAP}) for any duplication rate while each
+    evaluated query still ranks its FULL bucket (neighbor quality
+    unchanged — only how many LOO trials are run is sampled).
     """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
     bucketed = _bucketed(spark, sf_dir)
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    q = bucketed.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("sqnorm").alias("q_sqnorm"),
-        F.col("bucket").alias("q_bucket"),
+    wsel = Window.partitionBy("bucket").orderBy(
+        portable_hash64(
+            F.concat(F.lit("knq:"), F.col("vec_id").cast("string"))
+        ),
+        "vec_id",
+    )
+    q = (
+        bucketed.withColumn("qrn", F.row_number().over(wsel))
+        .filter(F.col("qrn") <= KNN_QUERY_CAP)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("sqnorm").alias("q_sqnorm"),
+            F.col("bucket").alias("q_bucket"),
+        )
     )
     nbrs = bucketed.join(
         q,
