@@ -102,6 +102,7 @@ def main() -> None:
         n_sides=2,
         row_width_bytes=ROW_WIDTH,
         provider="auto",
+        output_mode="append",  # stream-stream joins support append only
         checkpoint_dir=ckpt,
         query_name="ads_with_clicks_soak",
     )

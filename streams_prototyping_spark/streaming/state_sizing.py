@@ -208,6 +208,12 @@ def start_stateful(
     pinned count — correct, and exactly why sizing belongs here, at
     query start, not mid-flight.
 
+    NOTE ``output_mode`` defaults to ``"update"`` (right for keyed
+    aggregates, the common stateful case); stream-stream JOINS are
+    append-only in Spark — pass ``output_mode="append"`` for them or
+    micro-batch 0 fails analysis (found by the round-8 crossover soak,
+    scripts/start_stateful_join_soak.py).
+
     NOTE the helper intentionally does NOT restore the previous
     ``spark.sql.shuffle.partitions``: micro-batch 0 plans
     asynchronously after ``start()`` returns and reads the session
