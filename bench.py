@@ -245,6 +245,9 @@ HEADLINE = [
     "approx_distinct_users",
     "pps_horvitz_thompson",
     "recursive_month_spine",
+    # round 8b: the recall audit is the similarity module's most
+    # expensive member (bounded-truth side still costs two pair joins)
+    "near_dup_recall_audit",
 ]
 
 

@@ -392,6 +392,163 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- near-dup recall audit
+
+NDR_SAMPLE = 256  # expected truth-set size (hash-thresholded, n-adaptive)
+_TWO60 = 1 << 60  # portable_hash64 range
+
+# deterministic n-adaptive sample: hash('ndr:'||id) < 2^60 * S/n keeps
+# EXPECTED sample size at NDR_SAMPLE regardless of corpus size, with no
+# global sort/rank (no single-partition window) and no RNG. Both
+# engines compare the same int64 hash against the same IEEE double.
+_NDR_THRESH_DUCK = (
+    f"(SELECT {_TWO60} * {NDR_SAMPLE}.0 / count(*) FROM embeddings)"
+)
+
+_NDR_ORACLE = f"""
+WITH {_VECTORS_CTE_DUCK},
+{_BUCKETS_CTE_DUCK},
+bn AS (SELECT bucket, count(*) AS bn FROM bucketed GROUP BY bucket),
+subbed AS (
+    SELECT b.vec_id, b.v, b.sqnorm, b.bucket,
+           {_SPLIT_HASH_DUCK.format(id="b.vec_id")}
+               % GREATEST(1, CAST(ceil(bn.bn / {TARGET_BUCKET_OCC}.0) AS BIGINT)) AS sub
+    FROM bucketed b JOIN bn USING (bucket)
+),
+found AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM subbed a JOIN subbed b
+      ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
+    WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) >= {NEAR_DUP_MIN_COS}
+),
+smp AS (
+    SELECT vec_id, v, sqnorm FROM vecs
+    WHERE CAST('0x' || substr(md5('ndr:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) < {_NDR_THRESH_DUCK}
+),
+truth AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM smp a JOIN smp b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) >= {NEAR_DUP_MIN_COS}
+),
+fs AS (
+    SELECT f.vec_a, f.vec_b FROM found f
+    JOIN smp sa ON sa.vec_id = f.vec_a
+    JOIN smp sb ON sb.vec_id = f.vec_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_found,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM fs)
+             / GREATEST((SELECT count(*) FROM truth), 1), 6) AS recall,
+       (SELECT CAST(count(*) AS BIGINT) FROM fs f
+        WHERE NOT EXISTS (SELECT 1 FROM truth t
+                          WHERE t.vec_a = f.vec_a AND t.vec_b = f.vec_b))
+           AS n_extra
+"""
+
+
+@register("near_dup_recall_audit", oracle=_NDR_ORACLE)
+def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the production near-dup detector
+    (embedding_near_dup_pairs: LSH-bucketed + sub-block-capped) against
+    EXACT threshold truth on a deterministic sample — the audit that
+    turns 'the documented recall trade' of the bucketing/cap design
+    into a number. Truth = all pairs with exact cosine >=
+    {NEAR_DUP_MIN_COS} among a hash-thresholded sample of expected
+    size {NDR_SAMPLE} (n-adaptive threshold 2^60*S/n: fixed expected
+    size at any corpus scale, no global rank, no RNG); found = the
+    detector's pairs with both ends in the sample. n_extra pins the
+    precision side: the detector verifies exact cosine inside buckets,
+    so every found pair must be in truth (n_extra = 0 is an invariant,
+    not a hope).
+
+    Scale design: the exact side is O(sample^2) with sample fixed at
+    ~{NDR_SAMPLE} by construction — bounded at any corpus size; the
+    found side is the capped detector (linear, measured) semi-joined to
+    the sample. This is the recall instrument a 100 TB dedup deployment
+    runs continuously on a sampled slice while the capped detector
+    processes the firehose.
+
+    Reading the driver-SF number (~0.22 at sf0.01): the
+    {NEAR_DUP_MIN_COS} threshold sits in the BULK of this synthetic
+    data's similarity range, where sign-LSH geometry predicts exactly
+    this — collision probability per hyperplane is 1 - theta/pi ~ 0.62
+    at cos {NEAR_DUP_MIN_COS}, ^4 bits ~ 0.15. A production near-dup
+    threshold (~0.9 -> ~0.86/bit) plus banding/multi-probe is the high-
+    recall regime; the audit exists to MEASURE that choice, and its
+    n_extra = 0 invariant proves the detector never over-reports.
+    """
+    from streams_prototyping_spark.functions.portable_hash import portable_hash64
+
+    vecs = _vectors(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    thresh = float(_TWO60) * NDR_SAMPLE / n
+    smp = vecs.filter(
+        portable_hash64(
+            F.concat(F.lit("ndr:"), F.col("vec_id").cast("string"))
+        )
+        < F.lit(thresh)
+    )
+    a = smp.alias("a")
+    b = smp.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            F.round(
+                F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+                / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
+                6,
+            )
+            >= NEAR_DUP_MIN_COS
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+    sample_ids = smp.select("vec_id")
+    found = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .join(sample_ids.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi")
+        .join(sample_ids.withColumnRenamed("vec_id", "vec_b"), "vec_b", "left_semi")
+        .select("vec_a", "vec_b")
+    )
+    # three scalar-aggregate actions (the accepted scalar-probe class —
+    # never row data to the driver): sample size, truth size, and one
+    # combined pass giving found + found-in-truth (n_extra by
+    # subtraction instead of a fourth pair-join execution)
+    n_sample = smp.count()
+    n_true = truth.count()
+    stats = (
+        found.join(
+            truth.withColumn("in_truth", F.lit(1)), ["vec_a", "vec_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_found"),
+            F.coalesce(F.sum("in_truth"), F.lit(0)).alias("n_hit"),
+        )
+        .first()
+    )
+    n_found, n_hit = int(stats["n_found"]), int(stats["n_hit"])
+    # recall rounds through F.round (half-up, = DuckDB's half-away for
+    # positive ratios) — Python round() is banker's and must not touch it
+    return spark.createDataFrame(
+        [(n_sample, n_true, n_found, n_found - n_hit)],
+        "n_sample long, n_true long, n_found long, n_extra long",
+    ).select(
+        "n_sample",
+        "n_true",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.greatest(F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        "n_extra",
+    )
+
+
 # ------------------------------------------------------------------- IVF
 
 N_CENTROIDS = 8  # pseudo-centroids: vec_id < 8 (deterministic, no k-means RNG)
