@@ -248,6 +248,12 @@ HEADLINE = [
     # round 8b: the recall audit is the similarity module's most
     # expensive member (bounded-truth side still costs two pair joins)
     "near_dup_recall_audit",
+    # round 9: the banded high-recall near-dup module (VERDICT r8 item
+    # 1) — both members join headline: the detector is the module's
+    # production operator, the audit its most expensive member (it
+    # embeds the detector plus the exact-truth pass)
+    "embedding_near_dup_pairs_banded",
+    "near_dup_banded_recall_audit",
 ]
 
 

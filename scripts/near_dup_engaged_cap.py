@@ -15,8 +15,12 @@ stats) differing only 10x in base-vector count:
 
 Near-copies use make_sf1.py's deterministic perturbation shape at
 1e-6 amplitude (cosine vs base ~ 1.0 — genuinely near-duplicates),
-key-shifted ids (replica i -> base_id + i * n_bases) so sub-block
-assignment (vec_id % ceil(bn/128)) spreads each bucket evenly.
+with key-shifted ids (replica i -> base_id + i * n_bases). Sub-block
+assignment is the HASHED id (similarity._SPLIT_HASH_SPARK, round-8
+fix), so occupancy is id-structure-independent; key-shifted ids are
+exactly the adversarial case the original raw modulo failed on
+(stride ≡ 0 mod n_subblocks put every replica of a base in ONE
+sub-block — the occupancy table below is what caught it).
 
 If the cap does its job, per-vector candidate counts are identical at
 both ends and alpha ~ 1. The occupancy table (bucket count, mean/max

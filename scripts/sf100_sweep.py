@@ -208,7 +208,15 @@ def main() -> None:
                 if "No space left on device" in out.stdout + out.stderr
                 else "failed (see log)"
             )
-            store["queries"][q] = {"error": err}
+            # commit the evidence with the verdict (VERDICT r8 item 2:
+            # a "see log" with no committed log is an assertion) — the
+            # last lines of the subprocess output name the actual error
+            tail = [
+                ln
+                for ln in (out.stdout + "\n" + out.stderr).strip().splitlines()
+                if ln.strip()
+            ][-10:]
+            store["queries"][q] = {"error": err, "log_tail": tail}
             print(json.dumps({"query": q, "error": err}), flush=True)
         else:
             store["rows"] = {str(k): v for k, v in rec["rows"].items()}

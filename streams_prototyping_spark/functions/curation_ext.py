@@ -218,15 +218,31 @@ nbrs AS (
                                   ORDER BY n_votes DESC, n_label) AS rn
         FROM votes
     ) WHERE rn = 1
+), elig AS (
+    -- vectors a cap-free LOO would evaluate (bucket has a neighbor):
+    -- the denominator that makes the query-side sampling VISIBLE in
+    -- the output (VERDICT r8 item 6) instead of only in the docstring
+    SELECT l.label, CAST(count(*) AS BIGINT) AS n_eligible
+    FROM bucketed b
+    JOIN (SELECT bucket, count(*) AS bc FROM bucketed GROUP BY bucket) c
+      ON c.bucket = b.bucket
+    JOIN lab l ON l.vec_id = b.vec_id
+    WHERE c.bc >= 2
+    GROUP BY l.label
+), acc AS (
+    SELECT l.label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM pred p JOIN lab l ON l.vec_id = p.query_id
+    GROUP BY l.label
 )
-SELECT l.label,
-       CAST(count(*) AS BIGINT) AS n_eval,
-       CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_correct,
-       round(CAST(sum(CASE WHEN p.predicted = l.label THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS accuracy
-FROM pred p JOIN lab l ON l.vec_id = p.query_id
-GROUP BY l.label
+SELECT a.label, a.n_eval, e.n_eligible,
+       a.n_eval < e.n_eligible AS sampled,
+       a.n_correct, a.accuracy
+FROM acc a JOIN elig e ON e.label = a.label
 """
 
 
@@ -254,7 +270,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets are oversized, bounding total candidate volume at
     O(n * {KNN_QUERY_CAP}) for any duplication rate while each
     evaluated query still ranks its FULL bucket (neighbor quality
-    unchanged — only how many LOO trials are run is sampled).
+    unchanged — only how many LOO trials are run is sampled). The
+    sampling is visible in the OUTPUT, not just here: `n_eligible` is
+    the cap-free evaluation population per label and `sampled` flags
+    n_eval < n_eligible (VERDICT r8 item 6).
     """
     from streams_prototyping_spark.functions.portable_hash import portable_hash64
 
@@ -306,7 +325,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("n_label").alias("predicted"))
     )
     correct = F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
-    return (
+    acc = (
         pred.join(lab, pred["query_id"] == lab["vec_id"])
         .groupBy("label")
         .agg(
@@ -316,6 +335,26 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(correct).cast("double") / F.count(F.lit(1)), 6
             ).alias("accuracy"),
         )
+    )
+    # n_eligible = what a cap-free LOO would evaluate (bucket has ≥2
+    # members) — surfacing the query-side sampling in the OUTPUT
+    # (VERDICT r8 item 6): n_eval < n_eligible ⇔ the per-bucket query
+    # cap engaged for this label's buckets
+    bc = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bc"))
+    elig = (
+        bucketed.join(bc, "bucket")
+        .filter(F.col("bc") >= 2)
+        .join(lab, "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eligible"))
+    )
+    return acc.join(elig, "label").select(
+        "label",
+        "n_eval",
+        "n_eligible",
+        (F.col("n_eval") < F.col("n_eligible")).alias("sampled"),
+        "n_correct",
+        "accuracy",
     )
 
 

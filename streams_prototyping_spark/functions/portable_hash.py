@@ -29,6 +29,16 @@ import hashlib
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The one home of the hash formula in SQL-string form (ADVICE r8: the
+# Spark/DuckDB split-hash idiom was duplicated in similarity.py and
+# inlined a third time in records.py's oracle — any drift between
+# copies silently breaks oracle parity). ``{expr}`` must already be a
+# string-typed SQL expression in the target dialect.
+PORTABLE_HASH64_SPARK_TPL = (
+    "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+)
+PORTABLE_HASH64_DUCK_TPL = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
 
 def portable_hash64(col: Column) -> Column:
     """60-bit non-negative hash of a string column (Spark side)."""
@@ -37,7 +47,7 @@ def portable_hash64(col: Column) -> Column:
 
 def portable_hash64_sql(expr: str) -> str:
     """Same hash as DuckDB SQL over expression ``expr``."""
-    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+    return PORTABLE_HASH64_DUCK_TPL.format(expr=expr)
 
 
 def portable_hash64_py(s: str) -> int:

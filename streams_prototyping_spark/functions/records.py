@@ -19,8 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streams_prototyping_spark.data import load_table
+from streams_prototyping_spark.functions.portable_hash import (
+    PORTABLE_HASH64_DUCK_TPL,
+)
 from streams_prototyping_spark.registry import register
 from streams_prototyping_spark.stage_cache import release_local_checkpoint
+
+# Sub-block split hash, oracle side (ADVICE r8: was a third inlined
+# copy of the md5 idiom; now rendered from the single-home template —
+# byte-identical output, so no oracle result changes).
+_SPLIT_HASH_DUCK_REC = PORTABLE_HASH64_DUCK_TPL.format(
+    expr="CAST(r.rec_id AS VARCHAR)"
+)
 
 # ------------------------------------------ Fellegi-Sunter linkage weights
 
@@ -203,7 +213,7 @@ params AS (
     FROM recs0 GROUP BY blk_nation, blk_bal
 ), recs AS MATERIALIZED (
     SELECT r.*,
-           CAST('0x' || substr(md5(CAST(r.rec_id AS VARCHAR)), 1, 15) AS BIGINT)
+           {_SPLIT_HASH_DUCK_REC}
                % greatest(1, (s.cnt + {FS_TARGET_BLOCK} - 1)
                              // {FS_TARGET_BLOCK}) AS blk_sub
     FROM recs0 r JOIN sized s

@@ -58,11 +58,17 @@ NEAR_DUP_MIN_COS = 0.35
 # against the ~128 the cap promises). Hashing the id first makes the
 # split independent of id structure; md5-on-decimal-string is the
 # repo's portable cross-engine idiom (count_min/HLL/multimodal), 60
-# bits, non-negative, bit-identical in Spark and DuckDB.
-_SPLIT_HASH_SPARK = (
-    "CAST(conv(substring(md5(CAST({id} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+# bits, non-negative, bit-identical in Spark and DuckDB. Derived from
+# portable_hash's single-home templates (ADVICE r8) — the rendered
+# strings are byte-identical to the previous inline forms, so no
+# oracle output changes.
+from streams_prototyping_spark.functions.portable_hash import (  # noqa: E402
+    PORTABLE_HASH64_DUCK_TPL,
+    PORTABLE_HASH64_SPARK_TPL,
 )
-_SPLIT_HASH_DUCK = "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+_SPLIT_HASH_SPARK = PORTABLE_HASH64_SPARK_TPL.format(expr="CAST({id} AS STRING)")
+_SPLIT_HASH_DUCK = PORTABLE_HASH64_DUCK_TPL.format(expr="CAST({id} AS VARCHAR)")
 
 _V_DOUBLE_SPARK = "transform(embedding, x -> CAST(x AS DOUBLE))"
 _V_DOUBLE_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -437,16 +443,20 @@ fs AS (
     SELECT f.vec_a, f.vec_b FROM found f
     JOIN smp sa ON sa.vec_id = f.vec_a
     JOIN smp sb ON sb.vec_id = f.vec_b
+),
+hits AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_hit FROM fs f
+    WHERE EXISTS (SELECT 1 FROM truth t
+                  WHERE t.vec_a = f.vec_a AND t.vec_b = f.vec_b)
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
        (SELECT CAST(count(*) AS BIGINT) FROM fs) AS n_found,
-       round((SELECT CAST(count(*) AS DOUBLE) FROM fs)
+       (SELECT n_hit FROM hits) AS n_hit,
+       round((SELECT CAST(n_hit AS DOUBLE) FROM hits)
              / GREATEST((SELECT count(*) FROM truth), 1), 6) AS recall,
-       (SELECT CAST(count(*) AS BIGINT) FROM fs f
-        WHERE NOT EXISTS (SELECT 1 FROM truth t
-                          WHERE t.vec_a = f.vec_a AND t.vec_b = f.vec_b))
-           AS n_extra
+       (SELECT CAST(count(*) AS BIGINT) FROM fs)
+           - (SELECT n_hit FROM hits) AS n_extra
 """
 
 
@@ -533,16 +543,21 @@ def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_found, n_hit = int(stats["n_found"]), int(stats["n_hit"])
     # recall rounds through F.round (half-up, = DuckDB's half-away for
-    # positive ratios) — Python round() is banker's and must not touch it
+    # positive ratios) — Python round() is banker's and must not touch
+    # it. Numerator is n_hit (found ∩ truth), NOT n_found (ADVICE r8:
+    # with n_found the metric could exceed 1.0 if the n_extra=0
+    # precision invariant ever broke); n_extra stays the separate
+    # precision column.
     return spark.createDataFrame(
-        [(n_sample, n_true, n_found, n_found - n_hit)],
-        "n_sample long, n_true long, n_found long, n_extra long",
+        [(n_sample, n_true, n_found, n_hit, n_found - n_hit)],
+        "n_sample long, n_true long, n_found long, n_hit long, n_extra long",
     ).select(
         "n_sample",
         "n_true",
         "n_found",
+        "n_hit",
         F.round(
-            F.col("n_found").cast("double") / F.greatest(F.col("n_true"), F.lit(1)),
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)),
             6,
         ).alias("recall"),
         "n_extra",

@@ -107,4 +107,5 @@ def load_all() -> None:
         linalg,
         vector_quant,
         records,
+        similarity_banded,  # imports similarity; must load after it
     )

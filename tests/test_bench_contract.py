@@ -29,6 +29,31 @@ def test_headline_subset_of_registry():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
 
 
+def test_gate_baseline_covers_headline():
+    """VERDICT r8 item 4: the latest committed per-query gate baseline
+    must cover the CURRENT headline set exactly — a headline query the
+    baseline lacks is invisible to the regression gate until the next
+    re-baseline (the r7/r8 lag class). Whoever extends HEADLINE owes a
+    re-baseline (two idle runs, commit the second) in the same round."""
+    import json
+    import re
+    from pathlib import Path
+
+    here = Path(bench.__file__).parent
+    baselines = sorted(
+        here.glob("BENCH_GATE_BASELINE_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert baselines, "no committed gate baseline"
+    latest = baselines[-1]
+    prev = json.loads(latest.read_text()).get("queries", {})
+    missing = sorted(set(bench.HEADLINE) - set(prev))
+    extra = sorted(set(prev) - set(bench.HEADLINE))
+    assert missing == [] and extra == [], (
+        f"{latest.name} vs HEADLINE: missing={missing} extra={extra}"
+    )
+
+
 def test_headline_covers_every_query_module():
     """The selection rule's 'one representative per operator family'
     claim, pinned at module granularity."""
@@ -68,7 +93,16 @@ def test_headline_has_each_modules_most_expensive():
             by_module.setdefault(fn.__module__, []).append(name)
     offenders = {}
     for mod, names in by_module.items():
-        head_max = max((full[n] for n in names if n in headline), default=0.0)
+        head_times = [full[n] for n in names if n in headline]
+        if not head_times:
+            # ADVICE r8: a module whose headline members are all newer
+            # than the committed artifact has no baseline — treating
+            # the missing timing as 0.0 would falsely flag every
+            # non-headline sibling over 0.3 s. The module-coverage
+            # test above still guarantees a headline member exists;
+            # this rule resumes at the next --full refresh.
+            continue
+        head_max = max(head_times)
         for n in names:
             if n not in headline and full[n] > 1.3 * head_max + 0.3:
                 offenders[n] = {

@@ -1,0 +1,130 @@
+"""Banded near-dup detector pins (oracle parity itself is covered by
+test_oracle_parity's auto-parametrization over the registry).
+
+What needs pinning beyond the hash-match:
+- the cross-engine exactness of the integer CASE ladder that replaces
+  float log2 for the extra-split depth (the fork hazard sits exactly
+  on power-of-two boundaries);
+- the plane-sign formula agreeing between the Spark literal build and
+  the DuckDB inline build (a silent drift would desync index and
+  oracle at a bucket level the small-SF hash check may not trip);
+- the recall claim the variant exists for: banded recall must beat the
+  single-table detector's on the same data;
+- the audit's structural invariants (n_extra = 0, n_hit ≤ n_true,
+  recall ∈ [0, 1]).
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from streams_prototyping_spark import registry
+from streams_prototyping_spark.functions import similarity_banded as sb
+from streams_prototyping_spark.functions.similarity import NEAR_DUP_MIN_COS
+
+registry.load_all()
+
+
+def test_e_ladder_boundaries_cross_engine(spark):
+    """e = ceil(log2(c/128)) clamped [0,8], as pure integer CASE — pin
+    the boundary values in Spark AND DuckDB against the closed form."""
+    import math
+
+    cases = [1, 64, 128, 129, 255, 256, 257, 512, 513, 16384, 16385, 10**7]
+    want = [
+        min(
+            sb.NEAR_DUP_EXTRA_BITS,
+            max(0, math.ceil(math.log2(c / 128.0))) if c > 128 else 0,
+        )
+        for c in cases
+    ]
+    got_spark = [
+        spark.sql(f"SELECT {sb._E_LADDER.format(c=c)} AS e").first()["e"]
+        for c in cases
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {sb._E_LADDER.format(c=c)} AS e").fetchone()[0]
+        for c in cases
+    ]
+    assert got_spark == want, (cases, got_spark, want)
+    assert got_duck == want, (cases, got_duck, want)
+
+
+def test_plane_signs_match_duckdb_inline():
+    """The Spark side bakes plane signs as literals via
+    _plane_sign_py; the oracle evaluates the md5 formula inline. Pin
+    their agreement on a sample of (band, pidx, is_x, j)."""
+    con = duckdb.connect()
+    for band, pidx, is_x in [(0, 0, False), (3, 7, False), (19, 2, True), (7, 0, True)]:
+        pfx = "ndx" if is_x else "ndh"
+        got = con.execute(
+            f"SELECT list_transform(range(1, {sb.EMB_DIM + 1}), j -> "
+            f"CASE WHEN {sb._PLANE_HASH_DUCK} % 2 = 0 THEN CAST(1.0 AS DOUBLE)"
+            f" ELSE CAST(-1.0 AS DOUBLE) END) "
+            f"FROM (SELECT {band} AS band, {pidx} AS pidx, {is_x} AS is_x)"
+        ).fetchone()[0]
+        want = [
+            sb._plane_sign_py(pfx, band, pidx, j)
+            for j in range(1, sb.EMB_DIM + 1)
+        ]
+        assert got == want, (band, pidx, is_x)
+
+
+def test_banded_pairs_invariants(spark, sf_dir):
+    rows = registry.QUERIES["embedding_near_dup_pairs_banded"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "detector found no pairs at test SF"
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos_sim"] >= NEAR_DUP_MIN_COS
+        key = (r["vec_a"], r["vec_b"])
+        assert key not in seen, f"duplicate pair {key}"
+        seen.add(key)
+
+
+def test_banded_recall_beats_single_table(spark, sf_dir):
+    """The variant's reason to exist: at the registered threshold, the
+    banded audit's recall must strictly beat the single-table audit's
+    (0.985 vs 0.22 at driver SFs), with the n_extra = 0 precision
+    invariant intact on both."""
+    banded = {
+        r["thr_label"]: r
+        for r in registry.QUERIES["near_dup_banded_recall_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    single = registry.QUERIES["near_dup_recall_audit"](spark, sf_dir).first()
+    reg = banded["registered"]
+    assert reg["n_extra"] == 0 and single["n_extra"] == 0
+    assert reg["n_hit"] <= reg["n_true"]
+    assert 0.0 <= reg["recall"] <= 1.0
+    assert reg["recall"] > single["recall"], (reg["recall"], single["recall"])
+    assert reg["recall"] >= 0.9, reg["recall"]
+    prod = banded["production"]
+    assert prod["n_extra"] == 0
+    # driver data has no production-threshold pairs — the row must say
+    # so honestly rather than fabricate a recall
+    if prod["n_true"] == 0:
+        assert prod["n_found"] == 0 and prod["recall"] == 0.0
+
+
+def test_banded_index_bounds_group_size(spark, sf_dir):
+    """The cap contract: no (band, bucket, ext, sub) group exceeds
+    TARGET_BUCKET_OCC by more than the ceil-division remainder bound
+    (a group of size c2 splits into ceil(c2/T) subs; expected size ≤ T,
+    and the hash split keeps the max well under 2T on any real data —
+    pin ≤ 2T as the invariant the pair-work bound rests on)."""
+    from streams_prototyping_spark.functions.similarity import TARGET_BUCKET_OCC
+
+    idx = sb._banded_index(spark, sf_dir)
+    mx = (
+        idx.groupBy("band", "bucket", "ext", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert mx <= 2 * TARGET_BUCKET_OCC, mx
