@@ -1,0 +1,277 @@
+"""Production-threshold recall + scaling measurement for the banded
+near-dup detector (VERDICT r8 item 1: retire the single-table
+detector's recall-0.22 weak grade with a MEASURED high-recall mode).
+
+The driver tables cannot carry this measurement: their embeddings max
+out at pairwise cos ≈ 0.51, so recall at the production threshold
+(cos ≥ 0.9) is vacuously 0/0 there. This script builds two corpora
+that contain real near-duplicates and runs the REGISTERED
+`near_dup_banded_recall_audit` query on them:
+
+  END A:  8,000 bases × 16 replicas = 128k vectors  (adaptive depth 10)
+  END B: 65,536 bases × 16 replicas = 1,048,576     (adaptive depth 13)
+
+Corpus construction (deterministic, no RNG):
+- bases: sf0.1's 2000 embeddings, extended to n_bases by per-base
+  large perturbations (amplitude 1.5 → cos vs the original ≈ 0.55,
+  genuinely distinct bases that keep the REAL data's cluster
+  structure — LSH occupancy skew is part of what's under test);
+- replicas: per-(base, k) perturbation directions with amplitude
+  a_k ∈ [0.10, 0.62], giving replica↔base cosines spread across
+  ~[0.85, 0.995] so the 0.9 threshold is a live decision boundary,
+  not a cliff the generator placed everything on one side of.
+  Directions are cos(base_id·c1 + j·c2(k) + c3(k)) — a DIFFERENT
+  direction per base (the design phase's key negative result: moduli
+  shared across bases, as in near_dup_engaged_cap's %97, align the
+  signs of thousands of vectors and fabricate mega-buckets that no
+  real corpus has).
+
+Each end runs in its own subprocess/JVM (the sf100 lesson). Per end:
+the audit query reports (recall@0.35, recall@0.9, n_extra) on a
+4096-vector exact-truth sample, and the detector itself is timed
+(warm-up + timed pass, noop sink). The orchestrator computes
+alpha = log(sec_B/sec_A) / log(n_B/n_A) — BANDS is a constant, so the
+design predicts ~1.0 — and writes NEAR_DUP_BANDED_RECALL.json.
+
+Design-phase numpy model of this exact construction predicted recall
+0.979 (A) / 0.940 (B) at cos ≥ 0.9.
+
+Usage: python scripts/near_dup_banded_recall.py           (both ends)
+       python scripts/near_dup_banded_recall.py --end A   (one end)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HERE = Path(__file__).resolve().parent.parent
+STORE = HERE / "NEAR_DUP_BANDED_RECALL.json"
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+REPS = 16  # replicas per base (incl. the base itself)
+ENDS = {"A": 8_000, "B": 65_536}  # end -> base-vector count
+
+
+def corpus_dir(end: str) -> str:
+    return os.environ.get(
+        f"SPARK_GRAFT_NDBR_{end}_DIR", f"/tmp/spark_graft_ndbr_{end}"
+    )
+
+
+def build_corpus(spark, end: str) -> str:
+    """embeddings-only dataset dir: n_bases × REPS near-copies with a
+    cosine spread across the production threshold (see module doc)."""
+    from pyspark.sql import functions as F
+
+    n_bases = ENDS[end]
+    out = corpus_dir(end)
+    marker = os.path.join(out, "_SUCCESS_NDBR")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    src = spark.read.parquet(SRC).select("vec_id", "embedding", "label")
+    n_src = 2000
+    groups = math.ceil(n_bases / n_src)
+
+    def normalize(col):
+        nrm = F.expr(
+            "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))".replace("{c}", col)
+        )
+        return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))"), nrm
+
+    # bases: group 0 = originals; group g>0 = normalize(base + 1.5·d_g)
+    # with a per-base direction d_g[j] ∝ cos(gid·0.7133 + j·(1.37+0.41g) + g)
+    gdfs = []
+    for g in range(groups):
+        gid = F.col("vec_id") + F.lit(g * n_src)
+        if g == 0:
+            gdfs.append(
+                src.select(
+                    F.col("vec_id").alias("base_id"),
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("bv"),
+                    "label",
+                )
+            )
+        else:
+            d = F.expr(
+                f"transform(sequence(1, 64), j -> cos((vec_id + {g * n_src}) * 0.7133D"
+                f" + j * {1.37 + 0.41 * g}D + {float(g)}D))"
+            )
+            gdfs.append(
+                src.select(
+                    gid.alias("base_id"),
+                    F.col("embedding").alias("emb"),
+                    "label",
+                    d.alias("d"),
+                )
+                .select(
+                    "base_id",
+                    "label",
+                    F.expr(
+                        "zip_with(transform(emb, x -> CAST(x AS DOUBLE)),"
+                        " d, (x, dj) -> x + 1.5D * dj /"
+                        " sqrt(aggregate(d, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)))"
+                    ).alias("bv0"),
+                )
+                # normalize the derived base (the replica amplitudes
+                # below are RELATIVE to a unit base — an unnormalized
+                # 1.80-norm base would shrink them ~2x and push the
+                # cosine spread off the 0.9 boundary)
+                .select(
+                    "base_id",
+                    "label",
+                    F.expr(
+                        "transform(bv0, x -> x / sqrt(aggregate(bv0,"
+                        " CAST(0.0 AS DOUBLE), (ac, e) -> ac + e * e)))"
+                    ).alias("bv"),
+                )
+            )
+    bases = gdfs[0]
+    for gd in gdfs[1:]:
+        bases = bases.unionByName(gd)
+    bases = bases.filter(F.col("base_id") < n_bases)
+
+    # replicas: k=0 is the base; k>0 adds a_k · d_k with a per-(base,k)
+    # direction d_k[j] ∝ cos(base_id·0.9241 + j·(2.17+0.59k) + 3k)
+    reps = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
+    amp = F.when(F.col("rep") == 0, F.lit(0.0)).otherwise(
+        F.lit(0.10) + F.lit(0.52) * (F.col("rep") - 1) / F.lit(float(max(REPS - 2, 1)))
+    )
+    d_k = F.expr(
+        "transform(sequence(1, 64), j -> cos(base_id * 0.9241D"
+        " + j * (2.17D + 0.59D * rep) + 3.0D * rep))"
+    )
+    dup = (
+        bases.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("base_id") + F.col("rep") * F.lit(n_bases))
+            .cast("long")
+            .alias("vec_id"),
+            "label",
+            "bv",
+            amp.alias("a"),
+            d_k.alias("d"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "zip_with(bv, d, (x, dj) -> x + a * dj /"
+                " sqrt(aggregate(d, CAST(0.0 AS DOUBLE), (ac, e) -> ac + e * e)))"
+            ).alias("raw"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            # normalize + cast to float to match the embeddings schema
+            F.expr(
+                "transform(raw, x -> CAST(x /"
+                " sqrt(aggregate(raw, CAST(0.0 AS DOUBLE), (ac, e) -> ac + e * e))"
+                " AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .select("vec_id", "embedding", "label")
+    )
+    dup.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    Path(marker).touch()
+    return out
+
+
+def measure_end(end: str) -> dict:
+    from streams_prototyping_spark import registry
+    from streams_prototyping_spark.session import get_spark
+    from streams_prototyping_spark.stage_cache import release_all
+
+    spark = get_spark(f"ndbr-{end}")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    sf_dir = build_corpus(spark, end)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    # recall rows from the REGISTERED audit query (the instrument the
+    # driver gate verifies, not a bespoke path)
+    audit = registry.QUERIES["near_dup_banded_recall_audit"](spark, sf_dir)
+    rows = {r["thr_label"]: r.asDict() for r in audit.collect()}
+
+    # detector timing: warm-up then timed pass (noop sink)
+    fn = registry.QUERIES["embedding_near_dup_pairs_banded"]
+    secs = []
+    n_pairs = None
+    for timed in (False, True):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        if timed:
+            secs.append(round(time.perf_counter() - t0, 3))
+            n_pairs = df.count()
+    release_all()
+    rec = {
+        "end": end,
+        "n_vecs": int(n_vecs),
+        "sec": secs[-1],
+        "n_pairs": int(n_pairs),
+        "recall": {
+            lbl: {
+                k: (float(v) if isinstance(v, float) else v)
+                for k, v in r.items()
+            }
+            for lbl, r in rows.items()
+        },
+    }
+    print(json.dumps(rec), flush=True)
+    spark.stop()
+    return rec
+
+
+def main() -> None:
+    if "--end" in sys.argv:
+        measure_end(sys.argv[sys.argv.index("--end") + 1])
+        return
+    import subprocess
+
+    store = json.loads(STORE.read_text()) if STORE.exists() else {}
+    for end in ENDS:
+        if end in store:
+            continue
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        out = subprocess.run(
+            [sys.executable, __file__, "--end", end],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=7200,
+        )
+        rec = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+        if rec is None:
+            print(out.stdout[-3000:], file=sys.stderr)
+            print(out.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"end {end} failed")
+        store[end] = rec
+        STORE.write_text(json.dumps(store, indent=1) + "\n")
+    a, b = store["A"], store["B"]
+    alpha = math.log(b["sec"] / a["sec"]) / math.log(b["n_vecs"] / a["n_vecs"])
+    store["alpha"] = round(alpha, 2)
+    store["flag"] = "SUPERLINEAR" if alpha > 1.3 else ""
+    store["prod_recall"] = {
+        "A": a["recall"]["production"]["recall"],
+        "B": b["recall"]["production"]["recall"],
+    }
+    STORE.write_text(json.dumps(store, indent=1) + "\n")
+    print(json.dumps({"alpha": store["alpha"], "flag": store["flag"],
+                      "prod_recall": store["prod_recall"]}))
+
+
+if __name__ == "__main__":
+    main()

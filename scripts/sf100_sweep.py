@@ -165,8 +165,42 @@ def write_md(store: dict) -> None:
         "sub-split-affected rows (embedding_near_dup_pairs, semantic_dedup,",
         "fs_linkage_weights) were invalidated and re-measured post-fix.",
     ]
+    lines += _tfidf_prune_section(store)
     lines += _engaged_cap_section()
     MD.write_text("\n".join(lines) + "\n")
+
+
+def _tfidf_prune_section(store: dict) -> list[str]:
+    """Render the df-window prune stats (VERDICT r8 item 7:
+    tfidf_cosine_pairs holds the highest surviving sf100 exponent at
+    1.15 — these stats separate inherent pair-output growth from prune
+    erosion). Produced by scripts/tfidf_prune_stats.py."""
+    st = store.get("tfidf_prune_stats")
+    if not st:
+        return []
+    lines = [
+        "",
+        "## tfidf_cosine_pairs df-window prune stats (round 9)",
+        "",
+        "Candidate volume is Σ C(df,2) over grams with df in the",
+        "[TFIDF_DF_MIN, TFIDF_DF_MAX] window. If candidates/doc stays",
+        "flat across the decade, the alpha-1.15 row is inherent pair",
+        "growth (more shared-gram pairs exist); if it climbs, the prune",
+        "is eroding.",
+        "",
+        "| sf | docs | grams | grams in window | cand pairs (unpruned) |"
+        " cand pairs (window) | cand/doc | pruned frac | max df |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for sf in sorted(st, key=int):
+        r = st[sf]
+        lines.append(
+            f"| {sf} | {r['n_docs']:,} | {r['n_grams']:,} |"
+            f" {r['n_grams_window']:,} | {r['cand_pairs_unpruned']:,} |"
+            f" {r['cand_pairs_window']:,} | {r['cand_per_doc']} |"
+            f" {r['pruned_frac']} | {r['max_df']:,} |"
+        )
+    return lines
 
 
 def main() -> None:

@@ -20,8 +20,16 @@ conservative where it matters:
   comparison figure).
 
 Usage: python scripts/start_stateful_join_soak.py [--secs=240]
-         [--rate=100000] [--heap=3g]
+         [--rate=100000] [--heap=3g] [--provider=auto|hdfs|rocksdb]
 Prints one JSON line + a markdown row for BASELINE.md.
+
+Round 9 (VERDICT r8 item 5): --provider forces a side for the
+keeping-up A/B — offer a rate the 3 GiB cell sustains so resident
+state actually REACHES the estimate (the r8 soak ran backlogged, so
+est-vs-actual was never compared in the keeping-up regime), and run
+the same volume under BOTH providers: rocksdb (expected: sustains) and
+hdfs (expected: the over-half-heap GC-death regime the flip exists to
+avoid — run it in a subprocess you are prepared to lose).
 """
 
 from __future__ import annotations
@@ -38,6 +46,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SECS = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--secs=")), "240"))
 RATE = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--rate=")), "100000"))
 HEAP = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--heap=")), "3g")
+PROVIDER = next(
+    (a.split("=", 1)[1] for a in sys.argv if a.startswith("--provider=")), "auto"
+)
 
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = HEAP
 
@@ -101,7 +112,7 @@ def main() -> None:
         join_window_seconds=JOIN_WINDOW_S,
         n_sides=2,
         row_width_bytes=ROW_WIDTH,
-        provider="auto",
+        provider=PROVIDER,
         output_mode="append",  # stream-stream joins support append only
         checkpoint_dir=ckpt,
         query_name="ads_with_clicks_soak",
@@ -146,6 +157,7 @@ def main() -> None:
         "est_state_rows": est_rows,
         "est_state_bytes": est_bytes,
         "est_over_half_heap": est_bytes >= heap * PROVIDER_FLIP_HEAP_FRACTION,
+        "provider_requested": PROVIDER,
         "provider_picked": picked,
         "partitions": int(n_parts),
         "peak_state_rows": peak_rows,
