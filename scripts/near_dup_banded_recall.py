@@ -242,7 +242,14 @@ def main() -> None:
         if end in store:
             continue
         env = dict(os.environ)
-        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        # the 1M-vector end pushes ~800M candidate id-pairs through the
+        # dedup aggregation; at the default 32 shuffle partitions that
+        # is ~25M rows per task's hash map and 32 concurrent tasks
+        # starve the execution pool ([AGGREGATE_OUT_OF_MEMORY], the r6
+        # sweep's lesson) — more, smaller reduce tasks instead of a
+        # bigger heap is the same sizing a real cluster would use
+        env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
         out = subprocess.run(
             [sys.executable, __file__, "--end", end],
             capture_output=True,

@@ -192,19 +192,28 @@ subbed AS MATERIALIZED (
                % GREATEST(1, CAST(ceil(n2.c2 / {TARGET_BUCKET_OCC}.0) AS BIGINT)) AS sub
     FROM exted x JOIN bn2 n2 USING (band, bucket, ext)
 ),
-cand AS (
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM subbed a JOIN subbed b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.ext = b.ext
-         AND a.sub = b.sub AND a.vec_id < b.vec_id
+subbed_v AS MATERIALIZED (
+    SELECT s.vec_id, s.band, s.bucket, s.ext, s.sub, v.v, v.sqnorm
+    FROM subbed s JOIN vecs v USING (vec_id)
 ),
 verified AS (
-    SELECT c.vec_a, c.vec_b,
-           round({_DOT_DUCK.format(a="va.v", b="vb.v")}
-                 / (sqrt(va.sqnorm) * sqrt(vb.sqnorm)), 6) AS cos_sim
-    FROM cand c
-    JOIN vecs va ON va.vec_id = c.vec_a
-    JOIN vecs vb ON vb.vec_id = c.vec_b
+    -- cosine INLINE in the per-band self-join, threshold filter, then
+    -- distinct over the survivors. The first design deduplicated the
+    -- raw candidate id-pairs and joined vectors back afterwards —
+    -- at 1M vectors / c=16 duplication that is a distinct over ~800M
+    -- id-pairs followed by a pair×vector join whose shuffle exceeded
+    -- this box's disk ("No space left on device", measured); inline
+    -- scoring recomputes a cosine per band collision (bounded by the
+    -- cap at BANDS × {TARGET_BUCKET_OCC} per vector) but only
+    -- threshold SURVIVORS ever reach a shuffle.
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                 / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) AS cos_sim
+    FROM subbed_v a JOIN subbed_v b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.ext = b.ext
+         AND a.sub = b.sub AND a.vec_id < b.vec_id
+    WHERE round({_DOT_DUCK.format(a="a.v", b="b.v")}
+                / (sqrt(a.sqnorm) * sqrt(b.sqnorm)), 6) >= {NEAR_DUP_MIN_COS}
 )
 """
 
@@ -283,12 +292,25 @@ def _banded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduplicated candidate pairs with exact verified cosine (no
-    threshold filter — the audit reads multiple thresholds off it)."""
+    """Deduplicated near-dup pairs (cos_sim ≥ {NEAR_DUP_MIN_COS}) with
+    exact verified cosine, distinct across bands.
+
+    Plan shape: vectors join the narrow banded index ONCE by vec_id,
+    the per-band self-join scores cosine INLINE, the threshold filter
+    runs before any further shuffle, and distinct applies to survivors
+    only. The first design deduplicated raw candidate id-pairs and
+    joined vectors back afterwards — at 1M vectors / 16× duplication
+    that distinct covers ~800M id-pairs and the pair×vector join's
+    shuffle exceeded this box's disk (measured: "No space left on
+    device"); inline scoring recomputes a cosine per band collision
+    (bounded by the cap at BANDS × {TARGET_BUCKET_OCC} per vector, CPU
+    not disk) and only threshold survivors reach the distinct."""
     idx = _banded_index(spark, sf_dir)
-    a = idx.alias("a")
-    b = idx.alias("b")
-    cand = (
+    vecs = _vectors(spark, sf_dir)
+    idx_v = idx.join(vecs, "vec_id")
+    a = idx_v.alias("a")
+    b = idx_v.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -298,29 +320,16 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+                / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
+                6,
+            ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
         .distinct()
-    )
-    vecs = _vectors(spark, sf_dir)
-    va = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("v_a"),
-        F.col("sqnorm").alias("sqnorm_a"),
-    )
-    vb = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("v_b"),
-        F.col("sqnorm").alias("sqnorm_b"),
-    )
-    return cand.join(va, "vec_a").join(vb, "vec_b").select(
-        "vec_a",
-        "vec_b",
-        F.round(
-            F.expr(_DOT_SPARK.format(a="v_a", b="v_b"))
-            / (F.sqrt("sqnorm_a") * F.sqrt("sqnorm_b")),
-            6,
-        ).alias("cos_sim"),
     )
 
 
@@ -336,12 +345,10 @@ def embedding_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFra
     keyed aggregations on (band, bucket[, ext]) — consistent
     partitioning, no corpus-sized single task — and a self-join whose
     per-group size the cap bounds at {TARGET_BUCKET_OCC}. Candidate
-    id-pairs deduplicate BEFORE the embedding join, so exact cosine is
-    computed once per unique pair and vectors never ride the banded
-    shuffle."""
-    return _banded_pairs(spark, sf_dir).filter(
-        F.col("cos_sim") >= NEAR_DUP_MIN_COS
-    )
+    id-pairs are scored inline and only threshold survivors reach the
+    cross-band distinct (see _banded_pairs for the measured disk
+    rationale)."""
+    return _banded_pairs(spark, sf_dir)
 
 
 # ------------------------------------------------------- recall audit
@@ -454,7 +461,6 @@ def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_ids = smp.select("vec_id")
     found = (
         _banded_pairs(spark, sf_dir)
-        .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
         .join(sample_ids.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi")
         .join(sample_ids.withColumnRenamed("vec_id", "vec_b"), "vec_b", "left_semi")
         .select("vec_a", "vec_b", "cos_sim")
