@@ -149,9 +149,10 @@ def write_md(store: dict) -> None:
         if r.get("error"):
             lines.append(f"| {q} | {r.get('sec_sf10', '-')} | — | — | {r['error']} |")
         else:
+            note = r.get("note", "")
             lines.append(
                 f"| {q} | {r['sec_sf10']} | {r['sec_sf100']} | {r['alpha']} "
-                f"| {r.get('flag', '')} |"
+                f"| {r.get('flag', '') or note} |"
             )
     lines += [
         "",
@@ -243,13 +244,26 @@ def main() -> None:
                 else "failed (see log)"
             )
             # commit the evidence with the verdict (VERDICT r8 item 2:
-            # a "see log" with no committed log is an assertion) — the
-            # last lines of the subprocess output name the actual error
-            tail = [
+            # a "see log" with no committed log is an assertion) —
+            # exception-message lines first (a tail of bare stack
+            # frames names nothing), then the raw tail as fallback
+            import re as _re
+
+            all_lines = [
                 ln
                 for ln in (out.stdout + "\n" + out.stderr).strip().splitlines()
                 if ln.strip()
-            ][-10:]
+            ]
+            msg_lines = [
+                ln
+                for ln in all_lines
+                if _re.search(
+                    r"(Error|Exception|SQLSTATE|No space|OutOfMemory|Killed)",
+                    ln,
+                )
+                and not ln.lstrip().startswith("at ")
+            ]
+            tail = (msg_lines[-6:] + all_lines[-4:]) if msg_lines else all_lines[-10:]
             store["queries"][q] = {"error": err, "log_tail": tail}
             print(json.dumps({"query": q, "error": err}), flush=True)
         else:
