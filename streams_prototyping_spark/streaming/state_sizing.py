@@ -63,6 +63,18 @@ MAX_PARTITIONS = 512
 # 1.8 GiB fine). RocksDB kept running at 10x that state volume. So:
 # flip to RocksDB when estimated state bytes approach half the heap.
 PROVIDER_FLIP_HEAP_FRACTION = 0.5
+# The flip compares est_rows × row_width against the heap, but the
+# HDFS provider's RESIDENT footprint per row is JVM objects (versioned
+# hash maps of UnsafeRow pairs), not the serialized width. The round-9
+# keeping-up A/B measured it directly: at est 12.96M rows × 64 B
+# (791 MiB, "safely" under half of a 3 GiB heap) the HDFS cell's
+# actual resident state hit 2592 MiB at 8.6M rows — 316 B/row, 4.9×
+# the width estimate — crossed half-heap at 140 s and died of heap
+# OOM, while RocksDB held 242 MiB (23 B/row, native memory) at the
+# same volume and kept up. The decision therefore inflates the
+# HDFS-side estimate by this measured factor; RocksDB sizing keeps
+# using the serialized width (its resident cost measured BELOW width).
+HDFS_RESIDENT_BYTES_PER_WIDTH_BYTE = 5.0
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -108,13 +120,21 @@ def recommend_state_provider(
     row_width_bytes: int = 64,
     heap_bytes: int = 1 << 30,
     flip_fraction: float = PROVIDER_FLIP_HEAP_FRACTION,
+    hdfs_resident_factor: float = HDFS_RESIDENT_BYTES_PER_WIDTH_BYTE,
 ) -> str:
-    """'hdfs' while estimated state stays under ``flip_fraction`` of the
-    executor heap, else 'rocksdb' — the measured crossover rule
-    (BASELINE.md: HDFS is ~2x faster well inside the heap and dies
-    rather than degrades past it; RocksDB runs healthy at 10x that
-    volume on native memory + disk)."""
-    state_bytes = max(0, est_state_rows) * row_width_bytes
+    """'hdfs' while estimated RESIDENT state stays under
+    ``flip_fraction`` of the executor heap, else 'rocksdb' — the
+    measured crossover rule (BASELINE.md: HDFS is ~2x faster well
+    inside the heap and dies rather than degrades past it; RocksDB
+    runs healthy at 10x that volume on native memory + disk).
+
+    Round-9 fix from the keeping-up A/B: the HDFS provider's resident
+    bytes/row measured ~5× the serialized width (see
+    HDFS_RESIDENT_BYTES_PER_WIDTH_BYTE) — comparing raw
+    rows × width against the heap left HDFS in the OOM regime at
+    volumes the old rule called safe. The decision now inflates the
+    estimate by the measured resident factor."""
+    state_bytes = max(0, est_state_rows) * row_width_bytes * hdfs_resident_factor
     return "rocksdb" if state_bytes >= heap_bytes * flip_fraction else "hdfs"
 
 

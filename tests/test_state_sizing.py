@@ -167,21 +167,33 @@ def test_heap_fallback_warns():
 
 
 def test_provider_crossover_rule():
-    """BASELINE.md soak rule: HDFS under half-heap state (it was ~2x
-    faster at 2M rows on an 8g heap), RocksDB at/past it (3.5 GiB state
-    on a 3 GiB heap killed the JVM; RocksDB ran healthy at 10x)."""
+    """BASELINE.md soak rule: HDFS under half-heap RESIDENT state,
+    RocksDB at/past it (3.5 GiB state on a 3 GiB heap killed the JVM;
+    RocksDB ran healthy at 10x). Round 9: the decision inflates the
+    width estimate by the measured HDFS resident factor (~5× — the
+    keeping-up A/B's HDFS cell died at 8.6M × 64B-estimated rows on a
+    3 GiB heap with actual residency 316 B/row), so the flip fires at
+    half-heap of RESIDENT bytes, not serialized bytes."""
     from streams_prototyping_spark.streaming.state_sizing import (
+        HDFS_RESIDENT_BYTES_PER_WIDTH_BYTE,
         recommend_state_provider,
     )
 
     heap = 3 << 30
-    # the soak's fatal HDFS cell: 3.6M rows x 512B payload ~ 1.8 GiB > half
+    f = HDFS_RESIDENT_BYTES_PER_WIDTH_BYTE
+    # the r6 soak's fatal HDFS cell: 3.6M rows x 512B ~ 1.8 GiB > half
     assert recommend_state_provider(3_600_000, 512, heap) == "rocksdb"
-    # the r5 A/B regime: 2M x 64B = 128 MiB on an 8 GiB heap -> HDFS wins
+    # the r5 A/B regime: 2M x 64B = 128 MiB serialized (~640 MiB
+    # resident) on an 8 GiB heap -> HDFS wins
     assert recommend_state_provider(2_000_000, 64, 8 << 30) == "hdfs"
-    # boundary: exactly half the heap flips (the cliff is fatal; err early)
-    assert recommend_state_provider((heap // 2) // 64, 64, heap) == "rocksdb"
-    assert recommend_state_provider((heap // 2) // 64 - 1, 64, heap) == "hdfs"
+    # the r9 keeping-up A/B's fatal cell: est 12.96M x 64B = 791 MiB
+    # serialized looked safe under the old rule, actual residency
+    # crossed half-heap at 140 s and OOM'd — must now flip
+    assert recommend_state_provider(12_960_000, 64, heap) == "rocksdb"
+    # boundary in resident bytes: exactly half the heap flips
+    rows_at_half = int((heap // 2) / (64 * f))
+    assert recommend_state_provider(rows_at_half + 1, 64, heap) == "rocksdb"
+    assert recommend_state_provider(rows_at_half - 1, 64, heap) == "hdfs"
 
 
 def test_start_stateful_auto_flips_provider(spark, sf_dir, tmp_path):
