@@ -449,15 +449,23 @@ def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = smp.alias("a")
     b = smp.alias("b")
-    truth = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(
-            F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
-            / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
-            6,
-        ).alias("tcos"),
-    )
+
+    def _build_truth() -> DataFrame:
+        return a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+                / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
+                6,
+            ).alias("tcos"),
+        )
+
+    # two consumers (the per-threshold truth counts and the found⋈truth
+    # join) — without the stage barrier the O(sample²) exact-cosine
+    # build executes once per aggregation (measured: the audit was the
+    # full-bench top at 35.9 s, ~2× the one-pass cost)
+    truth = shared_stage(spark, sf_dir, "similarity/ndb_truth", _build_truth)
     sample_ids = smp.select("vec_id")
     found = (
         _banded_pairs(spark, sf_dir)
