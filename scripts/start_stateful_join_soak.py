@@ -49,6 +49,14 @@ HEAP = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--heap=")), "
 PROVIDER = next(
     (a.split("=", 1)[1] for a in sys.argv if a.startswith("--provider=")), "auto"
 )
+# validate at parse time (ADVICE r9): a typo like --provider=rocksd
+# would otherwise flow downstream and fail late or fall back silently
+_ALLOWED_PROVIDERS = {"auto", "hdfs", "rocksdb"}
+if PROVIDER not in _ALLOWED_PROVIDERS:
+    sys.exit(
+        f"usage: --provider must be one of {sorted(_ALLOWED_PROVIDERS)}, "
+        f"got {PROVIDER!r}"
+    )
 
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = HEAP
 

@@ -239,10 +239,14 @@ nbrs AS (
     FROM pred p JOIN lab l ON l.vec_id = p.query_id
     GROUP BY l.label
 )
-SELECT a.label, a.n_eval, e.n_eligible,
-       a.n_eval < e.n_eligible AS sampled,
-       a.n_correct, a.accuracy
-FROM acc a JOIN elig e ON e.label = a.label
+-- LEFT join from elig (ADVICE r9): a label whose members are all
+-- eligible but never hash-selected as queries (cap sampled out in
+-- every bucket) exists in elig only — it must surface as n_eval = 0 /
+-- sampled = true, not vanish. accuracy stays NULL (0/0 undefined).
+SELECT e.label, COALESCE(a.n_eval, 0) AS n_eval, e.n_eligible,
+       COALESCE(a.n_eval, 0) < e.n_eligible AS sampled,
+       COALESCE(a.n_correct, 0) AS n_correct, a.accuracy
+FROM elig e LEFT JOIN acc a ON a.label = e.label
 """
 
 
@@ -348,12 +352,18 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_eligible"))
     )
-    return acc.join(elig, "label").select(
+    # LEFT join from elig (ADVICE r9): a label can be fully eligible
+    # yet never hash-selected as a query (cap sampled it out in every
+    # bucket) — it exists in elig only and must surface as n_eval = 0 /
+    # sampled = true rather than vanish. accuracy stays NULL (0/0).
+    return elig.join(acc, "label", "left").select(
         "label",
-        "n_eval",
+        F.coalesce(F.col("n_eval"), F.lit(0)).cast("long").alias("n_eval"),
         "n_eligible",
-        (F.col("n_eval") < F.col("n_eligible")).alias("sampled"),
-        "n_correct",
+        (F.coalesce(F.col("n_eval"), F.lit(0)) < F.col("n_eligible")).alias(
+            "sampled"
+        ),
+        F.coalesce(F.col("n_correct"), F.lit(0)).cast("long").alias("n_correct"),
         "accuracy",
     )
 

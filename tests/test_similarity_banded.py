@@ -52,6 +52,43 @@ def test_e_ladder_boundaries_cross_engine(spark):
     assert got_duck == want, (cases, got_duck, want)
 
 
+def test_adaptive_bands_ladder_cross_engine(spark):
+    """B(bits) — the n^0.22 amplification law, floored at the measured
+    B=20 — must be identical in Python, Spark SQL, and DuckDB (the
+    Python dict is the single source; both SQL ladders transcribe its
+    integers). Also pin the law itself: monotone non-decreasing, floor
+    binds exactly through depth 12, model recall at the tabulated B
+    reaches the target at every depth."""
+    import math
+
+    for r, b in sb.NEAR_DUP_BANDS_BY_BITS.items():
+        model = 1.0 - (1.0 - sb._P_PLANE**r) ** b
+        assert model >= sb.NEAR_DUP_MODEL_RECALL - 1e-12, (r, b, model)
+        if r <= 12:
+            assert b == sb.NEAR_DUP_BANDS_MIN, (r, b)
+        else:
+            assert b > sb.NEAR_DUP_BANDS_MIN, (r, b)
+    bs = [sb.NEAR_DUP_BANDS_BY_BITS[r] for r in sorted(sb.NEAR_DUP_BANDS_BY_BITS)]
+    assert bs == sorted(bs)
+    # the floor is exactly the round-9 measured configuration and the
+    # law grows ∝ n^0.22: one extra band per ~1/p ≈ 1.17x corpus growth
+    assert math.isclose(
+        math.log(sb.NEAR_DUP_BANDS_BY_BITS[24] / sb.NEAR_DUP_BANDS_BY_BITS[14])
+        / math.log(2**24 / 2**14),
+        math.log2(1 / sb._P_PLANE),
+        rel_tol=0.08,
+    )
+    con = duckdb.connect()
+    for nb in sorted(sb.NEAR_DUP_BANDS_BY_BITS):
+        got_duck = con.execute(
+            f"SELECT {sb._NBANDS_LADDER_DUCK} FROM (SELECT {nb} AS nb)"
+        ).fetchone()[0]
+        got_spark = spark.sql(
+            f"SELECT {sb._NBANDS_LADDER_DUCK} AS b FROM (SELECT {nb} AS nb)"
+        ).first()["b"]
+        assert got_duck == got_spark == sb.NEAR_DUP_BANDS_BY_BITS[nb], nb
+
+
 def test_plane_signs_match_duckdb_inline():
     """The Spark side bakes plane signs as literals via
     _plane_sign_py; the oracle evaluates the md5 formula inline. Pin
@@ -113,18 +150,22 @@ def test_banded_recall_beats_single_table(spark, sf_dir):
 
 
 def test_banded_index_bounds_group_size(spark, sf_dir):
-    """The cap contract: no (band, bucket, ext, sub) group exceeds
-    TARGET_BUCKET_OCC by more than the ceil-division remainder bound
-    (a group of size c2 splits into ceil(c2/T) subs; expected size ≤ T,
-    and the hash split keeps the max well under 2T on any real data —
-    pin ≤ 2T as the invariant the pair-work bound rests on)."""
+    """The cap contract: a (band, bucket, ext) group of size c2 splits
+    into ceil(c2/T) hash sub-blocks, so EXPECTED sub size ≤ T — but
+    the split is probabilistic, so a hard max-≤-2T pin can flake on a
+    skewed mega-bucket (ADVICE r9). Pin the statistical shape instead:
+    p99 of sub sizes ≤ 2T (the expectation bound with slack) and a
+    loose hard ceiling of 4T that a broken split (e.g. a constant sub
+    key) would still blow through."""
     from streams_prototyping_spark.functions.similarity import TARGET_BUCKET_OCC
 
     idx = sb._banded_index(spark, sf_dir)
-    mx = (
-        idx.groupBy("band", "bucket", "ext", "sub")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
+    sizes = idx.groupBy("band", "bucket", "ext", "sub").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    assert mx <= 2 * TARGET_BUCKET_OCC, mx
+    row = sizes.agg(
+        F.max("n").alias("mx"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+    ).first()
+    assert row["p99"] <= 2 * TARGET_BUCKET_OCC, (row["p99"], row["mx"])
+    assert row["mx"] <= 4 * TARGET_BUCKET_OCC, row["mx"]
