@@ -35,6 +35,16 @@ run at the tail of ~2 h of back-to-back Spark jobs showed two 1.5x
 violations, total_ratio 1.099; the immediate idle-box rerun was
 violation-free at total_ratio 1.006 with both queries back at their
 round-3 times — page-cache/JIT noise, not regression).
+
+Machine-readable load evidence (VERDICT r9 item 5: the r9 gate needed
+manual ambient-load adjudication twice): every gated run captures
+/proc/loadavg + the competing-process list (>=50% CPU outside this
+process tree) BEFORE the bench starts and again after the timed pass,
+into the gate artifact's `load_evidence` block. A VIOLATED gate whose
+evidence says the box was not idle (pre load1 > AMBIENT_LOAD1, or any
+competing process observed) auto-reruns the timed pass ONCE — shared
+stages still cached, same session — and the artifact records both
+attempts; "ambient" is now a field a reviewer can check, not prose.
 """
 
 from __future__ import annotations
@@ -267,6 +277,77 @@ GATE_NOISE_S = 0.5     # absolute slack: sub-second timings jitter ~100s of ms
 # green). Slow drift falsified the r5 gate; fast drift blunts it the
 # same way, so both directions demand a re-baseline.
 GATE_DRIFT_LOW = 0.9
+# Pre-bench 1-min loadavg above this = the box was NOT idle when the
+# bench started (an idle box reads << 1; a competing Spark job or the
+# tail of one reads several). Only consulted when the gate VIOLATES —
+# a green run on a loaded box is still green.
+AMBIENT_LOAD1 = 4.0
+
+
+def read_load_evidence() -> dict:
+    """Snapshot of what else the box is doing: loadavg triple, CPU
+    count, and processes >= 50% CPU OUTSIDE this process tree (the
+    bench's own Spark JVM / Python workers are descendants and are
+    excluded). Written into the gate artifact so an ambient-load
+    adjudication is machine-checkable (VERDICT r9 item 5)."""
+    import subprocess
+
+    la1, la5, la15 = os.getloadavg()
+    competing: list[dict] = []
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid=,ppid=,pcpu=,comm="],
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        rows = []
+        for line in out.splitlines():
+            parts = line.split(None, 3)
+            if len(parts) == 4:
+                rows.append(
+                    (int(parts[0]), int(parts[1]), float(parts[2]), parts[3])
+                )
+        ppid = {p: pp for p, pp, _, _ in rows}
+        me = os.getpid()
+
+        def in_my_tree(pid: int) -> bool:
+            seen: set[int] = set()
+            while pid and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = ppid.get(pid, 0)
+            return False
+
+        competing = sorted(
+            (
+                {"pid": p, "pcpu": c, "comm": comm}
+                for p, pp, c, comm in rows
+                if c >= 50.0 and not in_my_tree(p)
+            ),
+            key=lambda r: -r["pcpu"],
+        )
+    except Exception:  # noqa: BLE001 — evidence capture must never fail a bench
+        pass
+    return {
+        "load1": round(la1, 2),
+        "load5": round(la5, 2),
+        "load15": round(la15, 2),
+        "ncpus": os.cpu_count() or 1,
+        "n_competing": len(competing),
+        "competing_top": competing[:5],
+    }
+
+
+def is_ambient_loaded(*snapshots: dict) -> bool:
+    """The machine-checkable 'ambient' rule: the PRE-bench snapshot
+    shows the box already busy, or a competing >=50%-CPU process was
+    observed in any snapshot."""
+    if not snapshots:
+        return False
+    pre = snapshots[0]
+    if pre.get("load1", 0.0) > AMBIENT_LOAD1:
+        return True
+    return any(s.get("n_competing", 0) > 0 for s in snapshots)
 
 
 def compare_gate(
@@ -324,6 +405,10 @@ def compare_gate(
 
 
 def main() -> None:
+    # ambient evidence BEFORE any of our own work starts: at this point
+    # load1 reflects whatever ELSE the box was doing (or the tail of a
+    # just-finished job), which is exactly the adjudication question
+    pre_ev = read_load_evidence()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -370,14 +455,64 @@ def main() -> None:
     # also makes run-to-run comparison in BENCH_r{N}.json meaningful
     # rather than JIT-noise.
     names = sorted(registry.QUERIES) if full_mode else HEADLINE
-    timings: dict[str, float] = {}
-    for timed in (False, True):
+
+    def timed_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
         for name in names:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            if timed:
-                timings[name] = round(time.perf_counter() - t0, 3)
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    for name in names:  # warm-up pass (codegen/JIT, caches, shared stages)
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings = timed_pass()
+    post_ev = read_load_evidence()
+
+    # gate comparison runs BEFORE stage release / session teardown so an
+    # ambient-load auto-rerun re-times against the same warm state the
+    # first attempt had (VERDICT r9 item 5)
+    gate_report = None
+    if gate_prev is not None:
+        prev_doc = json.loads(Path(gate_prev).read_text())
+        # accept both shapes: our own artifacts carry `queries` at the
+        # top level, the driver's BENCH_r{N}.json wraps them under
+        # `parsed` (discovered when a gate run against BENCH_r04.json
+        # silently compared 0 shared queries)
+        prev = (
+            prev_doc.get("queries")
+            or prev_doc.get("parsed", {}).get("queries")
+            or {}
+        )
+        gate_report = compare_gate(timings, prev)
+        gate_report["load_evidence"] = {"pre": pre_ev, "post": post_ev}
+        gate_report["ambient_loaded"] = is_ambient_loaded(pre_ev, post_ev)
+        gate_report["ambient_load1_threshold"] = AMBIENT_LOAD1
+        if not gate_report["ok"] and gate_report["ambient_loaded"]:
+            first_attempt = {
+                k: gate_report[k]
+                for k in ("ok", "violations", "total_ratio", "total_fresh_s")
+            }
+            rerun_pre = read_load_evidence()
+            timings = timed_pass()
+            rerun_post = read_load_evidence()
+            gate_report = compare_gate(timings, prev)
+            gate_report["load_evidence"] = {
+                "pre": pre_ev,
+                "post": post_ev,
+                "rerun_pre": rerun_pre,
+                "rerun_post": rerun_post,
+            }
+            gate_report["ambient_loaded"] = is_ambient_loaded(pre_ev, post_ev)
+            gate_report["ambient_load1_threshold"] = AMBIENT_LOAD1
+            gate_report["auto_rerun"] = {
+                "reason": "violated on a loaded box (machine rule: pre "
+                f"load1 > {AMBIENT_LOAD1} or competing >=50%-CPU process)",
+                "first_attempt": first_attempt,
+            }
 
     from streams_prototyping_spark.stage_cache import release_all
 
@@ -421,36 +556,29 @@ def main() -> None:
     )
     spark.stop()
 
-    # gate AFTER the summary line so the driver's stdout tail-parse is
-    # never broken by a failing gate (the exit code carries the verdict)
-    if gate_prev is not None:
-        prev_doc = json.loads(Path(gate_prev).read_text())
-        # accept both shapes: our own artifacts carry `queries` at the
-        # top level, the driver's BENCH_r{N}.json wraps them under
-        # `parsed` (discovered when a gate run against BENCH_r04.json
-        # silently compared 0 shared queries)
-        prev = (
-            prev_doc.get("queries")
-            or prev_doc.get("parsed", {}).get("queries")
-            or {}
-        )
-        report = compare_gate(timings, prev)
-        report["prev_artifact"] = gate_prev
-        report["sf"] = sf
+    # gate verdict AFTER the summary line so the driver's stdout
+    # tail-parse is never broken by a failing gate (the exit code
+    # carries the verdict); the comparison itself ran pre-teardown
+    if gate_report is not None:
+        gate_report["prev_artifact"] = gate_prev
+        gate_report["sf"] = sf
         (here / "BENCH_GATE_LATEST.json").write_text(
-            json.dumps(report, indent=1) + "\n"
+            json.dumps(gate_report, indent=1) + "\n"
         )
         print(
             json.dumps(
-                {"gate": report["ok"], "violations": report["violations"],
-                 "total_ratio": report["total_ratio"],
-                 "stale_baseline": report["stale_baseline"]}
+                {"gate": gate_report["ok"],
+                 "violations": gate_report["violations"],
+                 "total_ratio": gate_report["total_ratio"],
+                 "stale_baseline": gate_report["stale_baseline"],
+                 "ambient_loaded": gate_report["ambient_loaded"],
+                 "auto_rerun": "auto_rerun" in gate_report}
             ),
             file=sys.stderr,
         )
-        if report["stale_baseline"]:
-            print("GATE WARNING: " + report["stale_note"], file=sys.stderr)
-        if not report["ok"]:
+        if gate_report["stale_baseline"]:
+            print("GATE WARNING: " + gate_report["stale_note"], file=sys.stderr)
+        if not gate_report["ok"]:
             sys.exit(1)
 
 

@@ -8,8 +8,18 @@ out at pairwise cos ≈ 0.51, so recall at the production threshold
 that contain real near-duplicates and runs the REGISTERED
 `near_dup_banded_recall_audit` query on them:
 
-  END A:  8,000 bases × 16 replicas = 128k vectors  (adaptive depth 10)
-  END B: 65,536 bases × 16 replicas = 1,048,576     (adaptive depth 13)
+  END A:   8,000 bases × 16 replicas = 128k vectors (depth 10, B=20)
+  END B:  65,536 bases × 16 replicas = 1,048,576    (depth 13, B=21)
+  END C: 128,000 bases × 16 replicas = 2,048,000    (depth 14, B=25)
+
+End C is the round-10 verification point for CORPUS-ADAPTIVE B
+(VERDICT r9 item 2): at ≥2M vectors fixed B=20's design model had
+already sagged to 0.94; the adaptive table grows B to 25 there, and
+this script measures whether recall ≥ 0.9 actually held. 128,000
+bases (not 131,072) keeps n/128 = 16,000 safely OFF the power-of-two
+ceil(log2) boundary both engines evaluate. Each stored end records
+the (bits, bands) it was measured under; a stored end whose bands no
+longer match the current NEAR_DUP_BANDS_BY_BITS table is re-measured.
 
 Corpus construction (deterministic, no RNG):
 - bases: sf0.1's 2000 embeddings, extended to n_bases by per-base
@@ -55,7 +65,21 @@ HERE = Path(__file__).resolve().parent.parent
 STORE = HERE / "NEAR_DUP_BANDED_RECALL.json"
 SRC = "/root/testdata/sf0.1/embeddings.parquet"
 REPS = 16  # replicas per base (incl. the base itself)
-ENDS = {"A": 8_000, "B": 65_536}  # end -> base-vector count
+ENDS = {"A": 8_000, "B": 65_536, "C": 128_000}  # end -> base-vector count
+# end C's ~890M threshold-survivor pairs need smaller reduce tasks
+# than B's ~350M (the same AGGREGATE_OUT_OF_MEMORY sizing note below)
+SHUFFLE_PARTS = {"A": "256", "B": "256", "C": "512"}
+
+
+def expected_bits_bands(end: str) -> tuple[int, int]:
+    """(depth, bands) the CURRENT code would use for this end's corpus
+    — pure Python twin of _lsh_bits + NEAR_DUP_BANDS_BY_BITS, so the
+    orchestrator can detect stale stored measurements without a JVM."""
+    from streams_prototyping_spark.functions import similarity_banded as sb
+
+    n = ENDS[end] * REPS
+    bits = max(4, min(24, math.ceil(math.log2(n / 128.0))))
+    return bits, sb.NEAR_DUP_BANDS_BY_BITS[bits]
 
 
 def corpus_dir(end: str) -> str:
@@ -213,9 +237,15 @@ def measure_end(end: str) -> dict:
             secs.append(round(time.perf_counter() - t0, 3))
             n_pairs = df.count()
     release_all()
+    from streams_prototyping_spark.functions import similarity_banded as sb
+    from streams_prototyping_spark.functions.similarity import _lsh_bits
+
+    bits = _lsh_bits(spark, sf_dir)
     rec = {
         "end": end,
         "n_vecs": int(n_vecs),
+        "bits": bits,
+        "bands": sb.NEAR_DUP_BANDS_BY_BITS[bits],
         "sec": secs[-1],
         "n_pairs": int(n_pairs),
         "recall": {
@@ -239,8 +269,16 @@ def main() -> None:
 
     store = json.loads(STORE.read_text()) if STORE.exists() else {}
     for end in ENDS:
-        if end in store:
+        bits, bands = expected_bits_bands(end)
+        stored = store.get(end)
+        if stored and stored.get("bands") == bands:
             continue
+        if stored:
+            print(
+                f"end {end}: stored measurement is stale "
+                f"(bands {stored.get('bands')} -> {bands}), re-measuring",
+                flush=True,
+            )
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
         # the 1M-vector end pushes ~800M candidate id-pairs through the
@@ -249,13 +287,13 @@ def main() -> None:
         # starve the execution pool ([AGGREGATE_OUT_OF_MEMORY], the r6
         # sweep's lesson) — more, smaller reduce tasks instead of a
         # bigger heap is the same sizing a real cluster would use
-        env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
+        env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", SHUFFLE_PARTS[end])
         out = subprocess.run(
             [sys.executable, __file__, "--end", end],
             capture_output=True,
             text=True,
             env=env,
-            timeout=7200,
+            timeout=10800,
         )
         rec = None
         for line in out.stdout.splitlines():
@@ -267,16 +305,31 @@ def main() -> None:
             raise SystemExit(f"end {end} failed")
         store[end] = rec
         STORE.write_text(json.dumps(store, indent=1) + "\n")
-    a, b = store["A"], store["B"]
-    alpha = math.log(b["sec"] / a["sec"]) / math.log(b["n_vecs"] / a["n_vecs"])
+    ends = [store[e] for e in sorted(ENDS) if e in store]
+    lo, hi = ends[0], ends[-1]
+    alpha = math.log(hi["sec"] / lo["sec"]) / math.log(hi["n_vecs"] / lo["n_vecs"])
+    # the ADAPTIVE-B cost model is O(n·B(n)) ≈ n^(1+log2(1/p)) ≈ n^1.22
+    # — the honest super-linear cost of holding recall at a fixed
+    # cosine threshold (module docstring). Flag only work growth BEYOND
+    # the model, with the same +0.15 noise margin the sweeps use.
+    from streams_prototyping_spark.functions.similarity_banded import _P_PLANE
+
+    alpha_model = 1.0 + math.log2(1.0 / _P_PLANE)
     store["alpha"] = round(alpha, 2)
-    store["flag"] = "SUPERLINEAR" if alpha > 1.3 else ""
+    store["alpha_model"] = round(alpha_model, 2)
+    store["alpha_steps"] = {
+        f"{x['end']}->{y['end']}": round(
+            math.log(y["sec"] / x["sec"]) / math.log(y["n_vecs"] / x["n_vecs"]), 2
+        )
+        for x, y in zip(ends, ends[1:])
+    }
+    store["flag"] = "SUPERLINEAR" if alpha > alpha_model + 0.15 else ""
     store["prod_recall"] = {
-        "A": a["recall"]["production"]["recall"],
-        "B": b["recall"]["production"]["recall"],
+        e["end"]: e["recall"]["production"]["recall"] for e in ends
     }
     STORE.write_text(json.dumps(store, indent=1) + "\n")
-    print(json.dumps({"alpha": store["alpha"], "flag": store["flag"],
+    print(json.dumps({"alpha": store["alpha"], "alpha_model": store["alpha_model"],
+                      "alpha_steps": store["alpha_steps"], "flag": store["flag"],
                       "prod_recall": store["prod_recall"]}))
 
 

@@ -187,3 +187,37 @@ def test_gate_flags_stale_fast_baseline():
     tiny = {f"q{i}": 0.0001 for i in range(20)}
     rep3 = bench.compare_gate(tiny, prev)
     assert rep3["ok"] and not rep3["stale_baseline"]
+
+
+def test_load_evidence_shape():
+    """VERDICT r9 item 5: ambient load must be a FIELD, not adjudicated
+    prose. The snapshot must carry the loadavg triple, CPU count, and
+    the competing-process view, with sane types — and the bench's own
+    process tree must never count as competing."""
+    ev = bench.read_load_evidence()
+    for k in ("load1", "load5", "load15"):
+        assert isinstance(ev[k], float) and ev[k] >= 0.0, (k, ev)
+    assert isinstance(ev["ncpus"], int) and ev["ncpus"] >= 1
+    assert isinstance(ev["n_competing"], int) and ev["n_competing"] >= 0
+    assert isinstance(ev["competing_top"], list)
+    assert len(ev["competing_top"]) <= 5
+    import os
+
+    me = os.getpid()
+    assert all(c["pid"] != me for c in ev["competing_top"])
+
+
+def test_ambient_loaded_rule():
+    """The machine-checkable 'ambient' decision: pre-bench load1 above
+    the threshold, or a competing process in ANY snapshot."""
+    idle = {"load1": 0.2, "n_competing": 0}
+    loaded = {"load1": bench.AMBIENT_LOAD1 + 1, "n_competing": 0}
+    rival = {"load1": 0.2, "n_competing": 1}
+    assert not bench.is_ambient_loaded(idle, idle)
+    assert bench.is_ambient_loaded(loaded, idle)
+    assert bench.is_ambient_loaded(idle, rival)  # rival seen post-run
+    # high load1 in a LATER snapshot alone is the bench's own work, not
+    # ambient — only the PRE snapshot's load1 decides that clause
+    assert not bench.is_ambient_loaded(idle, loaded | {"n_competing": 0})
+    assert not bench.is_ambient_loaded()
+
