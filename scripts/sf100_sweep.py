@@ -49,7 +49,32 @@ FLAGSHIP = [
     # round 8 (VERDICT item 2): next-most-expensive by the sf10 table
     "avro_roundtrip",
     "text_normalize",
+    # round 10 (VERDICT r9 items 3+7): the banded near-dup pair (sf10
+    # alpha 1.12 was the registry's highest surviving exponent with no
+    # fourth-decade row) and the next-most-expensive registry members
+    # by BENCH_LOCAL_FULL cost
+    "embedding_near_dup_pairs_banded",
+    "near_dup_banded_recall_audit",
+    "cross_doc_ngram_novelty",
+    "numeric_profile",
+    "poisson_bootstrap_ci",
+    "bm25_topk",
 ]
+
+# per-query env overrides: the banded detector at sf100 (2M vectors,
+# depth 14, B=25) needs the same sizing the 1M+ recall-sweep ends use —
+# a 48g driver heap and many small reduce tasks (the r6
+# AGGREGATE_OUT_OF_MEMORY lesson at 256+ partitions)
+ENV_OVERRIDES = {
+    "embedding_near_dup_pairs_banded": {
+        "SPARK_GRAFT_DRIVER_MEM": "48g",
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "512",
+    },
+    "near_dup_banded_recall_audit": {
+        "SPARK_GRAFT_DRIVER_MEM": "48g",
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "512",
+    },
+}
 
 
 def load_store() -> dict:
@@ -122,14 +147,17 @@ def write_md(store: dict) -> None:
     rows = store["rows"]
     report = store["queries"]
     lines = [
-        "# SCALING_SF100 — fourth-decade growth exponents (rounds 7-8)",
+        "# SCALING_SF100 — fourth-decade growth exponents (rounds 7-10)",
         "",
         "Produced by `python scripts/sf100_sweep.py` on local[32]: one",
         "`scaling_curve.py --sf100 <query>` subprocess per query at",
-        "SPARK_GRAFT_DRIVER_MEM=24g (a fresh JVM per query reclaims shuffle",
-        "scratch deterministically — the combined run died of disk",
-        "exhaustion, and ~60 GB free is itself a measured constraint at this",
-        "decade). sf100 = 600M lineitem rows / 5M documents / 2M embeddings",
+        "SPARK_GRAFT_DRIVER_MEM=24g (48g + 512 shuffle partitions for the",
+        "banded near-dup pair — the recall-sweep sizing), with",
+        "SPARK_LOCAL_DIRS pointed at a per-query scratch dir rmtree'd after",
+        "every subprocess (a fresh JVM per query + deterministic scratch",
+        "reclamation — the combined run died of disk exhaustion, and",
+        "~40-60 GB free is itself a measured constraint at this decade).",
+        "sf100 = 600M lineitem rows / 5M documents / 2M embeddings",
         "(scripts/make_sf100.py, chained key-shifted upscale, 20 GB parquet).",
         f"Rows (lineitem): sf10={rows.get('10', 0):,}, sf100={rows.get('100', 0):,}.",
         "",
@@ -206,14 +234,30 @@ def _tfidf_prune_section(store: dict) -> list[str]:
 
 def main() -> None:
     import os
+    import shutil
 
     queries = [a for a in sys.argv[1:] if not a.startswith("--")] or FLAGSHIP
+    retry_errors = "--retry-errors" in sys.argv[1:]
     store = load_store()
-    todo = [q for q in queries if q not in store["queries"]]
+    todo = [
+        q
+        for q in queries
+        if q not in store["queries"]
+        or (retry_errors and store["queries"][q].get("error"))
+    ]
     print(json.dumps({"measured": len(store["queries"]), "todo": todo}), flush=True)
+    # per-query scratch dir (VERDICT r9 item 7): SPARK_LOCAL_DIRS is
+    # pointed at a dedicated dir that is rmtree'd after EVERY
+    # subprocess — a query that died of ENOSPC (or was killed) can no
+    # longer poison the shared /tmp for every query after it
+    scratch = "/tmp/sf100_sweep_scratch"
     for q in todo:
         env = dict(os.environ)
+        env.update(ENV_OVERRIDES.get(q, {}))
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.makedirs(scratch, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = scratch
         try:
             out = subprocess.run(
                 [
@@ -278,6 +322,7 @@ def main() -> None:
             print(json.dumps({"query": q, **store["queries"][q]}), flush=True)
         STORE.write_text(json.dumps(store, indent=1) + "\n")
         write_md(store)
+    shutil.rmtree(scratch, ignore_errors=True)
     print(json.dumps({"done": len(store["queries"])}))
 
 
