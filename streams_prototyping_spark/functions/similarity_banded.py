@@ -41,9 +41,10 @@ buckets where P(same random sub-block) ≈ 1/10 per band):
      sub-block pairs is the documented benign trade: any member's
      sub-block pairs already mark it duplicated.
 
-Candidate work is bounded at O(n × BANDS × TARGET_BUCKET_OCC) at any
-corpus size / duplication rate — the cap guarantees it; banding is a
-constant factor. Design-phase recall at cos ≥ 0.9 (numpy model of
+Candidate work is bounded at O(n × B(n) × TARGET_BUCKET_OCC) at any
+corpus size / duplication rate — the cap guarantees the per-band
+bound; B(n) is the corpus-adaptive band count (scaling design point
+below). Design-phase recall at cos ≥ 0.9 (numpy model of
 exactly this construction, 16 near-copies/base over sf0.1-derived
 clustered bases): 0.979 at 128k vectors, 0.940 at 1M. The committed
 measurement artifact is NEAR_DUP_BANDED_RECALL.json
