@@ -261,7 +261,65 @@ def measure_end(end: str) -> dict:
     return rec
 
 
+def measure_wide(end: str) -> dict:
+    """Re-run the audit's code path at 4x the registered sample
+    (similarity_banded._recall_rows) — the registered 4096-vector
+    sample carries only ~25 production-threshold truth pairs at 2M
+    vectors (Wilson CI ±0.13, binomially useless at the 0.9 bar); 4x
+    the sample gives ~16x the truth mass. Same instrument, more
+    statistics; stored as recall_wide next to the registered rows."""
+    from streams_prototyping_spark.functions import similarity_banded as sb
+    from streams_prototyping_spark.session import get_spark
+    from streams_prototyping_spark.stage_cache import release_all
+
+    spark = get_spark(f"ndbr-wide-{end}")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = build_corpus(spark, end)
+    n_wide = 4 * sb.NDB_SAMPLE
+    rows = {
+        r["thr_label"]: r.asDict()
+        for r in sb._recall_rows(spark, sf_dir, n_wide).collect()
+    }
+    release_all()
+    rec = {"end": end, "wide_sample": n_wide, "recall_wide": rows}
+    print(json.dumps(rec), flush=True)
+    spark.stop()
+    return rec
+
+
 def main() -> None:
+    if "--wide" in sys.argv:
+        end = sys.argv[sys.argv.index("--wide") + 1]
+        import subprocess
+
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        env.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", SHUFFLE_PARTS[end])
+        out = subprocess.run(
+            [sys.executable, __file__, "--wide-child", end],
+            capture_output=True, text=True, env=env, timeout=10800,
+        )
+        rec = None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                rec = json.loads(line)
+        if rec is None:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"wide {end} failed")
+        store = json.loads(STORE.read_text())
+        store[end]["wide_sample"] = rec["wide_sample"]
+        store[end]["recall_wide"] = rec["recall_wide"]
+        store.setdefault("prod_recall_wide", {})[end] = rec["recall_wide"][
+            "production"
+        ]["recall"]
+        STORE.write_text(json.dumps(store, indent=1) + "\n")
+        print(json.dumps({"end": end,
+                          "prod_recall_wide": store["prod_recall_wide"][end]}))
+        return
+    if "--wide-child" in sys.argv:
+        measure_wide(sys.argv[sys.argv.index("--wide-child") + 1])
+        return
     if "--end" in sys.argv:
         measure_end(sys.argv[sys.argv.index("--end") + 1])
         return

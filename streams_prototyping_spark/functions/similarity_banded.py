@@ -498,9 +498,22 @@ def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scripts/near_dup_banded_recall.py): recall ≥ 0.9 at both ends of
     a 128k→1M decade.
     """
+    return _recall_rows(spark, sf_dir, NDB_SAMPLE)
+
+
+def _recall_rows(
+    spark: SparkSession, sf_dir: str, n_sample: int
+) -> DataFrame:
+    """The audit body, parameterized by expected truth-sample size.
+    The registered query runs it at NDB_SAMPLE (oracle in lockstep);
+    scripts/near_dup_banded_recall.py re-runs the SAME code path at a
+    wider sample when the registered sample's truth mass is too thin
+    to decide the recall claim (at 2M vectors, ~25 production-threshold
+    truth pairs give a Wilson CI of ±0.13 — binomially useless at the
+    0.9 bar; 4x the sample gives ~16x the truth pairs)."""
     vecs = _vectors(spark, sf_dir)
     n = load_table(spark, sf_dir, "embeddings").count()
-    thresh = float(_TWO60) * NDB_SAMPLE / n
+    thresh = float(_TWO60) * n_sample / n
     smp = vecs.filter(
         portable_hash64(
             F.concat(F.lit("ndr:"), F.col("vec_id").cast("string"))
@@ -524,8 +537,15 @@ def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (the per-threshold truth counts and the found⋈truth
     # join) — without the stage barrier the O(sample²) exact-cosine
     # build executes once per aggregation (measured: the audit was the
-    # full-bench top at 35.9 s, ~2× the one-pass cost)
-    truth = shared_stage(spark, sf_dir, "similarity/ndb_truth", _build_truth)
+    # full-bench top at 35.9 s, ~2× the one-pass cost). Cache key is
+    # sample-size-qualified so a wide script run never poisons the
+    # registered query's stage.
+    stage_key = (
+        "similarity/ndb_truth"
+        if n_sample == NDB_SAMPLE
+        else f"similarity/ndb_truth_{n_sample}"
+    )
+    truth = shared_stage(spark, sf_dir, stage_key, _build_truth)
     sample_ids = smp.select("vec_id")
     found = (
         _banded_pairs(spark, sf_dir)
