@@ -210,14 +210,40 @@ def test_load_evidence_shape():
 def test_ambient_loaded_rule():
     """The machine-checkable 'ambient' decision: pre-bench load1 above
     the threshold, or a competing process in ANY snapshot."""
-    idle = {"load1": 0.2, "n_competing": 0}
-    loaded = {"load1": bench.AMBIENT_LOAD1 + 1, "n_competing": 0}
-    rival = {"load1": 0.2, "n_competing": 1}
+    idle = {"load1": 0.2, "load5": 0.3, "n_competing": 0}
+    loaded = {"load1": bench.AMBIENT_LOAD1 + 1, "load5": 0.3, "n_competing": 0}
+    # the tail-of-work case (round 4 / round 10): load1 already decayed
+    # but load5 still carries the just-finished job — page cache dirty
+    tail = {"load1": 0.1, "load5": bench.AMBIENT_LOAD1 + 2, "n_competing": 0}
+    rival = {"load1": 0.2, "load5": 0.3, "n_competing": 1}
     assert not bench.is_ambient_loaded(idle, idle)
     assert bench.is_ambient_loaded(loaded, idle)
+    assert bench.is_ambient_loaded(tail, idle)
     assert bench.is_ambient_loaded(idle, rival)  # rival seen post-run
-    # high load1 in a LATER snapshot alone is the bench's own work, not
-    # ambient — only the PRE snapshot's load1 decides that clause
+    # high load in a LATER snapshot alone is the bench's own work, not
+    # ambient — only the PRE snapshot's loadavg decides those clauses
     assert not bench.is_ambient_loaded(idle, loaded | {"n_competing": 0})
     assert not bench.is_ambient_loaded()
 
+
+
+def test_gate_artifact_carries_load_evidence():
+    """The committed gate artifact must include the evidence block the
+    r9 verdict asked for — pre AND post snapshots plus the machine
+    verdict — so 'ambient' is reviewable from the artifact alone."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(bench.__file__).parent / "BENCH_GATE_LATEST.json").read_text()
+    )
+    ev = doc["load_evidence"]
+    for snap in ("pre", "post"):
+        assert {"load1", "load5", "load15", "ncpus", "n_competing"} <= set(
+            ev[snap]
+        ), snap
+    assert isinstance(doc["ambient_loaded"], bool)
+    assert doc["ambient_load1_threshold"] == bench.AMBIENT_LOAD1
+    # a violated run on a loaded box must have auto-rerun exactly once
+    if not doc["ok"] and doc["ambient_loaded"]:
+        assert "auto_rerun" in doc and "first_attempt" in doc["auto_rerun"]
