@@ -36,15 +36,21 @@ violations, total_ratio 1.099; the immediate idle-box rerun was
 violation-free at total_ratio 1.006 with both queries back at their
 round-3 times — page-cache/JIT noise, not regression).
 
-Machine-readable load evidence (VERDICT r9 item 5: the r9 gate needed
-manual ambient-load adjudication twice): every gated run captures
-/proc/loadavg + the competing-process list (>=50% CPU outside this
-process tree) BEFORE the bench starts and again after the timed pass,
-into the gate artifact's `load_evidence` block. A VIOLATED gate whose
-evidence says the box was not idle (pre load1 > AMBIENT_LOAD1, or any
-competing process observed) auto-reruns the timed pass ONCE — shared
-stages still cached, same session — and the artifact records both
-attempts; "ambient" is now a field a reviewer can check, not prose.
+Machine-readable load evidence (VERDICT r9 item 5 / r10 item 3):
+EVERY run — gated, headline, or --full — captures /proc/loadavg + the
+competing-process list (>=50% instantaneous CPU outside this process
+tree) BEFORE the bench starts and again after the timed pass, into
+the committed artifact's `load_evidence` block. The machine ambient
+rule (`is_ambient_loaded`) fires when the PRE snapshot's load1 OR
+load5 exceeds AMBIENT_LOAD1 (the load5 clause catches the round-4/
+round-10 "tail of back-to-back jobs" case where load1 has already
+decayed), or when a competing process appears in ANY snapshot. A
+VIOLATED gate on an ambient box — or an ambient-loaded headline/full
+run — auto-reruns the timed pass ONCE (shared stages still cached,
+same session) and the artifact records both attempts. The recorded
+`ambient_loaded` field reflects the FIRST attempt's snapshots; when
+an auto-rerun fired, `rerun_ambient_loaded` separately adjudicates
+the rerun's own snapshots (ADVICE r10).
 """
 
 from __future__ import annotations
@@ -284,29 +290,50 @@ GATE_DRIFT_LOW = 0.9
 AMBIENT_LOAD1 = 4.0
 
 
-def read_load_evidence() -> dict:
-    """Snapshot of what else the box is doing: loadavg triple, CPU
-    count, and processes >= 50% CPU OUTSIDE this process tree (the
-    bench's own Spark JVM / Python workers are descendants and are
-    excluded). Written into the gate artifact so an ambient-load
-    adjudication is machine-checkable (VERDICT r9 item 5)."""
-    import subprocess
+def _proc_cpu_sample() -> dict[int, tuple[int, int, str]]:
+    """One /proc pass: pid -> (ppid, utime+stime clock ticks, comm).
+    comm is parsed around the LAST ')' because it may itself contain
+    spaces or parentheses."""
+    out: dict[int, tuple[int, int, str]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            raw = Path(f"/proc/{d}/stat").read_text()
+        except OSError:  # process exited between listdir and read
+            continue
+        try:
+            lp = raw.rindex(")")
+            comm = raw[raw.index("(") + 1 : lp]
+            f = raw[lp + 2 :].split()
+            out[int(d)] = (int(f[1]), int(f[11]) + int(f[12]), comm)
+        except (ValueError, IndexError):
+            continue
+    return out
 
+
+def read_load_evidence(sample_s: float = 1.0) -> dict:
+    """Snapshot of what else the box is doing: loadavg triple, CPU
+    count, and processes >= 50% INSTANTANEOUS CPU outside this process
+    tree (the bench's own Spark JVM / Python workers are descendants
+    and are excluded). Written into every committed bench artifact so
+    an ambient-load adjudication is machine-checkable (VERDICT r9
+    item 5 / r10 item 3).
+
+    %CPU is a ~1 s delta of /proc/<pid>/stat utime+stime, NOT `ps`
+    pcpu (ADVICE r10: pcpu is a lifetime average — a long-lived
+    process that just STARTED competing never reaches the 50% bar,
+    while a recently-finished busy one still reads above it)."""
     la1, la5, la15 = os.getloadavg()
     competing: list[dict] = []
     try:
-        out = subprocess.run(
-            ["ps", "-eo", "pid=,ppid=,pcpu=,comm="],
-            capture_output=True, text=True, timeout=10,
-        ).stdout
-        rows = []
-        for line in out.splitlines():
-            parts = line.split(None, 3)
-            if len(parts) == 4:
-                rows.append(
-                    (int(parts[0]), int(parts[1]), float(parts[2]), parts[3])
-                )
-        ppid = {p: pp for p, pp, _, _ in rows}
+        clk = os.sysconf("SC_CLK_TCK") or 100
+        t0 = time.perf_counter()
+        s0 = _proc_cpu_sample()
+        time.sleep(max(sample_s, 0.05))
+        dt = time.perf_counter() - t0
+        s1 = _proc_cpu_sample()
+        ppid = {p: v[0] for p, v in s1.items()}
         me = os.getpid()
 
         def in_my_tree(pid: int) -> bool:
@@ -318,14 +345,15 @@ def read_load_evidence() -> dict:
                 pid = ppid.get(pid, 0)
             return False
 
-        competing = sorted(
-            (
-                {"pid": p, "pcpu": c, "comm": comm}
-                for p, pp, c, comm in rows
-                if c >= 50.0 and not in_my_tree(p)
-            ),
-            key=lambda r: -r["pcpu"],
-        )
+        for pid, (_, ticks1, comm) in s1.items():
+            if pid not in s0:
+                continue
+            pcpu = (ticks1 - s0[pid][1]) / (clk * dt) * 100.0
+            if pcpu >= 50.0 and not in_my_tree(pid):
+                competing.append(
+                    {"pid": pid, "pcpu": round(pcpu, 1), "comm": comm}
+                )
+        competing.sort(key=lambda r: -r["pcpu"])
     except Exception:  # noqa: BLE001 — evidence capture must never fail a bench
         pass
     return {
@@ -475,6 +503,28 @@ def main() -> None:
         ).save()
     timings = timed_pass()
     post_ev = read_load_evidence()
+    load_ev: dict = {"pre": pre_ev, "post": post_ev}
+    ambient = is_ambient_loaded(pre_ev, post_ev)
+    ambient_rerun = None
+    # Headline/full mode (no gate): the committed BENCH_r{N} /
+    # BENCH_LOCAL artifacts must be idle-box numbers or carry the
+    # auto-rerun that tried (VERDICT r10 item 3: the r10 headline was a
+    # loaded-box 209.5 s a reviewer could only discount by cross-reading
+    # the gate file). Ambient first attempt -> rerun ONCE, same session,
+    # stages warm; both attempts recorded.
+    if gate_prev is None and ambient:
+        first_total = round(sum(timings.values()), 3)
+        rerun_pre = read_load_evidence()
+        timings = timed_pass()
+        rerun_post = read_load_evidence()
+        load_ev["rerun_pre"] = rerun_pre
+        load_ev["rerun_post"] = rerun_post
+        ambient_rerun = {
+            "reason": "first attempt on a loaded box (machine rule: pre "
+            f"load1/load5 > {AMBIENT_LOAD1} or competing >=50%-CPU "
+            "process)",
+            "first_total_s": first_total,
+        }
 
     # gate comparison runs BEFORE stage release / session teardown so an
     # ambient-load auto-rerun re-times against the same warm state the
@@ -511,6 +561,11 @@ def main() -> None:
                 "rerun_post": rerun_post,
             }
             gate_report["ambient_loaded"] = is_ambient_loaded(pre_ev, post_ev)
+            # the rerun's own box state, adjudicated separately
+            # (ADVICE r10: ambient_loaded covers only the first attempt)
+            gate_report["rerun_ambient_loaded"] = is_ambient_loaded(
+                rerun_pre, rerun_post
+            )
             gate_report["ambient_load1_threshold"] = AMBIENT_LOAD1
             gate_report["auto_rerun"] = {
                 "reason": "violated on a loaded box (machine rule: pre "
@@ -529,6 +584,10 @@ def main() -> None:
     # full map goes to a file, and the final stdout line stays compact —
     # total + sf + count + only the ~20 slowest queries (the ones worth
     # reading in a bench artifact anyway).
+    if gate_report is not None:
+        # the gate path may have auto-rerun; its evidence block is the
+        # complete record for this session's timings
+        load_ev = gate_report["load_evidence"]
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -536,7 +595,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "mode": "full" if full_mode else "headline",
+        "load_evidence": load_ev,
+        "ambient_loaded": ambient,
+        "ambient_load1_threshold": AMBIENT_LOAD1,
     }
+    if ambient_rerun is not None:
+        full["ambient_rerun"] = ambient_rerun
+        full["rerun_ambient_loaded"] = is_ambient_loaded(
+            load_ev["rerun_pre"], load_ev["rerun_post"]
+        )
     here = Path(__file__).resolve().parent
     full_path = here / (
         "BENCH_LOCAL_FULL.json" if full_mode else "BENCH_LOCAL_LATEST.json"
@@ -544,20 +611,29 @@ def main() -> None:
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": slowest,
-                "queries_note": "slowest 20 of %d; full map in %s"
-                % (len(timings), full_path.name),
-            }
-        )
-    )
+    # compact evidence for the driver's tail-parsed line (BENCH_r{N}
+    # .json must self-adjudicate — VERDICT r10 item 3): full snapshots
+    # minus the competing-process details, which live in the artifact
+    compact_ev = {
+        k: {kk: vv for kk, vv in snap.items() if kk != "competing_top"}
+        for k, snap in load_ev.items()
+    }
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": "slowest 20 of %d; full map in %s"
+        % (len(timings), full_path.name),
+        "load_evidence": compact_ev,
+        "ambient_loaded": ambient,
+    }
+    if ambient_rerun is not None:
+        summary["ambient_rerun"] = ambient_rerun
+        summary["rerun_ambient_loaded"] = full["rerun_ambient_loaded"]
+    print(json.dumps(summary))
     spark.stop()
 
     # gate verdict AFTER the summary line so the driver's stdout

@@ -74,12 +74,32 @@ SHUFFLE_PARTS = {"A": "256", "B": "256", "C": "512"}
 def expected_bits_bands(end: str) -> tuple[int, int]:
     """(depth, bands) the CURRENT code would use for this end's corpus
     — pure Python twin of _lsh_bits + NEAR_DUP_BANDS_BY_BITS, so the
-    orchestrator can detect stale stored measurements without a JVM."""
+    orchestrator can detect stale stored measurements without a JVM.
+    The knobs are IMPORTED from similarity (ADVICE r10: hardcoded
+    4/24/128 literals would silently drift if the engine's sizing ever
+    changes, and the staleness detector would re-measure — or skip
+    re-measuring — the wrong ends)."""
     from streams_prototyping_spark.functions import similarity_banded as sb
+    from streams_prototyping_spark.functions.similarity import (
+        LSH_BITS,
+        MAX_LSH_BITS,
+        TARGET_BUCKET_OCC,
+    )
 
     n = ENDS[end] * REPS
-    bits = max(4, min(24, math.ceil(math.log2(n / 128.0))))
+    bits = max(
+        LSH_BITS,
+        min(MAX_LSH_BITS, math.ceil(math.log2(n / float(TARGET_BUCKET_OCC)))),
+    )
     return bits, sb.NEAR_DUP_BANDS_BY_BITS[bits]
+
+
+def expected_sample(end: str) -> int:
+    """Registered-audit truth-sample size the CURRENT code would use
+    for this end's corpus (the sqrt-n ladder), for staleness checks."""
+    from streams_prototyping_spark.functions import similarity_banded as sb
+
+    return sb.ndb_sample_for(ENDS[end] * REPS)
 
 
 def corpus_dir(end: str) -> str:
@@ -246,6 +266,7 @@ def measure_end(end: str) -> dict:
         "n_vecs": int(n_vecs),
         "bits": bits,
         "bands": sb.NEAR_DUP_BANDS_BY_BITS[bits],
+        "sample": sb.ndb_sample_for(int(n_vecs)),
         "sec": secs[-1],
         "n_pairs": int(n_pairs),
         "recall": {
@@ -275,7 +296,11 @@ def measure_wide(end: str) -> dict:
     spark = get_spark(f"ndbr-wide-{end}")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = build_corpus(spark, end)
-    n_wide = 4 * sb.NDB_SAMPLE
+    # 4x the REGISTERED sample for this corpus (now itself corpus-
+    # adaptive via the sqrt-n ladder — VERDICT r10 item 2), not 4x the
+    # base constant: the wide mode stays a strictly-higher-power rerun
+    # of the same instrument at every end
+    n_wide = 4 * sb.ndb_sample_for(ENDS[end] * REPS)
     rows = {
         r["thr_label"]: r.asDict()
         for r in sb._recall_rows(spark, sf_dir, n_wide).collect()
@@ -290,6 +315,20 @@ def measure_wide(end: str) -> dict:
 def main() -> None:
     if "--wide" in sys.argv:
         end = sys.argv[sys.argv.index("--wide") + 1]
+        # fail BEFORE the multi-hour child run, not after (ADVICE r10:
+        # the unguarded STORE.read_text()/store[end] below died with a
+        # raw FileNotFoundError/KeyError if --wide ran first)
+        if not STORE.exists():
+            raise SystemExit(
+                f"{STORE.name} not found — run the plain sweep first "
+                f"(python {sys.argv[0]}) so end {end} has a registered "
+                "measurement to widen"
+            )
+        if end not in json.loads(STORE.read_text()):
+            raise SystemExit(
+                f"end {end!r} not measured yet in {STORE.name} — run the "
+                f"plain sweep first (python {sys.argv[0]})"
+            )
         import subprocess
 
         env = dict(os.environ)
@@ -328,13 +367,21 @@ def main() -> None:
     store = json.loads(STORE.read_text()) if STORE.exists() else {}
     for end in ENDS:
         bits, bands = expected_bits_bands(end)
+        sample = expected_sample(end)
         stored = store.get(end)
-        if stored and stored.get("bands") == bands:
+        # entries measured before the adaptive-sample ladder carry no
+        # "sample" field — they were measured at the old fixed base
+        if (
+            stored
+            and stored.get("bands") == bands
+            and stored.get("sample", 4096) == sample
+        ):
             continue
         if stored:
             print(
                 f"end {end}: stored measurement is stale "
-                f"(bands {stored.get('bands')} -> {bands}), re-measuring",
+                f"(bands {stored.get('bands')} -> {bands}, sample "
+                f"{stored.get('sample', 4096)} -> {sample}), re-measuring",
                 flush=True,
             )
         env = dict(os.environ)
@@ -366,13 +413,21 @@ def main() -> None:
     ends = [store[e] for e in sorted(ENDS) if e in store]
     lo, hi = ends[0], ends[-1]
     alpha = math.log(hi["sec"] / lo["sec"]) / math.log(hi["n_vecs"] / lo["n_vecs"])
-    # the ADAPTIVE-B cost model is O(n·B(n)) ≈ n^(1+log2(1/p)) ≈ n^1.22
-    # — the honest super-linear cost of holding recall at a fixed
-    # cosine threshold (module docstring). Flag only work growth BEYOND
-    # the model, with the same +0.15 noise margin the sweeps use.
-    from streams_prototyping_spark.functions.similarity_banded import _P_PLANE
-
-    alpha_model = 1.0 + math.log2(1.0 / _P_PLANE)
+    # the ADAPTIVE-B cost model is O(n·B(n)); over the MEASURED span
+    # the model exponent is 1 + log(B_hi/B_lo)/log(n_hi/n_lo) — the
+    # asymptotic law 1+log2(1/p) ≈ 1.22 overstates it whenever the
+    # integer band ladder moves less than the law between the tabulated
+    # endpoints (ADVICE r10: over A→C B only grows 20→25, so the true
+    # span exponent is ~1.08 and real beyond-model growth between 1.08
+    # and 1.37 went unflagged under the asymptotic bar). Flag only work
+    # growth BEYOND the span model, +0.15 noise margin as the sweeps use.
+    (_, b_lo), (_, b_hi) = (
+        expected_bits_bands(lo["end"]),
+        expected_bits_bands(hi["end"]),
+    )
+    alpha_model = 1.0 + math.log(b_hi / b_lo) / math.log(
+        hi["n_vecs"] / lo["n_vecs"]
+    )
     store["alpha"] = round(alpha, 2)
     store["alpha_model"] = round(alpha_model, 2)
     store["alpha_steps"] = {

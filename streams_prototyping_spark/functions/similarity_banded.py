@@ -105,8 +105,53 @@ from streams_prototyping_spark.stage_cache import shared_stage
 
 NEAR_DUP_EXTRA_BITS = 8  # max similarity-preserving split depth per bucket
 NEAR_DUP_PROD_COS = 0.9  # the production near-dup threshold the audit reports
-NDB_SAMPLE = 4096        # expected recall-audit truth-sample size
+NDB_SAMPLE = 4096        # recall-audit truth-sample BASE size (n ≤ NDB_SAMPLE_REF_N)
 EMB_DIM = 64
+
+# ---- corpus-adaptive truth-sample size (VERDICT r10 item 2)
+#
+# The audit's truth mass thins as the corpus grows: a hash sample of
+# expected size s drawn from n vectors keeps ~s²/n of the corpus's
+# near-dup pairs (each pair needs BOTH ends sampled), so at a FIXED s
+# the in-sample truth count falls like 1/n — measured at 2M vectors as
+# 25 production-threshold pairs, Wilson CI [0.70, 0.96], statistically
+# useless at the 0.9 recall bar the audit exists to decide. Holding
+# expected truth mass steady needs s ∝ √n: the ladder below doubles
+# the sample every 4× corpus growth past NDB_SAMPLE_REF_N. Anchors:
+# the 2M-vector rung gives s=16384 — exactly the round-10 wide-sample
+# size that measured 417 truth pairs (CI [0.877, 0.933], resolving
+# 0.9); every driver SF and sf1 (≤ 20k vectors) stays on the 4096 base
+# rung, byte-identical to the round-9/10 output. Truth-pass cost is
+# O(s²) = O(n) along the ladder — the same growth rate as the
+# detector it audits.
+#
+# Integer rungs only (the repo's cross-engine idiom): Python reads the
+# ladder directly, the DuckDB oracle gets the same integers as a CASE
+# over count(*) — no float crosses an engine boundary.
+NDB_SAMPLE_REF_N = 128_000   # last corpus size on the base rung
+_NDB_LADDER_RUNGS = 13       # covers n up to 128000·4^13 ≈ 8.6e12
+NDB_SAMPLE_LADDER = [
+    (NDB_SAMPLE_REF_N * 4**k, NDB_SAMPLE * 2**k)
+    for k in range(_NDB_LADDER_RUNGS + 1)
+]
+
+
+def ndb_sample_for(n: int) -> int:
+    """Expected truth-sample size for an n-vector corpus (√n ladder)."""
+    for n_max, s in NDB_SAMPLE_LADDER:
+        if n <= n_max:
+            return s
+    return NDB_SAMPLE_LADDER[-1][1]
+
+
+_NDB_SAMPLE_CASE_DUCK = (
+    "CASE "
+    + " ".join(
+        f"WHEN count(*) <= {n_max} THEN {s}.0"
+        for n_max, s in NDB_SAMPLE_LADDER
+    )
+    + f" ELSE {NDB_SAMPLE_LADDER[-1][1]}.0 END"
+)
 
 # ---- corpus-adaptive band count B (module docstring: the n^0.22 law)
 NEAR_DUP_BANDS_MIN = 20       # round-9 measured floor — depth ≤ 12 keeps r9 output
@@ -413,7 +458,12 @@ def embedding_near_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFra
 
 # ------------------------------------------------------- recall audit
 
-_NDB_THRESH_DUCK = f"(SELECT {_TWO60} * {NDB_SAMPLE}.0 / count(*) FROM embeddings)"
+# hash threshold 2^60·s(n)/n with s(n) from the sample ladder — the
+# CASE yields a DOUBLE rung (`4096.0`) so 2^60·s stays in DOUBLE
+# (exact: both factors are powers of two) instead of overflowing BIGINT
+_NDB_THRESH_DUCK = (
+    f"(SELECT {_TWO60} * ({_NDB_SAMPLE_CASE_DUCK}) / count(*) FROM embeddings)"
+)
 
 _NDB_SMP_HASH_DUCK = PORTABLE_HASH64_DUCK_TPL.format(
     expr="'ndr:' || CAST(vec_id AS VARCHAR)"
@@ -472,18 +522,23 @@ UNION ALL
 @register("near_dup_banded_recall_audit", oracle=_NDB_AUDIT_ORACLE)
 def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the BANDED near-dup detector against exact
-    threshold truth on a deterministic ~{NDB_SAMPLE}-vector sample, at
+    threshold truth on a deterministic corpus-adaptive sample
+    (ndb_sample_for: {NDB_SAMPLE} base, doubling per 4× corpus), at
     BOTH the registered threshold ({NEAR_DUP_MIN_COS}) and the
     production near-dup threshold ({NEAR_DUP_PROD_COS}) — the round-8
     verdict's retirement instrument for the single-table detector's
     0.22 recall grade.
 
     Same construction as near_dup_recall_audit (hash-thresholded
-    n-adaptive sample, exact O(sample²) truth — bounded at any corpus
-    size; detector output semi-joined to the sample), with two
-    additions: the sample is {NDB_SAMPLE} (production-threshold pairs
-    are sparse, so the truth set needs more mass), and the report has
-    one row per threshold. recall = n_hit / max(n_true, 1) with n_hit
+    sample, exact O(sample²) truth; detector output semi-joined to the
+    sample), with two additions: the sample is CORPUS-ADAPTIVE —
+    {NDB_SAMPLE} up to {NDB_SAMPLE_REF_N} vectors, then doubling every
+    4× corpus growth (√n, see NDB_SAMPLE_LADDER: truth mass at a fixed
+    sample thins like 1/n, measured at 2M vectors as 25 truth pairs /
+    CI ±0.13 — unable to resolve the 0.9 recall target; the adaptive
+    rung there is 16384, the round-10 wide-sample size that measured
+    417 pairs / CI [0.877, 0.933]) — and the report has one row per
+    threshold. recall = n_hit / max(n_true, 1) with n_hit
     = |found ∩ truth| (the ADVICE-r8 numerator — cannot exceed 1.0
     even if the precision invariant broke); n_extra = n_found - n_hit
     stays the precision invariant (the detector exact-verifies inside
@@ -496,23 +551,23 @@ def near_dup_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement lives in NEAR_DUP_BANDED_RECALL.json, produced by this
     query over corpora with real near-copies
     (scripts/near_dup_banded_recall.py): recall ≥ 0.9 at both ends of
-    a 128k→1M decade.
+    a 128k→2M corpus sweep.
     """
-    return _recall_rows(spark, sf_dir, NDB_SAMPLE)
+    return _recall_rows(spark, sf_dir, None)
 
 
 def _recall_rows(
-    spark: SparkSession, sf_dir: str, n_sample: int
+    spark: SparkSession, sf_dir: str, n_sample: int | None
 ) -> DataFrame:
     """The audit body, parameterized by expected truth-sample size.
-    The registered query runs it at NDB_SAMPLE (oracle in lockstep);
-    scripts/near_dup_banded_recall.py re-runs the SAME code path at a
-    wider sample when the registered sample's truth mass is too thin
-    to decide the recall claim (at 2M vectors, ~25 production-threshold
-    truth pairs give a Wilson CI of ±0.13 — binomially useless at the
-    0.9 bar; 4x the sample gives ~16x the truth pairs)."""
+    The registered query passes None → the corpus-adaptive ladder
+    (ndb_sample_for, oracle in lockstep — VERDICT r10 item 2);
+    scripts/near_dup_banded_recall.py can re-run the SAME code path at
+    an explicit wider sample for extra statistical margin."""
     vecs = _vectors(spark, sf_dir)
     n = load_table(spark, sf_dir, "embeddings").count()
+    if n_sample is None:
+        n_sample = ndb_sample_for(n)
     thresh = float(_TWO60) * n_sample / n
     smp = vecs.filter(
         portable_hash64(
@@ -539,12 +594,9 @@ def _recall_rows(
     # build executes once per aggregation (measured: the audit was the
     # full-bench top at 35.9 s, ~2× the one-pass cost). Cache key is
     # sample-size-qualified so a wide script run never poisons the
-    # registered query's stage.
-    stage_key = (
-        "similarity/ndb_truth"
-        if n_sample == NDB_SAMPLE
-        else f"similarity/ndb_truth_{n_sample}"
-    )
+    # registered query's stage (the registered query resolves the same
+    # adaptive size for a given corpus, so it always hits its own key).
+    stage_key = f"similarity/ndb_truth_{n_sample}"
     truth = shared_stage(spark, sf_dir, stage_key, _build_truth)
     sample_ids = smp.select("vec_id")
     found = (

@@ -247,3 +247,41 @@ def test_gate_artifact_carries_load_evidence():
     # a violated run on a loaded box must have auto-rerun exactly once
     if not doc["ok"] and doc["ambient_loaded"]:
         assert "auto_rerun" in doc and "first_attempt" in doc["auto_rerun"]
+
+
+def test_proc_cpu_sample_shape():
+    """The instantaneous-CPU sampler (ADVICE r10: ps pcpu is a lifetime
+    average) must see this very process with sane fields."""
+    import os
+
+    s = bench._proc_cpu_sample()
+    me = os.getpid()
+    assert me in s
+    ppid, ticks, comm = s[me]
+    assert isinstance(ppid, int) and ppid >= 0
+    assert isinstance(ticks, int) and ticks >= 0
+    assert "python" in comm or comm  # comm parsed, non-empty
+
+
+def test_headline_artifact_carries_load_evidence():
+    """VERDICT r10 item 3: the committed headline/full artifacts (not
+    just the gate file) must self-adjudicate ambient load — evidence
+    block, machine verdict, and, when an auto-rerun fired, the rerun's
+    own separately-adjudicated snapshots."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(bench.__file__).parent / "BENCH_LOCAL_LATEST.json").read_text()
+    )
+    ev = doc["load_evidence"]
+    for snap in ("pre", "post"):
+        assert {"load1", "load5", "load15", "ncpus", "n_competing"} <= set(
+            ev[snap]
+        ), snap
+    assert isinstance(doc["ambient_loaded"], bool)
+    assert doc["ambient_load1_threshold"] == bench.AMBIENT_LOAD1
+    if "ambient_rerun" in doc:
+        assert {"rerun_pre", "rerun_post"} <= set(ev)
+        assert isinstance(doc["rerun_ambient_loaded"], bool)
+        assert "first_total_s" in doc["ambient_rerun"]
