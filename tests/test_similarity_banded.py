@@ -169,3 +169,39 @@ def test_banded_index_bounds_group_size(spark, sf_dir):
     ).first()
     assert row["p99"] <= 2 * TARGET_BUCKET_OCC, (row["p99"], row["mx"])
     assert row["mx"] <= 4 * TARGET_BUCKET_OCC, row["mx"]
+
+
+def test_adaptive_sample_ladder_cross_engine():
+    """The corpus-adaptive truth-sample ladder (VERDICT r10 item 2)
+    must agree between the Python resolver the Spark query uses and
+    the DuckDB CASE the oracle embeds — including exactly on rung
+    boundaries — and must implement sqrt-n growth: doubling per 4x
+    corpus, base rung covering every driver SF and sf1."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    probe = [
+        1, 500, 2000, 20000,                       # driver SFs + sf1
+        sb.NDB_SAMPLE_REF_N, sb.NDB_SAMPLE_REF_N + 1,   # first boundary
+        200_000, 512_000, 512_001,                 # sf10 rung + boundary
+        1_048_576, 2_048_000, 2_048_001,           # sweep ends B/C
+        sb.NDB_SAMPLE_LADDER[-1][0],               # last tabulated rung
+        sb.NDB_SAMPLE_LADDER[-1][0] + 1,           # beyond the ladder
+    ]
+    for n in probe:
+        py = sb.ndb_sample_for(n)
+        # the oracle CASE is written over count(*); evaluate it over a
+        # table with exactly n... too slow — substitute the count
+        sql = sb._NDB_SAMPLE_CASE_DUCK.replace("count(*)", str(n))
+        duck = con.execute(f"SELECT {sql} AS s").fetchone()[0]
+        assert float(py) == float(duck), (n, py, duck)
+    # sqrt-n law: each rung doubles the sample per 4x corpus
+    for (n0, s0), (n1, s1) in zip(sb.NDB_SAMPLE_LADDER, sb.NDB_SAMPLE_LADDER[1:]):
+        assert n1 == 4 * n0 and s1 == 2 * s0
+    # base rung unchanged from rounds 9/10 at every driver SF and sf1
+    for n in (500, 2000, 20000, 128_000):
+        assert sb.ndb_sample_for(n) == sb.NDB_SAMPLE == 4096
+    # expected truth-pair mass is non-decreasing along the ladder:
+    # pairs ~ s^2/n, and s^2/n doubles per rung by construction
+    masses = [s * s / n for n, s in sb.NDB_SAMPLE_LADDER]
+    assert all(b >= a for a, b in zip(masses, masses[1:]))
