@@ -59,6 +59,12 @@ FLAGSHIP = [
     "numeric_profile",
     "poisson_bootstrap_ci",
     "bm25_topk",
+    # round 11 (VERDICT r10 item 4): widen toward full headline
+    # coverage — next-most-expensive by BENCH_LOCAL_LATEST cost
+    "community_modularity",
+    "rrf_fusion_topk",
+    "bloom_prefilter_join",
+    "copurchase_lift",
 ]
 
 # per-query env overrides: the banded detector at sf100 (2M vectors,
@@ -147,7 +153,7 @@ def write_md(store: dict) -> None:
     rows = store["rows"]
     report = store["queries"]
     lines = [
-        "# SCALING_SF100 — fourth-decade growth exponents (rounds 7-10)",
+        "# SCALING_SF100 — fourth-decade growth exponents (rounds 7-11)",
         "",
         "Produced by `python scripts/sf100_sweep.py` on local[32]: one",
         "`scaling_curve.py --sf100 <query>` subprocess per query at",
