@@ -77,6 +77,7 @@ deployment instrument that verifies the law held.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -394,22 +395,143 @@ def _banded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, sf_dir, "similarity/banded_index", build)
 
 
+def _carry_mode() -> str:
+    """What the per-band self-join carries per side (read per call so
+    tests and the sweep can flip it without re-importing):
+    - "float" (default): the 64-dim double vector + sqnorm (~300 B/row)
+      — cosine scored exactly inline, nothing ever re-joined.
+    - "sq8": an int8 quantization of the NORMALIZED vector + its scale
+      (~100 B/row, ~3× less sort/spill per side) — an exact-superset
+      prefilter inline, survivors deduplicated as bare id-pairs, then
+      ONE pair×vector join re-scores exact cosine. Output is provably
+      identical (see _SQ8 notes below); built for the measured sf100
+      single-box bound, where the float carry's ~27 GB/side spill plus
+      the 20 GB dataset exceeds this box's 57 GB free disk."""
+    return os.environ.get("SPARK_GRAFT_NEAR_DUP_CARRY", "float")
+
+
+# SQ8 prefilter soundness: u = v/|v| (normalized), per-vector scale
+# s = max_i|u_i|/127, q_i = round(u_i/s) ∈ [-127, 127], û = s·q so
+# |u_i - û_i| ≤ s/2. Then with ‖e‖₂ ≤ √d·s/2 = 4s at d=64 and ‖u‖=1:
+#   |u_a·u_b - û_a·û_b| ≤ ‖e_a‖·‖u_b‖ + ‖û_a‖·‖e_b‖
+#                       ≤ 4s_a + (1 + 4s_a)·4s_b
+# so keeping every candidate with s_a·s_b·qdot ≥ thr - eps(a,b) keeps
+# every pair whose exact cosine can reach the threshold. _SQ8_SLACK
+# absorbs (i) the final filter comparing ROUND(cos, 6) ≥ thr (a pair
+# at thr - 4.9e-7 passes after rounding) and (ii) double-arithmetic
+# noise in evaluating the bound itself (~1e-15 relative; 1e-5 is four
+# orders of margin). qdot is an exact int64 (int8×int8 products summed
+# after widening), so no float error enters the left-hand side beyond
+# the two scale multiplies.
+_SQ8_SLACK = 1.1e-5
+_QDOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS INT) * CAST(y AS INT)),"
+    " 0L, (acc, e) -> acc + CAST(e AS BIGINT))"
+)
+
+
+def _sq8_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q array<tinyint>, qs double): SQ8 of the normalized
+    vector. qs ≥ max|u_i|/127 ≥ 1/(127·√64) for any non-zero vector;
+    the greatest() guard only protects a hypothetical all-zero row."""
+    vecs = _vectors(spark, sf_dir)
+    u = "transform(v, x -> x / sqrt(sqnorm))"
+    qs = (
+        f"greatest(aggregate({u}, CAST(0.0 AS DOUBLE),"
+        " (m, x) -> greatest(m, abs(x))) / 127.0, CAST(1e-12 AS DOUBLE))"
+    )
+    return vecs.select(
+        "vec_id",
+        F.expr(qs).alias("qs"),
+        F.expr(
+            f"transform({u}, x -> CAST(round(x / {qs}) AS TINYINT))"
+        ).alias("q"),
+    )
+
+
 def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated near-dup pairs (cos_sim ≥ {NEAR_DUP_MIN_COS}) with
     exact verified cosine, distinct across bands.
 
-    Plan shape: vectors join the narrow banded index ONCE by vec_id,
-    the per-band self-join scores cosine INLINE, the threshold filter
-    runs before any further shuffle, and distinct applies to survivors
-    only. The first design deduplicated raw candidate id-pairs and
-    joined vectors back afterwards — at 1M vectors / 16× duplication
-    that distinct covers ~800M id-pairs and the pair×vector join's
-    shuffle exceeded this box's disk (measured: "No space left on
-    device"); inline scoring recomputes a cosine per band collision
-    (bounded by the cap at BANDS × {TARGET_BUCKET_OCC} per vector, CPU
-    not disk) and only threshold survivors reach the distinct."""
+    Plan shape ("float" carry, the default): vectors join the narrow
+    banded index ONCE by vec_id, the per-band self-join scores cosine
+    INLINE, the threshold filter runs before any further shuffle, and
+    distinct applies to survivors only. The first design deduplicated
+    raw candidate id-pairs and joined vectors back afterwards — at 1M
+    vectors / 16× duplication that distinct covers ~800M id-pairs and
+    the pair×vector join's shuffle exceeded this box's disk (measured:
+    "No space left on device"); inline scoring recomputes a cosine per
+    band collision (bounded by the cap at BANDS × {TARGET_BUCKET_OCC}
+    per vector, CPU not disk) and only threshold survivors reach the
+    distinct.
+
+    "sq8" carry (SPARK_GRAFT_NEAR_DUP_CARRY=sq8): same index and join
+    keys, but each side carries the int8-quantized normalized vector
+    (~3× smaller sort/spill); an exact-superset prefilter (see
+    _SQ8_SLACK notes) passes only candidates whose cosine CAN reach the
+    threshold, the distinct runs on those bare id-pairs (≈ the true
+    output size — NOT the raw-candidate distinct the first design died
+    on), and one pair×vector join re-scores the exact cosine with the
+    same expression the oracle uses. Output identical; the oracle is
+    shared unchanged by both modes."""
     idx = _banded_index(spark, sf_dir)
     vecs = _vectors(spark, sf_dir)
+    if _carry_mode() == "sq8":
+        qv = _sq8_vectors(spark, sf_dir)
+        idx_q = idx.join(qv, "vec_id")
+        a = idx_q.alias("a")
+        b = idx_q.alias("b")
+        approx = (
+            F.expr(_QDOT_SPARK.format(a="a.q", b="b.q"))
+            * F.col("a.qs")
+            * F.col("b.qs")
+        )
+        eps = (
+            4.0 * F.col("a.qs")
+            + 4.0 * F.col("b.qs")
+            + 16.0 * F.col("a.qs") * F.col("b.qs")
+            + F.lit(_SQ8_SLACK)
+        )
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.ext") == F.col("b.ext"))
+                & (F.col("a.sub") == F.col("b.sub"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(approx >= F.lit(float(NEAR_DUP_MIN_COS)) - eps)
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        va = vecs.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("av"),
+            F.col("sqnorm").alias("asq"),
+        )
+        vb = vecs.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("bv"),
+            F.col("sqnorm").alias("bsq"),
+        )
+        return (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(
+                    F.expr(_DOT_SPARK.format(a="av", b="bv"))
+                    / (F.sqrt("asq") * F.sqrt("bsq")),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
+        )
     idx_v = idx.join(vecs, "vec_id")
     a = idx_v.alias("a")
     b = idx_v.alias("b")

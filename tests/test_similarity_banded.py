@@ -205,3 +205,44 @@ def test_adaptive_sample_ladder_cross_engine():
     # pairs ~ s^2/n, and s^2/n doubles per rung by construction
     masses = [s * s / n for n, s in sb.NDB_SAMPLE_LADDER]
     assert all(b >= a for a, b in zip(masses, masses[1:]))
+
+
+def test_sq8_carry_output_identical(spark, monkeypatch):
+    """The SQ8 carry (SPARK_GRAFT_NEAR_DUP_CARRY=sq8) must produce
+    EXACTLY the float carry's rows: its inline prefilter is an
+    analytically exact superset (|cos - s_a*s_b*qdot| <= 4s_a + 4s_b +
+    16*s_a*s_b, plus _SQ8_SLACK for the 6dp-rounded final compare),
+    and survivors are re-scored with the SAME exact-cosine expression
+    the float path and the oracle use. sf0.01 has pairs near the 0.35
+    threshold (max cos ~0.51), so the boundary is exercised."""
+    fn = registry.QUERIES["embedding_near_dup_pairs_banded"]
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.delenv("SPARK_GRAFT_NEAR_DUP_CARRY", raising=False)
+    base = {tuple(r) for r in fn(spark, sf).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_NEAR_DUP_CARRY", "sq8")
+    got = {tuple(r) for r in fn(spark, sf).collect()}
+    assert len(base) > 0
+    assert got == base
+
+
+def test_sq8_quantization_bound_holds(spark):
+    """Per-vector check at sf0.01: the reconstructed normalized vector
+    must sit within s/2 per coordinate (the premise of the prefilter
+    bound), and qs within [1/(127*sqrt(64)), 1/127] for unit vectors."""
+    from streams_prototyping_spark.functions.similarity_banded import (
+        _sq8_vectors,
+    )
+    from streams_prototyping_spark.functions.similarity import _vectors
+
+    sf = "/root/testdata/sf0.01"
+    qv = _sq8_vectors(spark, sf).join(_vectors(spark, sf), "vec_id")
+    bad = qv.filter(
+        F.expr(
+            "exists(zip_with(q, v, (qi, vi) ->"
+            " abs(vi / sqrt(sqnorm) - qi * qs) > qs / 2 + 1e-12), x -> x)"
+        )
+    ).count()
+    assert bad == 0
+    rng = qv.agg(F.min("qs"), F.max("qs")).first()
+    assert rng[0] >= 1.0 / (127 * 8) - 1e-12
+    assert rng[1] <= 1.0 / 127 + 1e-12
