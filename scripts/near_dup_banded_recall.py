@@ -267,6 +267,7 @@ def measure_end(end: str) -> dict:
         "bits": bits,
         "bands": sb.NEAR_DUP_BANDS_BY_BITS[bits],
         "sample": sb.ndb_sample_for(int(n_vecs)),
+        "carry": sb._carry_mode(),
         "sec": secs[-1],
         "n_pairs": int(n_pairs),
         "recall": {
@@ -371,17 +372,24 @@ def main() -> None:
         stored = store.get(end)
         # entries measured before the adaptive-sample ladder carry no
         # "sample" field — they were measured at the old fixed base
+        from streams_prototyping_spark.functions.similarity_banded import (
+            _carry_mode,
+        )
+
+        carry = _carry_mode()
         if (
             stored
             and stored.get("bands") == bands
             and stored.get("sample", 4096) == sample
+            and stored.get("carry", "float") == carry
         ):
             continue
         if stored:
             print(
                 f"end {end}: stored measurement is stale "
                 f"(bands {stored.get('bands')} -> {bands}, sample "
-                f"{stored.get('sample', 4096)} -> {sample}), re-measuring",
+                f"{stored.get('sample', 4096)} -> {sample}, carry "
+                f"{stored.get('carry', 'float')} -> {carry}), re-measuring",
                 flush=True,
             )
         env = dict(os.environ)
@@ -437,6 +445,7 @@ def main() -> None:
         for x, y in zip(ends, ends[1:])
     }
     store["flag"] = "SUPERLINEAR" if alpha > alpha_model + 0.15 else ""
+    store["carry"] = sorted({e.get("carry", "float") for e in ends})
     store["prod_recall"] = {
         e["end"]: e["recall"]["production"]["recall"] for e in ends
     }
