@@ -424,6 +424,10 @@ def _carry_mode() -> str:
 # after widening), so no float error enters the left-hand side beyond
 # the two scale multiplies.
 _SQ8_SLACK = 1.1e-5
+# rescore-join broadcast bound: ~260 B/vector serialized → 4M vectors
+# ≈ 1 GB broadcast, the sane ceiling for a 48 GB driver / multi-GB
+# executors; larger corpora fall back to the shuffle join
+SQ8_BROADCAST_MAX_VECS = 4_000_000
 _QDOT_SPARK = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS INT) * CAST(y AS INT)),"
     " 0L, (acc, e) -> acc + CAST(e AS BIGINT))"
@@ -518,6 +522,18 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("bv"),
             F.col("sqnorm").alias("bsq"),
         )
+        # Rescore join strategy: a shuffle join here re-materializes the
+        # survivor pairs WITH the first attached 256-byte vector as the
+        # second join's shuffle input — measured ~100 GB at 368M pairs
+        # (1M-vector corpus), the very spill this mode exists to avoid.
+        # Broadcasting the vector table instead keeps the pair stream
+        # map-side for both lookups (~260 MB/1M vectors — one in-memory
+        # copy per executor; trivially fine on local[32]). Past
+        # SQ8_BROADCAST_MAX_VECS the broadcast stops being sane and the
+        # plain shuffle join is the cluster answer (spread across
+        # executors' disks). Join strategy never changes the output.
+        if load_table(spark, sf_dir, "embeddings").count() <= SQ8_BROADCAST_MAX_VECS:
+            va, vb = F.broadcast(va), F.broadcast(vb)
         return (
             cand.join(va, "vec_a")
             .join(vb, "vec_b")
