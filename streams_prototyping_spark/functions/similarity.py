@@ -200,6 +200,22 @@ bucketed AS (
 """
 
 _LSH_BITS_CACHE: dict = {}
+_CORPUS_N_CACHE: dict = {}
+
+
+def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count, cached per dataset signature (the
+    same per-session scalar memo _lsh_bits always used — an index
+    builder knows its corpus size; mtime keying invalidates on
+    dataset rebuild). One count() job per session instead of one per
+    query construction (r11: the banded audit alone paid 3 of them
+    per bench invocation)."""
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "embeddings")
+    if key not in _CORPUS_N_CACHE:
+        _CORPUS_N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _CORPUS_N_CACHE[key]
 
 
 def _lsh_bits(spark: SparkSession, sf_dir: str) -> int:
@@ -213,7 +229,7 @@ def _lsh_bits(spark: SparkSession, sf_dir: str) -> int:
     if key not in _LSH_BITS_CACHE:
         import math
 
-        n = load_table(spark, sf_dir, "embeddings").count()
+        n = _corpus_n(spark, sf_dir)
         raw = math.ceil(math.log2(n / float(TARGET_BUCKET_OCC))) if n else 0
         _LSH_BITS_CACHE[key] = max(LSH_BITS, min(MAX_LSH_BITS, raw))
     return _LSH_BITS_CACHE[key]

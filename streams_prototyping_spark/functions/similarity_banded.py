@@ -92,12 +92,15 @@ from streams_prototyping_spark.functions.similarity import (
     _DOT_DUCK,
     _DOT_SPARK,
     _NB_EXPR_DUCK,
+    _SQNORM_SPARK,
     _TWO60,
+    _V_DOUBLE_SPARK,
     _VECTORS_CTE_DUCK,
     LSH_BITS,
     MAX_LSH_BITS,
     NEAR_DUP_MIN_COS,
     TARGET_BUCKET_OCC,
+    _corpus_n,
     _lsh_bits,
     _vectors,
 )
@@ -395,6 +398,52 @@ def _banded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, sf_dir, "similarity/banded_index", build)
 
 
+# r11 (guide §2.5/§2.2): reduce-stage parallelism for the per-band
+# self-join is derived from the CANDIDATE-PAIR bound n·B·occ/2, not
+# left to AQE — AQE coalesces by MAP-output bytes (the narrow index
+# rows: ~1.5 MB at sf0.1) and cannot see the ~occ× join fan-out, so
+# the stage that scores every candidate cosine collapsed to ONE task
+# (measured: 1 partition, 1.8M pairs scored serially). ~2M scored
+# pairs per task ≈ 1-2 s of fold CPU; the cap only guards absurd
+# corpus sizes (2B vectors · 123 bands → ~16k tasks, not millions).
+_CAND_PER_TASK = 2_000_000
+
+
+def _selfjoin_parts(spark: SparkSession, sf_dir: str) -> int:
+    cand = (
+        _corpus_n(spark, sf_dir)
+        * _nbands(spark, sf_dir)
+        * TARGET_BUCKET_OCC
+        // 2
+    )
+    dp = spark.sparkContext.defaultParallelism
+    return max(dp, min(-(-cand // _CAND_PER_TASK), 65536))
+
+
+# r11 (guide §2.3 "narrower types"): the self-join carries the RAW
+# float32 embedding (256 B) instead of the pre-cast double vector
+# (512 B) — float→double cast is exact, so casting per element INSIDE
+# the dot fold yields bit-identical cosines while halving the bytes
+# both join sides sort/shuffle/spill (the measured sf100 capacity
+# bound was exactly this carry: ~27 GB/side at 2M×25 bands).
+_DOT_F32_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _vectors_f32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding float32, sqnorm double) — the narrow-carry
+    twin of _vectors: sqnorm is computed from the same double-cast
+    fold, the vector itself stays float32 until the dot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SQNORM_SPARK.format(v=_V_DOUBLE_SPARK)).alias("sqnorm"),
+    )
+
+
 def _carry_mode() -> str:
     """What the per-band self-join carries per side (read per call so
     tests and the sweep can flip it without re-importing):
@@ -453,7 +502,9 @@ def _sq8_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_pairs(
+    spark: SparkSession, sf_dir: str, within: DataFrame | None = None
+) -> DataFrame:
     """Deduplicated near-dup pairs (cos_sim ≥ {NEAR_DUP_MIN_COS}) with
     exact verified cosine, distinct across bands.
 
@@ -477,12 +528,28 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size — NOT the raw-candidate distinct the first design died
     on), and one pair×vector join re-scores the exact cosine with the
     same expression the oracle uses. Output identical; the oracle is
-    shared unchanged by both modes."""
+    shared unchanged by both modes.
+
+    ``within`` (r11): optional (vec_id) frame; when given, the NARROW
+    index is semi-joined to it BEFORE the vector attach and self-join,
+    so only pairs with BOTH ends in ``within`` are ever generated —
+    provably the rows a caller would get by post-filtering the full
+    output, because a pair is emitted iff its two ends collide on
+    (band, bucket, ext, sub), and those per-vector values are computed
+    in the INDEX over the FULL corpus before the restriction. The
+    recall audit uses this to keep candidate work O(sample²)-shaped
+    instead of corpus-shaped (a no-op at driver SFs, where the sample
+    is the whole corpus)."""
     idx = _banded_index(spark, sf_dir)
-    vecs = _vectors(spark, sf_dir)
+    if within is not None:
+        idx = idx.join(within, "vec_id", "left_semi")
+    sj_parts = _selfjoin_parts(spark, sf_dir)
     if _carry_mode() == "sq8":
+        vecs = _vectors(spark, sf_dir)
         qv = _sq8_vectors(spark, sf_dir)
-        idx_q = idx.join(qv, "vec_id")
+        idx_q = idx.join(qv, "vec_id").repartition(
+            sj_parts, "band", "bucket", "ext", "sub"
+        )
         a = idx_q.alias("a")
         b = idx_q.alias("b")
         approx = (
@@ -532,7 +599,7 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQ8_BROADCAST_MAX_VECS the broadcast stops being sane and the
         # plain shuffle join is the cluster answer (spread across
         # executors' disks). Join strategy never changes the output.
-        if load_table(spark, sf_dir, "embeddings").count() <= SQ8_BROADCAST_MAX_VECS:
+        if _corpus_n(spark, sf_dir) <= SQ8_BROADCAST_MAX_VECS:
             va, vb = F.broadcast(va), F.broadcast(vb)
         return (
             cand.join(va, "vec_a")
@@ -548,7 +615,9 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
         )
-    idx_v = idx.join(vecs, "vec_id")
+    idx_v = idx.join(_vectors_f32(spark, sf_dir), "vec_id").repartition(
+        sj_parts, "band", "bucket", "ext", "sub"
+    )
     a = idx_v.alias("a")
     b = idx_v.alias("b")
     return (
@@ -564,7 +633,7 @@ def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                F.expr(_DOT_SPARK.format(a="a.v", b="b.v"))
+                F.expr(_DOT_F32_SPARK.format(a="a.embedding", b="b.embedding"))
                 / (F.sqrt("a.sqnorm") * F.sqrt("b.sqnorm")),
                 6,
             ).alias("cos_sim"),
@@ -703,7 +772,7 @@ def _recall_rows(
     scripts/near_dup_banded_recall.py can re-run the SAME code path at
     an explicit wider sample for extra statistical margin."""
     vecs = _vectors(spark, sf_dir)
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n = _corpus_n(spark, sf_dir)
     if n_sample is None:
         n_sample = ndb_sample_for(n)
     thresh = float(_TWO60) * n_sample / n
@@ -736,30 +805,34 @@ def _recall_rows(
     # adaptive size for a given corpus, so it always hits its own key).
     stage_key = f"similarity/ndb_truth_{n_sample}"
     truth = shared_stage(spark, sf_dir, stage_key, _build_truth)
-    sample_ids = smp.select("vec_id")
-    found = (
-        _banded_pairs(spark, sf_dir)
-        .join(sample_ids.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi")
-        .join(sample_ids.withColumnRenamed("vec_id", "vec_b"), "vec_b", "left_semi")
-        .select("vec_a", "vec_b", "cos_sim")
+    # r11: the sample restriction is pushed INTO the detector (the
+    # narrow index is semi-joined to the sample ids before the
+    # self-join — see _banded_pairs ``within``), so the audit's
+    # candidate work is O(sample²)-shaped instead of running the full
+    # corpus detector and discarding everything outside the sample.
+    found = _banded_pairs(spark, sf_dir, within=smp.select("vec_id")).select(
+        "vec_a", "vec_b", "cos_sim"
     )
     thrs = [
         ("registered", NEAR_DUP_MIN_COS),
         ("production", NEAR_DUP_PROD_COS),
     ]
-    # scalar-probe aggregates (never row data to the driver): one pass
-    # over the truth pairs, one over the found⋈truth join
-    n_sample = smp.count()
-    t_row = truth.agg(
+    # scalar-probe aggregates (never row data to the driver). r11: ONE
+    # driver action — the sample count, the truth-threshold counts and
+    # the found⋈truth counts are independent subtrees crossJoined into
+    # a single 1-row frame, so the scheduler overlaps them in one job
+    # (guide §2.6) instead of three sequential action round-trips.
+    j = found.join(truth, ["vec_a", "vec_b"], "left")
+    smp_agg = smp.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    t_agg = truth.agg(
         *[
             F.sum(F.when(F.col("tcos") >= thr, 1).otherwise(0))
             .cast("long")
             .alias(f"t_{lbl}")
             for lbl, thr in thrs
         ]
-    ).first()
-    j = found.join(truth, ["vec_a", "vec_b"], "left")
-    f_row = j.agg(
+    )
+    f_agg = j.agg(
         *(
             [
                 F.sum(F.when(F.col("cos_sim") >= thr, 1).otherwise(0))
@@ -781,16 +854,18 @@ def _recall_rows(
                 for lbl, thr in thrs
             ]
         )
-    ).first()
+    )
+    row = smp_agg.crossJoin(t_agg).crossJoin(f_agg).first()
+    n_sample = int(row["n_sample"])
     rows = [
         (
             lbl,
             float(thr),
             n_sample,
-            int(t_row[f"t_{lbl}"]),
-            int(f_row[f"f_{lbl}"]),
-            int(f_row[f"h_{lbl}"]),
-            int(f_row[f"f_{lbl}"]) - int(f_row[f"h_{lbl}"]),
+            int(row[f"t_{lbl}"]),
+            int(row[f"f_{lbl}"]),
+            int(row[f"h_{lbl}"]),
+            int(row[f"f_{lbl}"]) - int(row[f"h_{lbl}"]),
         )
         for lbl, thr in thrs
     ]
