@@ -929,8 +929,21 @@ def cross_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-sized crosses a single task.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r11 (guide §4.1/§1.2 per-task work): project split(text) ONCE per
+    # row before the trigram transform. The previous single-expression
+    # form re-evaluated split() inside the lambda — 3 splits per trigram
+    # position (no CSE inside interpreted higher-order lambdas), i.e.
+    # O(words²) string splitting per document. Same grams, same output.
+    words = (
+        "CASE WHEN size(w) >= 3"
+        " THEN transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+        " element_at(w, i + 2)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
     pg = (
-        d.select("doc_id", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("gram"))
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(words)).alias("gram"))
         .distinct()
     )
     df = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))

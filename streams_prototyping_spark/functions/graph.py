@@ -301,6 +301,14 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     n = deg.count()  # node count; also materializes edges+deg
 
+    # r11 (guide §1.2/§2.6): the {PR_ITERS} iterations form a LINEAR
+    # DAG — each pr_i is referenced exactly once by pr_{i+1}, there is
+    # no convergence probe — so the per-iteration persist()+count()
+    # barrier bought nothing and cost a blocking driver action (job
+    # round-trip + cache write) per hop. The chain now builds lazily
+    # and materializes ONCE at the final localCheckpoint: identical
+    # integer trajectory, {PR_ITERS}+1 sequential jobs collapsed to 1
+    # (edges/deg stay persisted — they ARE multiply referenced).
     pr = deg.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -311,7 +319,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst"), F.expr("pr div degree").alias("c"))
         )
-        new_pr = (
+        pr = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
             .select(
@@ -321,11 +329,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
                 ).cast("long").alias("pr"),
             )
-            .persist()
         )
-        new_pr.count()
-        pr.unpersist(False)
-        pr = new_pr
     out = pr.join(deg, "node").select(
         F.col("node").alias("part_key"),
         "degree",
@@ -334,7 +338,6 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     result = out.localCheckpoint()
-    pr.unpersist()
     deg.unpersist()
     edges.unpersist()
     return result
