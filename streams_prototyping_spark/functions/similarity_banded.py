@@ -855,7 +855,7 @@ def _recall_rows(
             ]
         )
     )
-    row = smp_agg.crossJoin(t_agg).crossJoin(f_agg).first()
+    row = smp_agg.crossJoin(F.broadcast(t_agg)).crossJoin(F.broadcast(f_agg)).first()
     n_sample = int(row["n_sample"])
     rows = [
         (

@@ -620,7 +620,7 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.agg(*aggs)
     for c in _PROFILE_COLS:
         s = s.crossJoin(
-            li.select(c).distinct().agg(F.count(c).alias(f"nd_{c}"))
+            F.broadcast(li.select(c).distinct().agg(F.count(c).alias(f"nd_{c}")))
         )
     stack = ", ".join(
         f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}, mean_{c}"
