@@ -26,10 +26,13 @@ from streams_prototyping_spark.session import get_spark
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     passes = 1
-    if "--passes" in sys.argv:
-        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    if "--passes" in argv:
+        i = argv.index("--passes")
+        passes = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.1"
     if args and "/" in args[0]:
         sf_dir = args[0]
