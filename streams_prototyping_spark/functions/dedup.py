@@ -843,7 +843,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica-structure near-dups, and block keys widen with it so
     bucket fan-out stays bounded.
     """
-    fp = simhash_fingerprint(spark, sf_dir)
+    # r11 (guide §1.2 "don't compute things you throw away"): persist
+    # the tiny (doc_id, simhash) table as a projection barrier. The
+    # 3-block union is self-joined, so without the barrier the
+    # {bits}-vote fold subtree is inlined SIX times (3 union branches x
+    # 2 join sides) and the fingerprint pass dominates the query; the
+    # oracle's fp CTE is MATERIALIZED for exactly the same reason.
+    fp = shared_stage(
+        spark,
+        sf_dir,
+        "dedup/simhash_fp",
+        lambda: simhash_fingerprint(spark, sf_dir),
+    )
     bits = _simhash_bits(spark, sf_dir)
     blocks = None
     for bi, (shift, width) in enumerate(_simhash_blocks(bits)):

@@ -377,6 +377,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at BOTH ends, occupancy stats in NEAR_DUP_ENGAGED_CAP.json) is the
     retire-the-weak-grade artifact.
     """
+    return _near_dup_pairs(spark, sf_dir)
+
+
+def _near_dup_pairs(
+    spark: SparkSession, sf_dir: str, within: DataFrame | None = None
+) -> DataFrame:
+    """The detector's pair pipeline. ``within`` (r11, same seam as
+    similarity_banded._banded_pairs): optional (vec_id) frame; when
+    given, the bucketed rows are semi-joined to it AFTER the full-corpus
+    (bucket, sub) assignment but BEFORE the self-join, so only pairs
+    with BOTH ends in ``within`` are generated — provably the rows a
+    caller would get by post-filtering the full output, because a pair
+    is emitted iff its ends collide on (bucket, sub) and those
+    per-vector values are computed over the full corpus first. The
+    recall audit uses this to keep its candidate work O(sample²)-shaped
+    instead of corpus-shaped."""
     bucketed = _bucketed(spark, sf_dir)
     bn = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
     subbed = bucketed.join(F.broadcast(bn), "bucket").select(
@@ -392,6 +408,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub"),
     )
+    if within is not None:
+        subbed = subbed.join(within, "vec_id", "left_semi")
     a = subbed.alias("a")
     b = subbed.alias("b")
     return (
@@ -510,7 +528,7 @@ def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streams_prototyping_spark.functions.portable_hash import portable_hash64
 
     vecs = _vectors(spark, sf_dir)
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n = _corpus_n(spark, sf_dir)
     thresh = float(_TWO60) * NDR_SAMPLE / n
     smp = vecs.filter(
         portable_hash64(
@@ -534,30 +552,33 @@ def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
-    sample_ids = smp.select("vec_id")
-    found = (
-        embedding_near_dup_pairs(spark, sf_dir)
-        .join(sample_ids.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi")
-        .join(sample_ids.withColumnRenamed("vec_id", "vec_b"), "vec_b", "left_semi")
-        .select("vec_a", "vec_b")
+    # r11 (guide §1.2/§5, the same two moves as the banded audit):
+    # - the detector pipeline runs with the sample pushed down (semi-
+    #   join on the full-corpus bucket/sub assignment BEFORE the pair
+    #   self-join) instead of post-filtering its full output — candidate
+    #   work is O(sample²)-shaped, provably the same found set;
+    # - the three scalar actions (sample count / truth count / found
+    #   stats) collapse into ONE crossJoined single-row action, so the
+    #   audit pays one job instead of three (plus _corpus_n's session-
+    #   cached scalar instead of a count() per construction).
+    found = _near_dup_pairs(
+        spark, sf_dir, within=smp.select("vec_id")
+    ).select("vec_a", "vec_b")
+    n_sample_1 = smp.agg(F.count(F.lit(1)).alias("n_sample"))
+    n_true_1 = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    stats_1 = found.join(
+        truth.withColumn("in_truth", F.lit(1)), ["vec_a", "vec_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.coalesce(F.sum("in_truth"), F.lit(0)).alias("n_hit"),
     )
-    # three scalar-aggregate actions (the accepted scalar-probe class —
-    # never row data to the driver): sample size, truth size, and one
-    # combined pass giving found + found-in-truth (n_extra by
-    # subtraction instead of a fourth pair-join execution)
-    n_sample = smp.count()
-    n_true = truth.count()
-    stats = (
-        found.join(
-            truth.withColumn("in_truth", F.lit(1)), ["vec_a", "vec_b"], "left"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_found"),
-            F.coalesce(F.sum("in_truth"), F.lit(0)).alias("n_hit"),
-        )
+    row = (
+        n_sample_1.crossJoin(F.broadcast(n_true_1))
+        .crossJoin(F.broadcast(stats_1))
         .first()
     )
-    n_found, n_hit = int(stats["n_found"]), int(stats["n_hit"])
+    n_sample, n_true = int(row["n_sample"]), int(row["n_true"])
+    n_found, n_hit = int(row["n_found"]), int(row["n_hit"])
     # recall rounds through F.round (half-up, = DuckDB's half-away for
     # positive ratios) — Python round() is banker's and must not touch
     # it. Numerator is n_hit (found ∩ truth), NOT n_found (ADVICE r8:

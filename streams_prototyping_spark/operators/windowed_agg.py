@@ -177,7 +177,14 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_avro_{tag}")
-    write_avro(orders.repartition(8), path)
+    # r11 (guide §2.6/§4): the pure-Python codec is CPU-bound, so the
+    # part count follows the cluster's parallelism (floored at the
+    # historical 8) instead of pinning 8 tasks onto however many cores
+    # exist — write and read both parallelize per file. At production
+    # scale part files are sized by bytes (~128-512 MB each), not count;
+    # here rows-per-part at any driver SF stays far below that bound.
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    write_avro(orders.repartition(n_parts), path)
     return read_avro(spark, path)
 
 

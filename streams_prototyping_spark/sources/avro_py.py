@@ -335,8 +335,15 @@ def write_avro_file(
             f.write(sync)
 
 
+# zlib's default level (6): what spark-avro/fastavro ship as their
+# deflate default. Level 9 measured ~18% more encode CPU for ~2%
+# smaller files on row-shaped data (r11, 20k-row block). Deterministic
+# for a fixed level, so byte-identical re-runs still hold.
+DEFLATE_LEVEL = 6
+
+
 def _raw_deflate(data: bytes) -> bytes:
-    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    c = zlib.compressobj(DEFLATE_LEVEL, zlib.DEFLATED, -15)
     return c.compress(data) + c.flush()
 
 
