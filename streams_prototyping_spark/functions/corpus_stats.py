@@ -485,18 +485,34 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc1"), F.col("norm").alias("norm1"))
     nb = norms.select(F.col("doc_id").alias("doc2"), F.col("norm").alias("norm2"))
-    cos = F.sum(
-        F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(28,9)")
-    ).cast("double") / (F.first("norm1") * F.first("norm2"))
-    return (
+    # aggregate the pair stream FIRST, then attach norms: the pre-agg
+    # candidate stream has one row per shared term (the df<=16 fan-out),
+    # the post-agg frame one row per distinct pair — joining norms after
+    # the fold shuffles far fewer rows through the two doc-keyed joins
+    # (guide §2.3 shuffle fewer bytes). The decimal dot sum and the
+    # final divide are the identical expressions, just reordered around
+    # the join, so cos_sim is bit-identical.
+    pairs = (
         a.join(b, "gram")
         .filter(F.col("doc1") < F.col("doc2"))
-        .join(na, "doc1")
-        .join(nb, "doc2")
         .groupBy("doc1", "doc2")
         .agg(
             F.count("*").alias("n_shared_terms"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.sum(
+                F.round(F.col("w1") * F.col("w2"), 9).cast("decimal(28,9)")
+            ).alias("_dot"),
+        )
+    )
+    return (
+        pairs.join(na, "doc1")
+        .join(nb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_shared_terms",
+            F.round(
+                F.col("_dot").cast("double") / (F.col("norm1") * F.col("norm2")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= TFIDF_MIN_COS)
     )
@@ -715,6 +731,13 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
+    # NOTE (r11, measured): a persist barrier on bgf + a precomputed
+    # per-bigram NLL model table looked like it should remove the
+    # re-derived bg subtrees the formatted plan shows (8 scans) — but
+    # Spark's ReuseExchange already dedups those identical exchanges at
+    # runtime, and the barrier variant measured SLOWER (1.24 s -> 1.43-
+    # 1.67 s isolated at sf0.1). Plan-text subtree counts overstate
+    # execution when ReuseExchange applies; left in the original shape.
     bgf = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ctx = bgf.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bgf.agg(F.count_distinct("w2").alias("v"))

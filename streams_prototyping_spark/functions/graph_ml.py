@@ -542,6 +542,11 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("contribution"),
         )
+        # terms is consumed twice (the global-Q aggregate and the output
+        # join); without a barrier the whole intra/deg/sizes join subtree
+        # executes twice (r11 before-plan: 48 Exchanges). O(communities)
+        # rows — the checkpoint is tiny.
+        .localCheckpoint()
     )
     q = terms.agg(
         F.round(

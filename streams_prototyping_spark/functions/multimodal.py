@@ -168,15 +168,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one bytes() conversion + one md5 per row (the before-code
+        # converted each payload twice and built 4 throwaway dicts)
         for pdf in batches:
-            decoded = [decode_image_fake(bytes(b)) for b in pdf["payload"]]
+            ws, hs, fr, nb = [], [], [], []
+            for b in pdf["payload"]:
+                payload = bytes(b)
+                h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+                ws.append(64 + h % FAKE_W_MOD)
+                hs.append(64 + (h >> 8) % FAKE_H_MOD)
+                fr.append(1 + h % FAKE_F_MOD)
+                nb.append(len(payload))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "n_frames": [d["n_frames"] for d in decoded],
-                    "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": fr,
+                    "n_bytes": nb,
                 }
             )
 
@@ -219,22 +228,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # md5 is streaming: hash the payload ONCE per row, then derive
+        # each frame hash from a .copy() updated with the frame suffix
+        # (bit-identical to md5(payload + suffix)) — the before-code
+        # re-hashed the full payload per sampled frame (up to 6x).
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(b)
-                n = decode_image_fake(payload)["n_frames"]
+                h0 = hashlib.md5(bytes(b))
+                n = 1 + int(h0.hexdigest()[:15], 16) % FAKE_F_MOD
                 for f in range(0, n, FRAME_STEP):
+                    hf = h0.copy()
+                    hf.update(f":frame:{f}".encode())
                     ids.append(int(doc_id))
                     idxs.append(f)
-                    hashes.append(
-                        int(
-                            hashlib.md5(
-                                payload + f":frame:{f}".encode()
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                    )
+                    hashes.append(int(hf.hexdigest()[:15], 16))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
             )
@@ -300,32 +308,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = widen(_payloads(spark, sf_dir).select("doc_id", "payload"))
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One pass over the payload bytes per row instead of three:
+        # decode_image_fake + resize_image_fake each re-hashed the full
+        # payload (and resize a third time for the output hash). md5 is
+        # a streaming hash, so md5(payload + suffix) == a .copy() of
+        # md5(payload) updated with the suffix — the digests (and every
+        # output value) are bit-identical (guide §1.2 per-task work).
         for pdf in batches:
-            rows = []
+            ids, iws, ihs, ows, ohs, rhs = [], [], [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(b)
-                d = decode_image_fake(payload)
-                r = resize_image_fake(payload)
-                rows.append(
-                    (
-                        int(doc_id),
-                        d["width"],
-                        d["height"],
-                        r["out_width"],
-                        r["out_height"],
-                        r["resized_hash"],
-                    )
-                )
+                h0 = hashlib.md5(bytes(b))
+                h = int(h0.hexdigest()[:15], 16)
+                w = 64 + h % FAKE_W_MOD
+                ht = 64 + (h >> 8) % FAKE_H_MOD
+                long_side = max(w, ht)
+                out_w = max(1, (w * RESIZE_TARGET) // long_side)
+                out_h = max(1, (ht * RESIZE_TARGET) // long_side)
+                h1 = h0.copy()
+                h1.update(f":resized:{out_w}x{out_h}".encode())
+                ids.append(int(doc_id))
+                iws.append(w)
+                ihs.append(ht)
+                ows.append(out_w)
+                ohs.append(out_h)
+                rhs.append(int(h1.hexdigest()[:15], 16))
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "in_width",
-                    "in_height",
-                    "out_width",
-                    "out_height",
-                    "resized_hash",
-                ],
+                {
+                    "doc_id": ids,
+                    "in_width": iws,
+                    "in_height": ihs,
+                    "out_width": ows,
+                    "out_height": ohs,
+                    "resized_hash": rhs,
+                }
             )
 
     return p.mapInPandas(

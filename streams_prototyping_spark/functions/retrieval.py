@@ -147,11 +147,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qidf = q.join(idf, "word")  # query-side: tiny, carries idf with it
+    # broadcast-join the query terms BEFORE the doc-length join: the
+    # postings stream shrinks to query-matching terms map-side, so the
+    # doc-keyed dl join shuffles only the surviving candidates instead
+    # of the full postings table (guide §3.2 reduce the big side before
+    # shuffling it). Same rows, same scores — only the join order moves.
     scored = (
-        tf.join(dl, "doc_id")
-        .withColumnRenamed("doc_id", "cand_doc")
+        tf.withColumnRenamed("doc_id", "cand_doc")
         .join(F.broadcast(qidf), "word")
         .filter(F.col("cand_doc") != F.col("query_doc"))
+        .join(dl.withColumnRenamed("doc_id", "cand_doc"), "cand_doc")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_doc",

@@ -166,41 +166,52 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) so no second pass over the tokens is needed.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    tf = (
-        d.select(
-            "doc_id",
-            F.size(words).cast("long").alias("n_tokens"),
-            F.explode(words).alias("word"),
-        )
-        .groupBy("doc_id", "n_tokens", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    p = F.col("tf").cast("double") / F.col("n_tokens")
+    # The whole computation is per-document, so run it as a NARROW map
+    # over the scan (guide §2.4: remove shuffles outright) instead of
+    # explode + two shuffles of the token stream: sort the token array
+    # once per row, find run boundaries (each run = one distinct word),
+    # and fold entropy over the run lengths. The r11 before-plan paid
+    # 2 Exchanges of ~100x-exploded rows; this plan has zero.
     # 6-dp ln as exact integer micro-nats (decimal cast makes the *1e6
     # scale-up lossless); tf * micro stays pure int64 — no double
     # product is ever rounded, so no engine-specific half-tie (the
-    # 8-dp round of p*ln6 landed exactly on ..975 for uniform-tf docs)
-    ln6_micro = (F.round(F.log(p), 6).cast("decimal(18,6)") * 1000000).cast("long")
-    return (
-        tf.groupBy("doc_id", "n_tokens")
-        .agg(
-            F.count("*").alias("n_types"),
-            F.round(F.count("*").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
-            F.sum(-F.col("tf") * ln6_micro).alias("_s_micro"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_types",
-            "ttr",
-            # (2s+n) div (2n): round-half-up mean in pure int64
-            (
-                F.expr("(2 * _s_micro + n_tokens) div (2 * n_tokens)")
-                .cast("double")
-                / F.lit(1e6)
-            ).alias("token_entropy"),
-        )
+    # 8-dp round of p*ln6 landed exactly on ..975 for uniform-tf docs);
+    # the integer fold is order-independent, so sorting tokens first
+    # cannot fork the sum from the exploded groupBy it replaces.
+    # explode() dropped null-text rows; the narrow map must too
+    base = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.array_sort(F.split("text", " ")).alias("_sw"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        # 1-based start positions of each distinct-word run
+        F.expr(
+            "filter(sequence(1, size(_sw)), i -> i = 1 OR _sw[i - 1] != _sw[i - 2])"
+        ).alias("_runs"),
+    )
+    # run length = next run start (or n+1) - this run start
+    tf_of = (
+        "transform(_runs, (s, j) -> "
+        "coalesce(try_element_at(_runs, j + 2), n_tokens + 1) - s)"
+    )
+    micro = (
+        "aggregate({tfs}, CAST(0 AS BIGINT), (acc, tf) -> acc - tf * "
+        "CAST(CAST(round(ln(CAST(tf AS DOUBLE) / n_tokens), 6) "
+        "AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    ).format(tfs=tf_of)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("_runs").cast("long").alias("n_types"),
+        F.round(F.size("_runs").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        # (2s+n) div (2n): round-half-up mean in pure int64
+        (
+            F.expr(f"(2 * ({micro}) + n_tokens) div (2 * n_tokens)")
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("token_entropy"),
     )
 
 

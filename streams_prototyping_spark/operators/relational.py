@@ -726,10 +726,24 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     run would emit only the estimate.
     """
     ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # Two explicit phases instead of one mixed distinct/sketch aggregate:
+    # Spark's single-distinct rewrite keys the PARTIAL aggregate by
+    # (event_type, user_id) and carries the rsd=0.01 HLL++ sketch as
+    # ~1640 long columns PER PAIR through the exchange (~13 KB/row —
+    # the r11 before-plan is 200 KB of MS[i] column lists). Pre-reducing
+    # to distinct pairs first shuffles only (event_type, user_id, c);
+    # the sketch is then built over the deduped stream — HLL register
+    # updates are idempotent max()es, so the estimate is bit-identical.
+    per_pair = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_pair.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        # one row per distinct (event_type, user_id): counting non-null
+        # user_id rows IS count_distinct(user_id); sum(c) restores the
+        # raw event count (null-user events included, as count(*) did)
+        F.count("user_id").alias("exact_users"),
+        F.sum("c").alias("n_events"),
     )
     return agg.select(
         "event_type",
