@@ -777,7 +777,13 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     assign = _final_assign(spark, sf_dir)
-    cent = _recenter(assign)
+    # the recentred routing-centroid table is part of the trained index
+    # (a deployment persists it next to the codes); without the stage,
+    # every execution re-ran the D-fold posexplode + (cell, dim)
+    # aggregate over the full corpus just to rebuild K rows (r11)
+    cent = shared_stage(
+        spark, sf_dir, "ivfpq_routing_cent", lambda: _recenter(assign)
+    )
     q = assign.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "v"
     )

@@ -45,6 +45,7 @@ from streams_prototyping_spark.functions.similarity import (
     _bucketed,
 )
 from streams_prototyping_spark.registry import register
+from streams_prototyping_spark.stage_cache import shared_stage
 
 # ------------------------------------------------------- blocklist gate
 
@@ -299,8 +300,24 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("q_bucket"),
         )
     )
-    nbrs = bucketed.join(
-        q,
+    # r11 (the banded-family fix, guide §2.5/§2.2): the bucket join's
+    # reduce parallelism derives from the candidate bound n·occ — AQE
+    # coalesces by MAP-output bytes (narrow index rows) and cannot see
+    # the per-bucket fan-out, so the stage scoring every candidate
+    # cosine collapsed to a handful of tasks. Scale-adaptive (corpus-
+    # derived), not a local[32] constant.
+    from streams_prototyping_spark.functions.similarity import (
+        TARGET_BUCKET_OCC,
+        _corpus_n,
+    )
+
+    cand = _corpus_n(spark, sf_dir) * min(TARGET_BUCKET_OCC, KNN_QUERY_CAP)
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(-(-cand // 2_000_000), 65536),
+    )
+    nbrs = bucketed.repartition(parts, "bucket").join(
+        q.repartition(parts, "q_bucket"),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -732,6 +749,29 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins into the re-segmentation (no driver round-trip in
     the plan; localCheckpoint truncates the per-round lineage).
     """
+    return _bpe_merge_table(spark, sf_dir).select(
+        F.col("round").cast("long").alias("round"),
+        F.trim(F.col("pair")).alias("pair"),
+        "merged",
+        "pair_freq",
+    )
+
+
+def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table (round, padded pair, merged, pair_freq)
+    as a shared stage: the trained-artifact pattern (kmeans/_pq_best
+    precedent). Both the merge-table query and the tokenizer-apply
+    query consume it, so the {BPE_ROUNDS}-round training loop (2
+    blocking checkpoints per round) runs once per (session, sf) rather
+    than once per execution (r11)."""
+
+    def build() -> DataFrame:
+        return _bpe_train(spark, sf_dir)
+
+    return shared_stage(spark, sf_dir, "bpe_merge_table", build, persist=False)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -793,12 +833,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merge_rows[0]
     for t in merge_rows[1:]:
         out = out.union(t)
-    return out.select(
-        F.col("round").cast("long").alias("round"),
-        F.trim(F.col("pair")).alias("pair"),
-        "merged",
-        "pair_freq",
-    )
+    return out
 
 
 # -------------------------------------------------- BPE tokenizer apply

@@ -405,17 +405,22 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation step is two broadcast-able joins against the O(nodes)
     degree table. All integer arithmetic — nothing to round.
     """
+    # r11 (guide §5 driver / the numeric_profile idiom): the four
+    # sequential driver actions (edge count, node count barrier,
+    # triangle-join count, wedge collect) collapse into ONE lazy
+    # single-row action — the scalar subtrees crossJoin as 1-row
+    # broadcasts and run concurrently inside the consumer's job. The
+    # triangle join itself is unchanged; the oriented edge list is
+    # checkpointed (it feeds all three join sides — >1 fan-out, the
+    # greedy_match lesson) where persist+count was a blocking barrier.
     und = copurchase_und_df(spark, sf_dir)
-    n_edges = und.count()
     deg = (
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    n_nodes = deg.count()
-
     da = deg.select(F.col("node").alias("sn"), F.col("d").alias("sd"))
     db = deg.select(F.col("node").alias("dn"), F.col("d").alias("dd"))
     fwd = (F.col("sd") < F.col("dd")) | (
@@ -428,10 +433,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
             F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    n_tri = (
+    tri = (
         e1.join(
             e2,
             (F.col("e2.src") == F.col("e1.src")) & (F.col("e2.dst") > F.col("e1.dst")),
@@ -440,26 +445,31 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             e3,
             (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    n_wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("w")
-    ).collect()[0][0]
-    # und is the shared checkpointed stage — do NOT unpersist it here
-    deg.unpersist()
-    oriented.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                n_tri,
-                int(n_wedges),
-                n_edges,
-                n_nodes,
-                round(3.0 * n_tri / n_wedges, 6) if n_wedges else None,
+    nw = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            "n_edges",
+            "n_nodes",
+            F.when(
+                F.col("n_wedges") == 0, F.lit(None).cast("double")
             )
-        ],
-        "n_triangles bigint, n_wedges bigint, n_edges bigint, n_nodes bigint, "
-        "clustering_coeff double",
+            .otherwise(
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                )
+            )
+            .alias("clustering_coeff"),
+        )
     )
 
 

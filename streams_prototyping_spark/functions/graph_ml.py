@@ -410,6 +410,13 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = edges.groupBy("src").agg(F.lit(0)).select(
         F.col("src").alias("node"), F.col("src").alias("community")
     )
+    # r11 (the pagerank_parts pattern, guide §1.2/§2.6): the rounds form
+    # a LINEAR DAG — each lab_t is referenced exactly once by lab_{t+1}
+    # — so the per-round eager localCheckpoint only cost a blocking
+    # driver action per hop. The chain now builds lazily and
+    # materializes ONCE at the final checkpoint (edges stays
+    # checkpointed — it IS referenced every round); the final lab is
+    # checkpointed because sizes + the output join consume it twice.
     for _ in range(LP_ROUNDS):
         prev = lab.select(F.col("node").alias("lnode"), "community")
         nl = (
@@ -422,8 +429,8 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             nl.select("node", "community", F.row_number().over(w).alias("rn"))
             .where(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint()
         )
+    lab = lab.localCheckpoint()
     sizes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("sz"))
     return lab.join(sizes, "community").select(
         F.col("node").cast("long").alias("part_key"),

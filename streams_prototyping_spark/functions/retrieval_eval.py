@@ -437,33 +437,16 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is unchanged.
     """
     from streams_prototyping_spark.functions.similarity import (
-        _DOT_SPARK,
-        N_QUERIES,
         _vectors,
+        exact_topt_df,
     )
 
     vecs = _vectors(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("sqnorm").alias("q_sqnorm"),
-    )
-    allp = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            F.expr(_DOT_SPARK.format(a="qv", b="v"))
-            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
-            6,
-        ).alias("cos_sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    cand = (
-        allp.select(
-            "query_id", "vec_id", "cos_sim", F.row_number().over(wq).alias("rn")
-        )
-        .filter(F.col("rn") <= MMR_CAND)
-        .select("query_id", "vec_id", F.col("cos_sim").alias("rel"))
+    # candidate pool from the shared exact-scores stage (r11): the
+    # brute-force corpus scoring pass runs once per session instead of
+    # once per execution; same scores, same ordering, same top-8.
+    cand = exact_topt_df(spark, sf_dir, MMR_CAND).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("rel")
     )
     # checkpoint the candidate table BEFORE deriving the pairwise sims
     # from it — otherwise the sim build re-executes the corpus-sized
@@ -533,6 +516,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the union) — without a per-round checkpoint the final plan
         # re-derives every earlier step per reference (the cc_star
         # lineage lesson: iterative loops referencing their input more
-        # than once must checkpoint, not just cache)
+        # than once must checkpoint, not just cache). r11 NOTE (measured): switching
+        # these to lazy checkpoints (eager=False) read 2.00 s vs 1.52 s
+        # isolated at sf0.1 — the deferred materialization re-enters
+        # the checkpoint machinery inside the consumer job and costs
+        # more than the 5 small blocking jobs it saves. Kept eager.
         sel = sel.unionAll(pick).coalesce(1).localCheckpoint(eager=True)
     return sel

@@ -118,6 +118,47 @@ SELECT query_id, vec_id, cos_sim, rnk FROM (
 """
 
 
+# Widest exact top-k any consumer needs: cosine_topk (TOP_K=5), the
+# recall report's ground truth (ANN_TOP_K=3), and mmr_rerank's
+# candidate pool (MMR_CAND=8). One brute-force scoring pass per
+# (session, sf) serves all of them — the exact ground-truth table is
+# the artifact a production evaluation pipeline persists (r11; the
+# margin_knn_pairs / lsh_buckets stage precedent).
+EXACT_TOP_T = 8
+
+
+def exact_topt_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact cosine top-k per query from the shared top-{EXACT_TOP_T}
+    stage. rnk is identical to a direct window at any k <= EXACT_TOP_T
+    (same ordering, same tie-break), so filtering the wider table is
+    bit-identical to computing the narrower one."""
+    if k > EXACT_TOP_T:
+        raise ValueError(f"exact_topt_df: k={k} exceeds EXACT_TOP_T={EXACT_TOP_T}")
+
+    def build() -> DataFrame:
+        vecs = _vectors(spark, sf_dir)
+        q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("sqnorm").alias("q_sqnorm"),
+        )
+        pairs = vecs.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qv", b="v"))
+                / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        return _topk_per_query(pairs, EXACT_TOP_T)
+
+    shared = shared_stage(spark, sf_dir, "similarity/exact_topk", build)
+    return shared.filter(F.col("rnk") <= k)
+
+
 @register("cosine_topk", oracle=_TOPK_ORACLE)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-{TOP_K} for each of the first
@@ -127,26 +168,10 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), candidates never shuffle, and row_number's
     rank<=k filter becomes a per-partition WindowGroupLimit — so the
     full corpus is read once, streamed, and only k rows per query
-    survive per partition.
+    survive per partition (one shared scoring pass per session; see
+    exact_topt_df).
     """
-    vecs = _vectors(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("sqnorm").alias("q_sqnorm"),
-    )
-    pairs = vecs.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            F.expr(_DOT_SPARK.format(a="qv", b="v"))
-            / (F.sqrt("q_sqnorm") * F.sqrt("sqnorm")),
-            6,
-        ).alias("cos_sim"),
-    )
-    return _topk_per_query(pairs, TOP_K)
+    return exact_topt_df(spark, sf_dir, TOP_K)
 
 
 def _topk_per_query(pairs, k: int):

@@ -611,21 +611,30 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift arithmetic is exact-integer products in one IEEE division.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    # r11: one order-keyed aggregate replaces distinct + self-join. The
+    # old shape shuffled the basket stream three times (the (order,
+    # part) distinct, then both self-join sides by order key); baskets
+    # as a sorted per-order set needs ONE shuffle, dedups for free
+    # (collect_set), and generates the same a<b pairs map-side from the
+    # sorted array — fan-out is still sum(basket_size^2), unchanged.
+    bl = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = bl.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = bl.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n_item"))
+    pair_struct = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts) - i - 1), "
+            "y -> struct(x AS part_a, y AS part_b))))"
+        )
+    ).alias("p")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        bl.select(pair_struct)
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("co_count"))
         .filter(F.col("co_count") >= MIN_CO_COUNT)
     )
