@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from streams_prototyping_spark.data import load_table
 from streams_prototyping_spark.functions.dedup_pipeline import (
     _GRAMS_DUCK,
-    _GRAMS_SPARK,
+    _GRAMS_W_SPARK,
 )
 from streams_prototyping_spark.functions.text import EN_STOPWORDS, _STOP_LIST_SQL
 from streams_prototyping_spark.registry import register
@@ -72,7 +72,8 @@ def gram_tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
         return (
-            d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("gram"))
+            d.select("doc_id", "text", F.split("text", " ").alias("_w"))
+            .select("doc_id", F.explode(F.expr(_GRAMS_W_SPARK)).alias("gram"))
             .groupBy("doc_id", "gram")
             .agg(F.count("*").alias("tf"))
         )
@@ -307,6 +308,26 @@ CASE WHEN len(string_split(text, ' ')) >= 2
      ELSE [] END
 """
 
+# r11: hoisted twin of _BIGRAMS_SPARK over a pre-projected `_w` word
+# array — the single-expression form evaluates split(text) five times
+# per row (the zip_with HOF is interpreted, and interpreted projections
+# do no subexpression elimination). Same structs, same output.
+_BIGRAMS_W_SPARK = """
+CASE WHEN size(_w) >= 2
+     THEN zip_with(slice(_w, 1, size(_w) - 1),
+                   slice(_w, 2, size(_w) - 1),
+                   (a, b) -> named_struct('w1', a, 'w2', b))
+     ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
+"""
+
+
+def _bigram_stream(d: DataFrame, *cols: str) -> DataFrame:
+    """Exploded bigram structs (column `b`) with split(text) projected
+    once per row; `cols` are carried through."""
+    return d.select(*cols, F.split("text", " ").alias("_w")).select(
+        *cols, F.explode(F.expr(_BIGRAMS_W_SPARK)).alias("b")
+    )
+
 _PMI_ORACLE = f"""
 WITH bg AS (
     SELECT b.w1, b.w2 FROM documents, unnest({_BIGRAMS_DUCK}) AS t(b)
@@ -347,7 +368,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     bgf = (
-        d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b"))
+        _bigram_stream(d)
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_bigram"))
@@ -363,9 +384,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_uni_total"))
         .crossJoin(
             F.broadcast(
-                d.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("b")).agg(
-                    F.count("*").alias("n_bg_total")
-                )
+                _bigram_stream(d).agg(F.count("*").alias("n_bg_total"))
             )
         )
     )
@@ -728,7 +747,7 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (its own groupBy), never again.
     """
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("b")).select(
+    bg = _bigram_stream(d, "doc_id").select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     # NOTE (r11, measured): a persist barrier on bgf + a precomputed

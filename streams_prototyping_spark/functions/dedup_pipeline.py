@@ -313,6 +313,22 @@ CASE WHEN len(string_split(text, ' ')) >= 3
      ELSE [text] END
 """
 
+# r11: hoisted twin of _GRAMS_SPARK over a pre-projected `_w` word
+# array (consumers project split(text) once per row alongside text) —
+# the single-expression form evaluates split(text) six times per row,
+# and the zip_with tree is interpreted (no subexpression elimination).
+# Same gram list, same output.
+_GRAMS_W_SPARK = """
+CASE WHEN size(_w) >= 3
+     THEN zip_with(
+         zip_with(slice(_w, 1, size(_w) - 2),
+                  slice(_w, 2, size(_w) - 2),
+                  (a, b) -> concat(a, ' ', b)),
+         slice(_w, 3, size(_w) - 2),
+         (ab, c) -> concat(ab, ' ', c))
+     ELSE array(text) END
+"""
+
 _WINNOW_ORACLE = f"""
 WITH hashed AS (
     SELECT doc_id,
@@ -340,9 +356,11 @@ def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "dedup/winnow_hashes",
         lambda: d.select(
+            "doc_id", "text", F.split("text", " ").alias("_w")
+        ).select(
             "doc_id",
             F.expr(
-                f"transform({_GRAMS_SPARK}, s -> "
+                f"transform({_GRAMS_W_SPARK}, s -> "
                 "CAST(conv(substring(md5(concat('win:', s)), 1, 15), 16, 10) AS BIGINT))"
             ).alias("hashes"),
         ),

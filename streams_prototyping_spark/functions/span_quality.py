@@ -86,7 +86,12 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order lives inside the row, not the shuffle).
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # r11 (the cross_doc_ngram_novelty lesson): project split(text)
+    # ONCE per row before the span lambda — referenced inside the
+    # transform it re-splits the whole text per span position (no CSE
+    # in HOF lambdas), O(words^2/{SPAN_W}) string work per document.
+    d = d.select("doc_id", F.split("text", " ").alias("_words"))
+    words = F.col("_words")
     n_spans = F.greatest(
         F.ceil(F.size(words) / F.lit(float(SPAN_W))).cast("int"), F.lit(1)
     )

@@ -108,7 +108,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trigram is
 from streams_prototyping_spark.functions.dedup_pipeline import (  # noqa: E402
     _GRAMS_DUCK,
-    _GRAMS_SPARK,
+    _GRAMS_W_SPARK,
 )
 
 _REPETITION_ORACLE = f"""
@@ -146,8 +146,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold equivalent. (widen() fans the single-file local scan out
     to every core; a real deployment's scan is already wide.)
     """
-    d = widen(load_table(spark, sf_dir, "documents"))
-    grams = _GRAMS_SPARK
+    d = widen(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.split("text", " ").alias("_w")
+    )
+    grams = _GRAMS_W_SPARK
     # fold state: (prev gram, current run, max run, dup count, total)
     fold = f"""
     aggregate(
