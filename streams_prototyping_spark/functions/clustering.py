@@ -334,6 +334,66 @@ def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_stage(spark, sf_dir, "pq_best", build)
 
 
+def _adc_from_codes(codes, lut, cand=None):
+    """(query_id, vec_id, adc_sq_dist) by folding {M_SUB} LUT lookups
+    over each candidate's code array against a broadcast per-query
+    map of (m*{K_PQ}+cw_id) -> partial_d. `cand` (query_id, vec_id)
+    restricts candidates (IVF routing); None means all-vs-all minus
+    self. The fixed-order decimal(25,9) fold equals the decimal Sum
+    aggregate it replaces bit-for-bit (8 terms never leave precision
+    38)."""
+    lutm = lut.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("m") * K_PQ + F.col("cw_id")).cast("int").alias("k"),
+                    F.col("partial_d").alias("v"),
+                )
+            )
+        ).alias("_lm")
+    )
+    if cand is None:
+        paired = codes.crossJoin(F.broadcast(lutm)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        paired = codes.join(F.broadcast(cand), "vec_id").join(
+            F.broadcast(lutm), "query_id"
+        )
+    fold = (
+        f"aggregate(transform(codes, (c, j) -> "
+        f"element_at(_lm, CAST(j * {K_PQ} + c AS INT))), "
+        "CAST(0 AS DECIMAL(25,9)), (acc, x) -> "
+        "CAST(acc + CAST(x AS DECIMAL(25,9)) AS DECIMAL(25,9)))"
+    )
+    return paired.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(fold).cast("double"), 6).alias("adc_sq_dist"),
+    )
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes, _sqd_sum) — per-vector PQ code ARRAY (cw_id by
+    subspace order) plus the exact decimal reconstruction-error sum.
+    r11: this is the actual shipped index layout (a code row per
+    vector, not 8 rows) — pq_encode projects it, and the ADC searches
+    fold LUT lookups over the array map-side instead of re-grouping
+    the (vec, m) table per query execution."""
+
+    def build() -> DataFrame:
+        best = _pq_best(spark, sf_dir)
+        return best.groupBy("vec_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cw_id"))),
+                lambda s: s["cw_id"],
+            ).alias("codes"),
+            F.sum(F.round("sqd", 9).cast("decimal(25,9)")).alias("_sqd_sum"),
+        )
+
+    return shared_stage(spark, sf_dir, "pq_codes", build)
+
+
 @register("pq_encode", oracle=_PQ_ORACLE)
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: each vector split into {M_SUB} subvectors
@@ -350,18 +410,12 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reconstruction error uses decimal-exact summation so both engines
     agree bit-for-bit.
     """
-    best = _pq_best(spark, sf_dir)
-    return best.groupBy("vec_id").agg(
+    return _pq_codes(spark, sf_dir).select(
+        "vec_id",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cw_id"))),
-                lambda s: s["cw_id"].cast("string"),
-            ),
-            "-",
+            F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
         ).alias("pq_code"),
-        F.round(
-            F.sum(F.round("sqd", 9).cast("decimal(25,9)")).cast("double"), 6
-        ).alias("recon_sq_err"),
+        F.round(F.col("_sqd_sum").cast("double"), 6).alias("recon_sq_err"),
     )
 
 
@@ -432,7 +486,6 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Top-k is a per-query WindowGroupLimit. Decimal-exact sums
     of pre-rounded partials keep both engines bit-identical.
     """
-    best = _pq_best(spark, sf_dir).select("vec_id", "m", "cw_id")
     subs = _pq_subs(spark, sf_dir)
     codebook = _pq_codebook(subs)
     q = subs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
@@ -445,15 +498,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = q.join(F.broadcast(codebook), "m").select(
         "query_id", "m", "cw_id", F.round(F.expr(lut_sqd), 9).alias("partial_d")
     )
-    adc = (
-        best.join(F.broadcast(lut), ["m", "cw_id"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.round(
-                F.sum(F.col("partial_d").cast("decimal(25,9)")).cast("double"), 6
-            ).alias("adc_sq_dist")
-        )
+    # r11: the ADC sum is a MAP-SIDE fold over the per-vector code
+    # array against a broadcast {M_SUB}x{K_PQ}-entry LUT map — the
+    # former shape joined the 8-rows-per-vector best table to the LUT
+    # and re-grouped Q*n rows by (query, vec) per execution. The
+    # decimal(25,9) fold over 8 terms is the same exact sum as the
+    # aggregate it replaces ((33,9) max precision — no scale loss),
+    # in fixed subspace order.
+    adc = _adc_from_codes(
+        _pq_codes(spark, sf_dir).select("vec_id", "codes"), lut
     )
     from pyspark.sql import Window
 
@@ -819,16 +872,11 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(codebook), "m")
         .select("query_id", "m", "cw_id", F.round(F.expr(lut_sqd), 9).alias("partial_d"))
     )
-    best = _pq_best(spark, sf_dir).select("vec_id", "m", "cw_id")
-    adc = (
-        best.join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(lut), ["query_id", "m", "cw_id"])
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.round(
-                F.sum(F.col("partial_d").cast("decimal(25,9)")).cast("double"), 6
-            ).alias("adc_sq_dist")
-        )
+    # r11: map-side LUT-map fold over the per-vector code array (see
+    # _adc_from_codes) replaces the 8-rows-per-candidate join + the
+    # (query, vec) re-group each execution paid.
+    adc = _adc_from_codes(
+        _pq_codes(spark, sf_dir).select("vec_id", "codes"), lut, cand
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sq_dist").asc(), F.col("vec_id").asc()

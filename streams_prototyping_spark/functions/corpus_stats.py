@@ -410,6 +410,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_DF_MIN = 2    # df=1 terms cannot produce pairs; prune before join
 TFIDF_DF_MAX = 16   # prefix-filter analogue: drop hot terms from pairing
 TFIDF_MIN_COS = 0.25
+_TFIDF_PARTS_CACHE: dict = {}  # (sf_dir, mtime) -> pair-join partitions
 
 _TFIDF_GRAMS_CTE = f"""
 g AS (
@@ -488,6 +489,24 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index side b, and both norm lookups) — without the barrier the plan
     # re-derives tf/df per consumer (measured: 12 scans -> 2)
     w = shared_stage(spark, sf_dir, "tfidf_postings", build_w)
+    # r11 (the banded-family fix, guide §2.5/§2.2): the pair join's
+    # reduce parallelism derives from the candidate bound
+    # n_indexed_postings * DF_MAX / 2 — AQE coalesces on the narrow
+    # map bytes and cannot see the df² fan-out (measured: explicit
+    # gram repartition 4.95 -> 3.91 s same-session). The count runs
+    # once per (session, dataset) against the persisted stage.
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    pkey = dataset_cache_key(sf_dir, "documents")
+    if pkey not in _TFIDF_PARTS_CACHE:
+        n_idx = w.filter(
+            F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX)
+        ).count()
+        dp = spark.sparkContext.defaultParallelism
+        _TFIDF_PARTS_CACHE[pkey] = max(
+            dp, min(n_idx * TFIDF_DF_MAX // 2 // 2_000_000 + 1, 65536)
+        )
+    pair_parts = _TFIDF_PARTS_CACHE[pkey]
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")).cast(
@@ -495,7 +514,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("norm")
     )
-    indexed = w.filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX))
+    indexed = w.filter(F.col("df").between(TFIDF_DF_MIN, TFIDF_DF_MAX)).repartition(
+        pair_parts, "gram"
+    )
     a = indexed.select(
         F.col("doc_id").alias("doc1"), "gram", F.col("w").alias("w1")
     )

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r11 NOTE (measured, guide §3.1): preferSortMergeJoin=false
+        # (shuffled-hash when sizes allow) was tried and REJECTED —
+        # isolated A/B over 10 join-heavy queries read uniformly slower
+        # (bm25_topk 2.95->5.54 s, naive_bayes 2.02->2.51 s, greedy
+        # match 1.96->2.32 s): most of this engine's joins feed
+        # per-key windows/aggregates that reuse SMJ's sorted output,
+        # so skipping the sort just moves it downstream.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scans: vectorized reader + pushdown are on by default;
