@@ -147,16 +147,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qidf = q.join(idf, "word")  # query-side: tiny, carries idf with it
-    # broadcast-join the query terms BEFORE the doc-length join: the
-    # postings stream shrinks to query-matching terms map-side, so the
-    # doc-keyed dl join shuffles only the surviving candidates instead
-    # of the full postings table (guide §3.2 reduce the big side before
-    # shuffling it). Same rows, same scores — only the join order moves.
+    # r11 NOTE (measured, then reverted): broadcast-joining qidf BEFORE
+    # the dl join looked like guide §3.2 (shrink before the shuffle),
+    # but the query-term broadcast FANS OUT (a posting row matches up
+    # to N_QUERY_DOCS query docs), so the dl join shuffled MORE rows,
+    # each wider by (query_doc, idf). Same-session A/B: original
+    # 2.43-4.11 s vs reordered 3.74-5.28 s at sf0.1 — the original
+    # order (dl join on the un-fanned postings, then broadcast) wins.
     scored = (
-        tf.withColumnRenamed("doc_id", "cand_doc")
+        tf.join(dl, "doc_id")
+        .withColumnRenamed("doc_id", "cand_doc")
         .join(F.broadcast(qidf), "word")
         .filter(F.col("cand_doc") != F.col("query_doc"))
-        .join(dl.withColumnRenamed("doc_id", "cand_doc"), "cand_doc")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_doc",
