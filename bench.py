@@ -273,6 +273,58 @@ HEADLINE = [
 ]
 
 
+# --- lossless round-over-round stdout contract (VERDICT r11 item 2) --
+# The driver tail-parses the LAST 2000 chars of stdout (measured:
+# bench_history/BENCH_r02.json captured exactly 2000 chars and parsed
+# null when round 2's line outgrew it), so the full 176-query map
+# (~5.5 KB serialized) CANNOT ride the stdout line without breaking
+# the driver's parse — the exact round-2 failure. What the driver's
+# comparison actually needs is that no query it saw last round
+# disappears this round (4 phantom "dropped_from_bench" in PERF_r11
+# came from the slowest-20 window shifting). So the stdout line now
+# carries the union of (a) every query in the PREVIOUS driver
+# artifact's map — these may never be dropped — and (b) as many of the
+# current slowest as fit a LINE_BUDGET below the driver's buffer. The
+# full map still goes to BENCH_LOCAL_LATEST.json, committed.
+PREV_REPORTED = [
+    # BENCH_r11.json parsed.queries — the driver's r12 comparison base
+    "embedding_near_dup_pairs_banded", "simhash_near_pairs",
+    "near_dup_banded_recall_audit", "bm25_topk", "tfidf_cosine_pairs",
+    "bloom_prefilter_join", "poisson_bootstrap_ci", "knn_label_eval",
+    "community_modularity", "naive_bayes_confusion", "semantic_dedup",
+    "pagerank_parts", "rrf_fusion_topk", "avro_roundtrip",
+    "ann_recall_report", "greedy_match_assign", "copurchase_lift",
+    "near_dup_recall_audit", "curation_pipeline_select",
+    "label_prop_communities",
+]
+LINE_BUDGET = 1900  # chars; the driver buffer is 2000 — leave margin
+
+
+def budgeted_summary(summary: dict, timings: dict[str, float],
+                     always: list[str] = PREV_REPORTED,
+                     budget: int = LINE_BUDGET) -> dict:
+    """Fill summary["queries"] with every `always` query present in
+    `timings` plus as many of the remaining slowest as keep the
+    serialized line inside `budget`. Pure, unit-tested."""
+    by_slow = sorted(timings, key=lambda q: -timings[q])
+    keep = [q for q in by_slow if q in set(always)]
+    rest = [q for q in by_slow if q not in set(always)]
+
+    def render(names: list[str]) -> str:
+        s = dict(summary)
+        s["queries"] = {q: timings[q] for q in sorted(names, key=lambda q: -timings[q])}
+        s["queries_note"] = "%d of %d (prev-reported + slowest); full map in %s" % (
+            len(names), len(timings), summary.get("_full_name", "BENCH_LOCAL_LATEST.json")
+        )
+        s.pop("_full_name", None)
+        return json.dumps(s)
+
+    while rest and len(render(keep + [rest[0]])) <= budget:
+        keep.append(rest.pop(0))
+    out = json.loads(render(keep))
+    return out
+
+
 GATE_PER_QUERY = 1.5   # a query may not slow more than 1.5x round-over-round
 GATE_TOTAL = 1.2       # nor the shared-set total more than 1.2x
 GATE_NOISE_S = 0.5     # absolute slack: sub-second timings jitter ~100s of ms
@@ -497,10 +549,18 @@ def main() -> None:
             out[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # r12 (VERDICT r11 item 3): time every shared-stage build during the
+    # warm-up pass so warm-only "wins" are visible in the artifact
+    from streams_prototyping_spark import stage_cache
+
+    stage_cache.TIME_BUILDS = True
+    stage_cache.BUILD_SEC.clear()
     for name in names:  # warm-up pass (codegen/JIT, caches, shared stages)
         registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+    stage_cache.TIME_BUILDS = False
+    stage_build_sec = dict(sorted(stage_cache.BUILD_SEC.items()))
     timings = timed_pass()
     post_ev = read_load_evidence()
     load_ev: dict = {"pre": pre_ev, "post": post_ev}
@@ -595,6 +655,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "mode": "full" if full_mode else "headline",
+        "stage_build_sec": stage_build_sec,
         "load_evidence": load_ev,
         "ambient_loaded": ambient,
         "ambient_load1_threshold": AMBIENT_LOAD1,
@@ -610,7 +671,6 @@ def main() -> None:
     )
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     # compact evidence for the driver's tail-parsed line (BENCH_r{N}
     # .json must self-adjudicate — VERDICT r10 item 3): full snapshots
     # minus the competing-process details, which live in the artifact
@@ -624,15 +684,14 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "queries": slowest,
-        "queries_note": "slowest 20 of %d; full map in %s"
-        % (len(timings), full_path.name),
+        "_full_name": full_path.name,
         "load_evidence": compact_ev,
         "ambient_loaded": ambient,
     }
     if ambient_rerun is not None:
         summary["ambient_rerun"] = ambient_rerun
         summary["rerun_ambient_loaded"] = full["rerun_ambient_loaded"]
+    summary = budgeted_summary(summary, timings)
     print(json.dumps(summary))
     spark.stop()
 

@@ -20,6 +20,8 @@ Jaccard runs only on LSH candidates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -849,12 +851,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # {bits}-vote fold subtree is inlined SIX times (3 union branches x
     # 2 join sides) and the fingerprint pass dominates the query; the
     # oracle's fp CTE is MATERIALIZED for exactly the same reason.
-    fp = shared_stage(
-        spark,
-        sf_dir,
-        "dedup/simhash_fp",
-        lambda: simhash_fingerprint(spark, sf_dir),
-    )
+    # SPARK_GRAFT_SIMHASH_BARRIER=0 rebuilds the fingerprints inline
+    # (the r10 shape) — the interleaved-A/B hook for the r11 driver
+    # regression adjudication (OPTIMIZATION_r12.md).
+    if os.environ.get("SPARK_GRAFT_SIMHASH_BARRIER", "1") == "0":
+        fp = simhash_fingerprint(spark, sf_dir)
+    else:
+        fp = shared_stage(
+            spark,
+            sf_dir,
+            "dedup/simhash_fp",
+            lambda: simhash_fingerprint(spark, sf_dir),
+        )
     bits = _simhash_bits(spark, sf_dir)
     blocks = None
     for bi, (shift, width) in enumerate(_simhash_blocks(bits)):

@@ -420,6 +420,24 @@ def _selfjoin_parts(spark: SparkSession, sf_dir: str) -> int:
     return max(dp, min(-(-cand // _CAND_PER_TASK), 65536))
 
 
+def _apply_selfjoin_parts(
+    df: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repartition the self-join input on the collision keys with the
+    candidate-bound parallelism — or, under
+    SPARK_GRAFT_BANDED_PARTS=aqe, leave the reduce parallelism to AQE
+    (the r10 shape). The knob exists for the interleaved same-session
+    A/B the r11 verdict asked for (driver read 0.64x on this family
+    while same-harness local runs read improvements — settled by
+    alternating shapes inside ONE session; numbers in
+    OPTIMIZATION_r12.md)."""
+    if os.environ.get("SPARK_GRAFT_BANDED_PARTS", "bound") == "aqe":
+        return df
+    return df.repartition(
+        _selfjoin_parts(spark, sf_dir), "band", "bucket", "ext", "sub"
+    )
+
+
 # r11 (guide §2.3 "narrower types"): the self-join carries the RAW
 # float32 embedding (256 B) instead of the pre-cast double vector
 # (512 B) — float→double cast is exact, so casting per element INSIDE
@@ -543,13 +561,10 @@ def _banded_pairs(
     idx = _banded_index(spark, sf_dir)
     if within is not None:
         idx = idx.join(within, "vec_id", "left_semi")
-    sj_parts = _selfjoin_parts(spark, sf_dir)
     if _carry_mode() == "sq8":
         vecs = _vectors(spark, sf_dir)
         qv = _sq8_vectors(spark, sf_dir)
-        idx_q = idx.join(qv, "vec_id").repartition(
-            sj_parts, "band", "bucket", "ext", "sub"
-        )
+        idx_q = _apply_selfjoin_parts(idx.join(qv, "vec_id"), spark, sf_dir)
         a = idx_q.alias("a")
         b = idx_q.alias("b")
         approx = (
@@ -615,8 +630,8 @@ def _banded_pairs(
             )
             .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
         )
-    idx_v = idx.join(_vectors_f32(spark, sf_dir), "vec_id").repartition(
-        sj_parts, "band", "bucket", "ext", "sub"
+    idx_v = _apply_selfjoin_parts(
+        idx.join(_vectors_f32(spark, sf_dir), "vec_id"), spark, sf_dir
     )
     a = idx_v.alias("a")
     b = idx_v.alias("b")

@@ -25,11 +25,23 @@ the docstrings of the users point at.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# --- r12 (VERDICT r11 item 3): make warm-stage cost visible ----------
+# When TIME_BUILDS is on (bench.py sets it around its warm-up pass),
+# every shared_stage build is materialized EAGERLY to the noop sink and
+# its wall-clock recorded in BUILD_SEC[tag]. This separates "moved to
+# the warm-up pass" from "eliminated" in the committed bench artifacts
+# (the r11 verdict flagged five new stages whose cost the timed pass
+# never sees). Off by default so plan-only consumers
+# (scripts/explain_queries.py) still run no jobs.
+TIME_BUILDS = False
+BUILD_SEC: dict[str, float] = {}
 
 
 def _is_live(df: DataFrame, spark: SparkSession) -> bool:
@@ -60,9 +72,21 @@ def shared_stage(
             return cached
         # stale entry from a stopped/foreign session: drop it
         _CACHE.pop(key, None)
-    df = build()
-    if persist:
-        df = df.persist()
+    if TIME_BUILDS:
+        t0 = time.perf_counter()
+        df = build()
+        if persist:
+            df = df.persist()
+            # populate the cached blocks NOW so the build cost is
+            # attributed to the stage, not to whichever consumer query
+            # happens to run first (persist=False builders end in an
+            # eager localCheckpoint — build() already paid)
+            df.write.format("noop").mode("overwrite").save()
+        BUILD_SEC[tag] = round(time.perf_counter() - t0, 3)
+    else:
+        df = build()
+        if persist:
+            df = df.persist()
     _CACHE[key] = df
     return df
 

@@ -285,3 +285,61 @@ def test_headline_artifact_carries_load_evidence():
         assert {"rerun_pre", "rerun_post"} <= set(ev)
         assert isinstance(doc["rerun_ambient_loaded"], bool)
         assert "first_total_s" in doc["ambient_rerun"]
+
+
+def test_budgeted_summary_contract():
+    """VERDICT r11 item 2: the stdout line must (a) never drop a query
+    the previous driver artifact reported (no phantom
+    dropped_from_bench), (b) stay inside the driver's measured
+    2000-char tail buffer, (c) add as many current-slowest entries as
+    fit."""
+    import json
+
+    # synthetic full map: every prev-reported query + 156 fillers
+    timings = {q: 2.0 + i / 100 for i, q in enumerate(bench.PREV_REPORTED)}
+    timings.update({f"filler_query_with_a_long_name_{i:03d}": 1.0 for i in range(156)})
+    base = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(timings),
+        "_full_name": "BENCH_LOCAL_LATEST.json",
+        "load_evidence": {
+            "pre": {"load1": 1.0, "load5": 1.0, "load15": 1.0,
+                    "ncpus": 32, "n_competing": 0},
+            "post": {"load1": 9.0, "load5": 7.0, "load15": 5.0,
+                     "ncpus": 32, "n_competing": 0},
+        },
+        "ambient_loaded": False,
+    }
+    out = bench.budgeted_summary(base, timings)
+    line = json.dumps(out)
+    assert len(line) <= bench.LINE_BUDGET
+    assert set(bench.PREV_REPORTED) <= set(out["queries"])
+    assert len(out["queries"]) > len(bench.PREV_REPORTED)  # slowest fill in
+    assert "_full_name" not in out
+    # a prev-reported query missing from the registry map (real removal)
+    # simply doesn't appear — no KeyError
+    t2 = dict(timings)
+    t2.pop(bench.PREV_REPORTED[0])
+    out2 = bench.budgeted_summary(base, t2)
+    assert bench.PREV_REPORTED[0] not in out2["queries"]
+
+
+def test_headline_artifact_carries_stage_build_sec():
+    """VERDICT r11 item 3: committed bench artifacts publish per-shared-
+    stage build seconds so warm-up cost-shifting is visible."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(bench.__file__).parent / "BENCH_LOCAL_LATEST.json").read_text()
+    )
+    sbs = doc["stage_build_sec"]
+    assert isinstance(sbs, dict) and sbs, "stage_build_sec missing/empty"
+    # the five r11 stages the verdict flagged must be visible
+    for tag in ("pq_codes", "ivfpq_routing_cent", "bpe_merge_table",
+                "dedup/simhash_fp", "similarity/exact_topk"):
+        assert tag in sbs, tag
+    assert all(isinstance(v, float) for v in sbs.values())
