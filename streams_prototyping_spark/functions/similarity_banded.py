@@ -421,17 +421,35 @@ def _selfjoin_parts(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _apply_selfjoin_parts(
-    df: DataFrame, spark: SparkSession, sf_dir: str
+    df: DataFrame, spark: SparkSession, sf_dir: str,
+    n_within: int | None = None,
 ) -> DataFrame:
     """Repartition the self-join input on the collision keys with the
-    candidate-bound parallelism — or, under
-    SPARK_GRAFT_BANDED_PARTS=aqe, leave the reduce parallelism to AQE
-    (the r10 shape). The knob exists for the interleaved same-session
-    A/B the r11 verdict asked for (driver read 0.64x on this family
-    while same-harness local runs read improvements — settled by
-    alternating shapes inside ONE session; numbers in
-    OPTIMIZATION_r12.md)."""
-    if os.environ.get("SPARK_GRAFT_BANDED_PARTS", "bound") == "aqe":
+    candidate-bound parallelism — EXCEPT when the audit's sample
+    restriction genuinely shrinks the join (n_within < corpus n),
+    where AQE is left in charge (VERDICT r11 item 1, settled by
+    interleaved same-session A/Bs, OPTIMIZATION_r12.md):
+
+    - unrestricted: the bound wins — sf0.1 detector 2.53 s med vs
+      3.26 s AQE, sf1 detector 9.67 vs 11.31 (AQE coalesces the
+      ~MB-scale narrow map output to one task and cannot see the
+      ~occ× join fan-out).
+    - restricted: AQE wins against every forced width tried (sf1
+      audit: AQE 3.6-4.5 s med vs 32 parts 4.85 / 8 parts 4.30 /
+      1 part 5.31). The restriction drops per-bucket occupancy to
+      ~occ·s/n (≈1 at production corpus sizes), so per-row fan-out is
+      uniform and AQE's bytes-proportional coalescing is the right
+      scheduler; a corpus-derived width only pays per-task overhead
+      on a sample-sized join.
+
+    SPARK_GRAFT_BANDED_PARTS overrides for A/Bs: "aqe" (never
+    repartition — the r10 shape) or an integer width."""
+    mode = os.environ.get("SPARK_GRAFT_BANDED_PARTS", "bound")
+    if mode == "aqe":
+        return df
+    if mode.isdigit():
+        return df.repartition(int(mode), "band", "bucket", "ext", "sub")
+    if n_within is not None and n_within < _corpus_n(spark, sf_dir):
         return df
     return df.repartition(
         _selfjoin_parts(spark, sf_dir), "band", "bucket", "ext", "sub"
@@ -521,7 +539,8 @@ def _sq8_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_pairs(
-    spark: SparkSession, sf_dir: str, within: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, within: DataFrame | None = None,
+    within_n: int | None = None,
 ) -> DataFrame:
     """Deduplicated near-dup pairs (cos_sim ≥ {NEAR_DUP_MIN_COS}) with
     exact verified cosine, distinct across bands.
@@ -564,7 +583,9 @@ def _banded_pairs(
     if _carry_mode() == "sq8":
         vecs = _vectors(spark, sf_dir)
         qv = _sq8_vectors(spark, sf_dir)
-        idx_q = _apply_selfjoin_parts(idx.join(qv, "vec_id"), spark, sf_dir)
+        idx_q = _apply_selfjoin_parts(
+            idx.join(qv, "vec_id"), spark, sf_dir, within_n
+        )
         a = idx_q.alias("a")
         b = idx_q.alias("b")
         approx = (
@@ -631,7 +652,8 @@ def _banded_pairs(
             .filter(F.col("cos_sim") >= NEAR_DUP_MIN_COS)
         )
     idx_v = _apply_selfjoin_parts(
-        idx.join(_vectors_f32(spark, sf_dir), "vec_id"), spark, sf_dir
+        idx.join(_vectors_f32(spark, sf_dir), "vec_id"), spark, sf_dir,
+        within_n,
     )
     a = idx_v.alias("a")
     b = idx_v.alias("b")
@@ -825,7 +847,9 @@ def _recall_rows(
     # self-join — see _banded_pairs ``within``), so the audit's
     # candidate work is O(sample²)-shaped instead of running the full
     # corpus detector and discarding everything outside the sample.
-    found = _banded_pairs(spark, sf_dir, within=smp.select("vec_id")).select(
+    found = _banded_pairs(
+        spark, sf_dir, within=smp.select("vec_id"), within_n=n_sample
+    ).select(
         "vec_a", "vec_b", "cos_sim"
     )
     thrs = [
