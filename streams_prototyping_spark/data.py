@@ -105,6 +105,22 @@ def dataset_cache_key(sf_dir: str, table: str) -> tuple:
     return (sf_dir, table, sig)
 
 
+_TABLE_N_CACHE: dict = {}
+
+
+def table_n(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of a base table, cached per dataset signature (the
+    similarity._corpus_n pattern, generalized): one count() job per
+    (session, dataset, table). Used to derive reduce widths for
+    compute-dense stages whose map-output BYTES are too small for
+    AQE's byte-target coalescing to size correctly (guide §2.5 — AQE
+    cannot see per-row fan-out or fold cost)."""
+    key = dataset_cache_key(sf_dir, table)
+    if key not in _TABLE_N_CACHE:
+        _TABLE_N_CACHE[key] = load_table(spark, sf_dir, table).count()
+    return _TABLE_N_CACHE[key]
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism ahead of a CPU-heavy
     narrow stage (hashing, regex, Python decode).

@@ -624,6 +624,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub"),
     )
+    # r12 (guide §2.5, the similarity-family rule): width the cell
+    # self-join by the candidate bound n·TARGET_CELL_SIZE/2 — its map
+    # bytes are tiny and byte-target AQE coalescing otherwise folds
+    # the whole cosine-scoring fan-out onto one task.
+    from streams_prototyping_spark.functions.similarity import _corpus_n
+
+    cand = _corpus_n(spark, sf_dir) * TARGET_CELL_SIZE // 2
+    dp = spark.sparkContext.defaultParallelism
+    a = a.repartition(
+        max(dp, min(-(-cand // 2_000_000), 65536)), "cell", "sub"
+    )
     x = a.alias("x")
     y = a.alias("y")
     dups = (

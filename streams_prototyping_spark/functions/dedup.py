@@ -326,6 +326,7 @@ def _simhash_duck(bits: int) -> str:
 # vary its expression count, so it always sums SIMHASH_MAX_BITS votes
 # and masks with % (1 << bits) — the low `bits` bits are identical.
 _SIMHASH_BITS_CACHE: dict = {}
+_DOC_N_CACHE: dict = {}
 
 _SIMHASH_BITS_DUCK = (
     f"GREATEST({SIMHASH_BITS}, LEAST({SIMHASH_MAX_BITS}, {SIMHASH_BITS} + "
@@ -335,6 +336,18 @@ _SIMHASH_BITS_DUCK = (
 _SIMHASH_PARAMS_DUCK = (
     f"params AS MATERIALIZED (SELECT {_SIMHASH_BITS_DUCK} AS bits FROM documents)"
 )
+
+
+def _doc_n(spark: SparkSession, sf_dir: str) -> int:
+    """Document-corpus row count, cached per dataset signature (the
+    similarity._corpus_n pattern: an index builder knows its corpus
+    size; one count() job per session)."""
+    from streams_prototyping_spark.data import dataset_cache_key
+
+    key = dataset_cache_key(sf_dir, "documents")
+    if key not in _DOC_N_CACHE:
+        _DOC_N_CACHE[key] = load_table(spark, sf_dir, "documents").count()
+    return _DOC_N_CACHE[key]
 
 
 def _simhash_bits(spark: SparkSession, sf_dir: str) -> int:
@@ -348,7 +361,7 @@ def _simhash_bits(spark: SparkSession, sf_dir: str) -> int:
     if key not in _SIMHASH_BITS_CACHE:
         import math
 
-        n = load_table(spark, sf_dir, "documents").count()
+        n = _doc_n(spark, sf_dir)
         raw = (
             SIMHASH_BITS
             + 8 * math.ceil(math.log2(n / float(SIMHASH_TARGET_CORPUS)))
@@ -788,6 +801,21 @@ def _simhash_blocks(bits: int) -> tuple:
     return ((0, w), (w, w), (2 * w, bits - 2 * w))
 
 
+_SIMHASH_PAIRS_PER_TASK = 2_000_000  # the banded family's fold budget
+
+
+def _simhash_selfjoin_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Reduce width for the block self-join from the uniform-hash
+    candidate bound Σ_blocks n²/2^(width+1) (clustered corpora exceed
+    it inside single hot keys, which partitioning cannot split anyway —
+    AQE skew-join handles those)."""
+    n = _doc_n(spark, sf_dir)
+    bits = _simhash_bits(spark, sf_dir)
+    cand = sum(n * n // (2 << width) for _, width in _simhash_blocks(bits))
+    dp = spark.sparkContext.defaultParallelism
+    return max(dp, min(-(-cand // _SIMHASH_PAIRS_PER_TASK), 65536))
+
+
 # Oracle block keys: widths/shifts derive from the adaptive `bits`
 # scalar (w = bits // 3); the top block needs no mod since fp < 2^bits.
 # fp is MATERIALIZED — blocks is referenced twice by the self-join and
@@ -874,9 +902,28 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              % F.lit(1 << width)).alias("block_key"),
         )
         blocks = part if blocks is None else blocks.unionByName(part)
+    # r12 (guide §2.5, the banded-family idiom): derive the self-join
+    # reduce width from the expected-candidate bound Σ n²/2^(w+1) per
+    # block — the fingerprint rows are tiny (~16 B/doc), so with
+    # byte-target AQE coalescing (session.py parallelismFirst=false)
+    # the exchange collapses to ONE task while the join fans out
+    # n²/2^w XOR-popcount verifications (measured: 3.4 s -> 6.6 s
+    # without this). Floor at defaultParallelism, cap vs absurd n.
+    blocks = blocks.repartition(
+        _simhash_selfjoin_parts(spark, sf_dir), "b", "block_key"
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
+    # r12 (guide §2.3/§2.5): verify hamming BEFORE the cross-block
+    # distinct (the hamming of a pair is a function of its two
+    # fingerprints, so filter and dedup commute — fewer and narrower
+    # rows on the distinct's exchange: (doc_a, doc_b, hamming) instead
+    # of two 64-bit fingerprints per survivor), and give the distinct
+    # an explicit bound-derived width: its input is pair-fan-out-sized
+    # (11.7M candidate rows at sf0.1) while its map-output BYTES look
+    # small post-partial-agg, so byte-target AQE coalescing squeezed
+    # it onto too few tasks (interleaved probe: 7.4 s -> 2.2 s).
+    return (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -885,16 +932,16 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("fp_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("fp_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .repartition(
+            _simhash_selfjoin_parts(spark, sf_dir), "doc_a", "doc_b"
         )
         .distinct()
-    )
-    hamming = F.expr("bit_count(fp_a ^ fp_b)")
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 
 

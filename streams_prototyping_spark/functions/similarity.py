@@ -435,6 +435,19 @@ def _near_dup_pairs(
     )
     if within is not None:
         subbed = subbed.join(within, "vec_id", "left_semi")
+    else:
+        # r12 (guide §2.5, the similarity_banded._apply_selfjoin_parts
+        # rule): the self-join's map-output bytes are tiny while its
+        # fan-out is ~occ× per row, so byte-target AQE coalescing
+        # (session.py parallelismFirst=false) squeezes the cosine-fold
+        # stage onto one task — derive the width from the candidate
+        # bound n·occ/2 instead. The within (audit-sample) case stays
+        # AQE-scheduled: occupancy drops with the sample and the join
+        # is sample-sized (same A/B-settled rule as the banded family).
+        cand = _corpus_n(spark, sf_dir) * TARGET_BUCKET_OCC // 2
+        dp = spark.sparkContext.defaultParallelism
+        parts = max(dp, min(-(-cand // 2_000_000), 65536))
+        subbed = subbed.repartition(parts, "bucket", "sub")
     a = subbed.alias("a")
     b = subbed.alias("b")
     return (

@@ -617,7 +617,19 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as a sorted per-order set needs ONE shuffle, dedups for free
     # (collect_set), and generates the same a<b pairs map-side from the
     # sorted array — fan-out is still sum(basket_size^2), unchanged.
-    bl = li.groupBy("l_orderkey").agg(
+    # r12 (guide §2.5): pin the basket shuffle's width from the row
+    # count — the (orderkey, partkey) map bytes are ~10 MB at sf0.1, so
+    # byte-target AQE coalescing (session.py) put the whole
+    # sum(basket²) pair explode + partial pair agg on ONE task
+    # (isolated A/B: 1.72 s -> 2.66 s). Rows-derived width keeps every
+    # core on the fan-out stage and grows with the data.
+    from streams_prototyping_spark.data import table_n
+
+    dp = spark.sparkContext.defaultParallelism
+    parts_n = max(
+        dp, min(-(-table_n(spark, sf_dir, "lineitem") // 50_000), 65536)
+    )
+    bl = li.repartition(parts_n, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     n = bl.agg(F.count(F.lit(1)).alias("n_orders"))

@@ -851,6 +851,24 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = o.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
     ).withColumn("salt", F.col("salt").cast("long"))
+    # r12 (guide §2.5): pin the salted exchange's width explicitly —
+    # byte-target AQE coalescing (session.py) merged the salted
+    # partitions back together at low volumes (isolated A/B: 1.10 s ->
+    # 2.09 s), undoing the very split the demo exists to show. Width
+    # derives from the fact row count (and never below the salt
+    # fan-out), so it grows with data instead of pinning a local
+    # constant. Repartitioning both sides on the composite join key
+    # means the join reuses these exchanges (no extra shuffle).
+    from streams_prototyping_spark.data import table_n
+
+    _dp = spark.sparkContext.defaultParallelism
+    _parts = max(
+        _dp,
+        SALT_BUCKETS,
+        min(-(-table_n(spark, sf_dir, "lineitem") // 50_000), 65536),
+    )
+    fact = fact.repartition(_parts, "salt", "l_orderkey")
+    dim = dim.repartition(_parts, "salt", "o_orderkey")
     # join ON (salt AND key) so the shuffle partitions on the composite;
     # shuffle_hash hint because salting only has an effect on a SHUFFLE
     # join — at sf0.01 Catalyst would broadcast the replicated dim and

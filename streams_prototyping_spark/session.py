@@ -49,6 +49,34 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (guide §2.2 "fewer, larger reduce partitions"): coalesce
+        # to the advisory TARGET SIZE, not merely down to core count —
+        # parallelismFirst=true (the Spark default) stops coalescing at
+        # defaultParallelism, leaving byte-starved reduce stages at 32+
+        # near-empty tasks whose launch overhead dominates at low data
+        # volumes; Spark's own SQL performance-tuning guide recommends
+        # false ("respect the configured target size"). Scale-adaptive
+        # by construction: at production volumes the advisory size
+        # yields thousands of partitions and every core stays busy;
+        # compute-dense low-byte stages (the banded/knn/tfidf fan-out
+        # joins) keep their explicit candidate-bound repartitions,
+        # which AQE never coalesces (REPARTITION_BY_NUM). A/B evidence
+        # in OPTIMIZATION_r12.md.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        # r12: let AQE coalesce the plan that gets CACHED — persisted
+        # shared stages (word_tf, tfidf_postings, banded_index, ...)
+        # otherwise freeze their pre-AQE 2x-cores partition layout, and
+        # every downstream stage over the cache pays one near-empty map
+        # task per cached partition (measured: a 2-stage agg over the
+        # 116k-row word_tf cache cost 1.4 s; probe in
+        # OPTIMIZATION_r12.md).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"),
+        )
         # r11 NOTE (measured, guide §3.1): preferSortMergeJoin=false
         # (shuffled-hash when sizes allow) was tried and REJECTED —
         # isolated A/B over 10 join-heavy queries read uniformly slower
