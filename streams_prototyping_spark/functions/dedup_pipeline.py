@@ -318,6 +318,13 @@ CASE WHEN len(string_split(text, ' ')) >= 3
 # the single-expression form evaluates split(text) six times per row,
 # and the zip_with tree is interpreted (no subexpression elimination).
 # Same gram list, same output.
+#
+# CONSUMER CONTRACT (ADVICE r11): a projection feeding this template
+# must carry BOTH `_w` (the split(text) array) AND the original `text`
+# column — the short-document ELSE branch references text directly; a
+# consumer projecting only `_w` fails analysis with an unresolved-
+# column error far from this definition. Same contract for
+# _BIGRAMS_W_SPARK's ELSE branch.
 _GRAMS_W_SPARK = """
 CASE WHEN size(_w) >= 3
      THEN zip_with(

@@ -290,15 +290,51 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.when(F.col("day") <= F.col("split_day"), "a").otherwise("b").alias("period"),
     )
-    acnt = tagged.where("period = 'a'").groupBy("cents").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    acum = acnt.select(
-        "cents",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("na"),
-    )
+    # r12 (guide §2.3/§2.4, gated by corpus size): above
+    # ranks.TWO_LEVEL_MIN_ROWS one (period, cents) pre-reduce feeds
+    # BOTH the edge trainer and the bin counter (acnt is a filter over
+    # percell's own exchange — ReuseExchange dedups it, saving a full
+    # orders pass) and the cumulative edge pass uses the two-level
+    # bucket prefix instead of a single-partition ordered window over
+    # the distinct early cents, with `na` as a broadcast scalar.
+    # Below the threshold the original shape stays — measured faster
+    # at sf0.1 (1.50 vs 2.16 s: the extra bucket/broadcast stages cost
+    # more than the ~75k-row single task they replace). Oracle-verified
+    # on both paths.
+    from streams_prototyping_spark.data import table_n
+    from streams_prototyping_spark.operators.ranks import TWO_LEVEL_MIN_ROWS
+
+    percell = tagged.groupBy("period", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    if table_n(spark, sf_dir, "orders") >= TWO_LEVEL_MIN_ROWS:
+        acnt = percell.where("period = 'a'").select("cents", "cnt")
+        b = acnt.withColumn("_bkt", (F.col("cents") / 100_000).cast("long"))
+        bkt = b.groupBy("_bkt").agg(F.sum("cnt").alias("bcnt"))
+        wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+        boff = bkt.select(
+            "_bkt", (F.sum("bcnt").over(wb) - F.col("bcnt")).alias("_boff")
+        )
+        wv = Window.partitionBy("_bkt").orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        na_row = acnt.agg(F.sum("cnt").alias("na"))
+        acum = (
+            b.join(F.broadcast(boff), "_bkt")
+            .select(
+                "cents",
+                (F.col("_boff") + F.sum("cnt").over(wv)).alias("cum"),
+            )
+            .crossJoin(F.broadcast(na_row))
+        )
+    else:
+        acnt = tagged.where("period = 'a'").groupBy("cents").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+        acum = acnt.select(
+            "cents",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("na"),
+        )
     spine9 = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
     edges = (
         acum.crossJoin(F.broadcast(spine9))
@@ -306,7 +342,6 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.min("cents").alias("edge"))
     )
-    percell = tagged.groupBy("period", "cents").agg(F.count(F.lit(1)).alias("cnt"))
     # one row per (period, cents) going into the edge join, so the
     # post-join count("edge") IS the bin index (0..9)
     binned = (

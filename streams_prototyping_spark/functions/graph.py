@@ -35,7 +35,10 @@ from streams_prototyping_spark.data import load_table, widen
 from streams_prototyping_spark.functions.dedup import minhash_lsh_pairs_df
 from streams_prototyping_spark.functions.dedup_pipeline import _CLUSTERS_ORACLE
 from streams_prototyping_spark.registry import register
-from streams_prototyping_spark.stage_cache import shared_stage
+from streams_prototyping_spark.stage_cache import (
+    shared_stage,
+    track_local_checkpoint,
+)
 
 MAX_STAR_ROUNDS = 15  # raise loudly rather than return a non-fixpoint
 
@@ -414,7 +417,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed (it feeds all three join sides — >1 fan-out, the
     # greedy_match lesson) where persist+count was a blocking barrier.
     und = copurchase_und_df(spark, sf_dir)
-    deg = (
+    # track_local_checkpoint (ADVICE r11): deg/oriented blocks are
+    # released by stage_cache.release_all alongside the shared stages.
+    deg = track_local_checkpoint(
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))
         .groupBy("node")
@@ -426,7 +431,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("sd") < F.col("dd")) | (
         (F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
-    oriented = (
+    oriented = track_local_checkpoint(
         und.join(F.broadcast(da), F.col("sn") == F.col("src"))
         .join(F.broadcast(db), F.col("dn") == F.col("dst"))
         .select(

@@ -673,6 +673,18 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # r12 A/B hook (VERDICT r11 item 7): SPARK_GRAFT_MATCH_CKPT_EVERY=2
+    # checkpoints only every 2nd round (lineage doubles, blocking
+    # actions halve) — measured numbers in OPTIMIZATION_r12.md.
+    import os
+
+    ckpt_every = int(os.environ.get("SPARK_GRAFT_MATCH_CKPT_EVERY", "1"))
+
+    def _ckpt(df: DataFrame, r: int) -> DataFrame:
+        if r % ckpt_every == 0 or r == MATCH_ROUNDS:
+            return df.localCheckpoint()
+        return df
+
     out = None
     p = pairs
     for r in range(1, MATCH_ROUNDS + 1):
@@ -705,11 +717,11 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # .unpersist() is a NO-OP for localCheckpoint blocks (ADVICE
         # r5: it only consults the SQL cache manager); at sf10 three
         # live generations of 40M-row rank tables OOM'd the heap.
-        best = (
+        best = _ckpt(
             d.select("u", "v", "score", F.row_number().over(wu).alias("rn"))
             .filter(F.col("rn") == 1)
-            .select("u", "v", "score")
-            .localCheckpoint()
+            .select("u", "v", "score"),
+            r,
         )
         x = best.alias("x")
         y = best.alias("y")
@@ -724,8 +736,8 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.v").alias("id_b"),
                 F.col("x.score").alias("score"),
             )
-            .localCheckpoint()
         )
+        m = _ckpt(m, r)
         release_local_checkpoint(best)
         tagged = m.select("id_a", "id_b", "score", F.lit(r).cast("long").alias("round"))
         out = tagged if out is None else out.unionAll(tagged)
@@ -733,11 +745,11 @@ def greedy_match_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.select(F.col("id_a").alias("rec"))
             .union(m.select(F.col("id_b").alias("rec")))
         )
-        p_next = (
+        p_next = _ckpt(
             p.join(matched.withColumnRenamed("rec", "id_a"), "id_a", "left_anti")
             .join(matched.withColumnRenamed("rec", "id_b"), "id_b", "left_anti")
-            .select("id_a", "id_b", "score")
-            .localCheckpoint()
+            .select("id_a", "id_b", "score"),
+            r,
         )
         if r > 1:  # round-0 pairs is plain lineage, nothing to free
             release_local_checkpoint(p)

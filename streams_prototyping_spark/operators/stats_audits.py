@@ -512,14 +512,52 @@ def equidepth_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy(F.col("l_extendedprice").alias("price")).agg(
         F.count("*").alias("cnt")
     )
-    w = g.select(
-        "price",
-        "cnt",
-        F.sum("cnt")
-        .over(Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
-    )
+    # r12 (guide §2.4, the operators/ranks two-level idiom, gated by
+    # corpus size): at sf100-scale the 2-dp money domain has millions
+    # of distinct values and the global ordered window (Exchange
+    # SinglePartition) serializes the cumulative pass on one task —
+    # switch to the two-level bucket prefix there ($100-bucket
+    # subtotals cumulate on the O(buckets) table, interiors under
+    # PARTITION BY bucket; `total` as a broadcast scalar). Below
+    # ranks.TWO_LEVEL_MIN_ROWS the single-window shape stays: measured
+    # at sf0.1 (583k distinct prices) the two-level extra stages cost
+    # more than the ~0.4 s single task they replace (1.37 -> 1.86 s).
+    # Integer sums — cum/total identical either way (oracle-verified on
+    # both paths).
+    from streams_prototyping_spark.data import table_n
+    from streams_prototyping_spark.operators.ranks import TWO_LEVEL_MIN_ROWS
+
+    if table_n(spark, sf_dir, "lineitem") >= TWO_LEVEL_MIN_ROWS:
+        b = g.withColumn("_bkt", (F.col("price") / 100).cast("long"))
+        bkt = b.groupBy("_bkt").agg(F.sum("cnt").alias("bcnt"))
+        wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+        boff = bkt.select(
+            "_bkt", (F.sum("bcnt").over(wb) - F.col("bcnt")).alias("_boff")
+        )
+        wv = Window.partitionBy("_bkt").orderBy("price").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        total = g.agg(F.sum("cnt").alias("total"))
+        w = (
+            b.join(F.broadcast(boff), "_bkt")
+            .select(
+                "price",
+                "cnt",
+                (F.col("_boff") + F.sum("cnt").over(wv)).alias("cum"),
+            )
+            .crossJoin(F.broadcast(total))
+        )
+    else:
+        w = g.select(
+            "price",
+            "cnt",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        )
     return (
         w.groupBy(
             F.expr("CAST((cum - cnt) * 10 DIV total AS INT)").alias("bin")
@@ -701,7 +739,10 @@ def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.sum("cnt").over(Window.orderBy("bin")).alias("cum"),
     )
-    n = c.agg(F.count(F.lit(1)).alias("n"))
+    # r12 (guide §2.3): n = Σ bin counts — a 30-row fold over the bins
+    # aggregate's own exchange (ReuseExchange dedups it) instead of a
+    # second full orders scan+count.
+    n = bins.agg(F.sum("cnt").alias("n"))
     qs = (
         spark.createDataFrame([(q,) for q in HQ_QUANTILES], "q double")
         .crossJoin(F.broadcast(n))

@@ -109,6 +109,20 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+_TRACKED_CKPTS: list[DataFrame] = []
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a localCheckpoint()-ed frame for release_all cleanup
+    (ADVICE r11: Dataset.unpersist is a no-op for checkpointed plans,
+    so per-query lazy checkpoints — triangle_count's deg/oriented —
+    accumulated MEMORY_AND_DISK blocks across repeated constructions
+    in one session until GC; registry-wide sweeps now free them at the
+    same point they free the shared stages)."""
+    _TRACKED_CKPTS.append(df)
+    return df
+
+
 def release_all() -> None:
     """Unpersist and forget every cached stage (safe to call anytime)."""
     for key, df in list(_CACHE.items()):
@@ -117,3 +131,6 @@ def release_all() -> None:
         except Exception:
             pass
         _CACHE.pop(key, None)
+    for df in _TRACKED_CKPTS:
+        release_local_checkpoint(df)
+    _TRACKED_CKPTS.clear()
