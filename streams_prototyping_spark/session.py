@@ -105,4 +105,11 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # diagnostics passthrough (r12): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    # lets probes enable event logging / GC logging without editing the
+    # factory; empty by default, never set by the bench itself.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
