@@ -448,18 +448,24 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score on (doc, word, tf) instead of the raw token stream: the
     # candidate fan-out then multiplies distinct doc-words, not tokens
     tf = toks.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # r12 (guide §1.2 per-task work): the fold over the |sources|
+    # fan-out (31.7M rows at sf1) ran a decimal(20,8)x(10,0) multiply-
+    # sum — measured 25.6 s of the query's 26.5 at sf1. lnl is rounded
+    # to 8 dp, so lnl·1e8 is an exact int64 (|lnl|<20 → |lnl8|<2e9;
+    # per-(doc,cand) sums stay ≤ doc_tokens·2e9 ≈ 4e11, far inside
+    # both int64 and double's 2^53 exact-integer range), and the long
+    # multiply-add fold is order-independent and exact like the
+    # decimal one. score = double(Σ)/1e8 equals the decimal-sum cast
+    # bit-for-bit: both are the correctly-rounded double of the same
+    # integer×10⁻⁸ (equivalence pinned by
+    # tests/test_r12_optimizations.py; oracle green at sf0.01).
+    lnl8 = F.round(F.col("lnl") * 1e8, 0).cast("long")
     scored = (
-        tf.join(F.broadcast(model), "w")
+        tf.join(F.broadcast(model.withColumn("lnl8", lnl8)), "w")
         .groupBy("doc_id", F.col("source").alias("actual_source"), "cand")
         .agg(
             (
-                # tf as decimal(10,0): (20,8)x(10,0)=(31,8) keeps all
-                # 8 dp; a bare long clamps to (38,6) — see oracle note
-                F.sum(
-                    F.col("lnl").cast("decimal(20,8)")
-                    * F.col("tf").cast("decimal(10,0)")
-                )
-                .cast("double")
+                (F.sum(F.col("lnl8") * F.col("tf")).cast("double") / F.lit(1e8))
                 + F.max("lnp")
             ).alias("score")
         )
