@@ -532,9 +532,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.3 shuffle fewer bytes). The decimal dot sum and the
     # final divide are the identical expressions, just reordered around
     # the join, so cos_sim is bit-identical.
+    # r12 (guide §2.5, same AQE-blindness as the join): the FOLD's own
+    # exchange carries ~46 MB of pair rows, so byte-target coalescing
+    # squeezed the decimal dot aggregation onto ~1 task — give it the
+    # same candidate-bound width as the join (isolated A/B: fold 2.63 s
+    # AQE vs 0.94 s at pair_parts).
     pairs = (
         a.join(b, "gram")
         .filter(F.col("doc1") < F.col("doc2"))
+        .repartition(pair_parts, "doc1", "doc2")
         .groupBy("doc1", "doc2")
         .agg(
             F.count("*").alias("n_shared_terms"),

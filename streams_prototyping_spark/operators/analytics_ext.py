@@ -947,6 +947,14 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"1, 15), 16, 10) AS BIGINT) % {m}"
         )
 
+    # r12 (data.widen contract, the poisson_bootstrap_ci fix): the
+    # fact file scans as ~1 split at driver SFs, serializing the
+    # BFJ_K-md5 probe chain (2.4M md5 at sf0.1) onto one core; widen
+    # spreads raw rows once before the probes. At production volumes
+    # the scan is naturally wide and this is a cheap row-pass.
+    from streams_prototyping_spark.data import widen
+
+    li = widen(li)
     # ONE scan of the fact: probe the bloom per row (map-side), left
     # broadcast-join the dim, and fold every audit metric in a single
     # partial-combined aggregate (no false negatives => true matches

@@ -684,13 +684,22 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-compare work, not the hash cost.
     """
     o = load_table(spark, sf_dir, "orders")
+    # r12 (guide §2.6 idle capacity / data.widen contract): the orders
+    # file scans as ONE split at driver SFs, serializing the 4-md5 +
+    # 32x posexplode + CASE-ladder chain onto one core (~2.3 s of the
+    # query's 2.5 isolated); widen() spreads the raw rows once before
+    # the compute. At production volumes the scan is naturally wide
+    # and the repartition is a cheap row-pass.
+    from streams_prototyping_spark.data import widen
+
+    o_wide = widen(o)
     # Two-step select on purpose: the Generate (posexplode) node keeps
     # the hash projection as its own operator, so each md5 is computed
     # ONCE per row; folding the hashes into the posexplode projection
     # would re-evaluate the md5 inside every one of the 32 array
     # elements (measured 4x slower — codegen CSE does not reach into
     # array element expressions).
-    hashed = o.select(
+    hashed = o_wide.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         *[
             F.md5(
