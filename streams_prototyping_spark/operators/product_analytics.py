@@ -643,9 +643,13 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS part_a, y AS part_b))))"
         )
     ).alias("p")
+    # r12 (the tfidf fold-width fix): the pair aggregate's exchange
+    # carries ~29 MB of partial counts, so byte-target coalescing ran
+    # the final fold on ~1 task — reuse the rows-derived width.
     pairs = (
         bl.select(pair_struct)
         .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .repartition(parts_n, "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("co_count"))
         .filter(F.col("co_count") >= MIN_CO_COUNT)
